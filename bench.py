@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is the flagship spatial-join + tiling pipeline's
+docs/sec (reported inside "queries" as docs_per_sec) with `value` = total
+wall seconds across the suite. Run tools/scaling_run.py for the N vs 4N
+parallelism efficiency report (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cellid_encode",
+    "tile_counts",
+    "pip_contains",
+    "knn_cell",
+    "media_tiles",
+    "span_invariant",
+    "minhash_signatures",
+    "simhash",
+    "ann_topk",
+    "lsh_buckets",
+    "doc_stats",
+    "pricing_summary",
+    "nation_revenue",
+]
+
+
+def run(sf_dir: str, cpus: int, extra_conf: dict | None = None):
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(8, cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName(f"bench-{cpus}")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from s2_geometry_library_java_spark import queries as q
+
+    registry = q.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        timings[f"{name}_rows"] = n
+
+    # flagship docs/sec: the full interleaved-document pipeline
+    # (spans -> geotag -> tile -> PIP -> rollup) per source document.
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_java_spark.operators import pip, tiling
+    from s2_geometry_library_java_spark.sources import docs as docsrc
+    from s2_geometry_library_java_spark.sources import tables
+
+    t0 = time.time()
+    documents = tables.load_table(spark, sf_dir, "documents")
+    n_docs = documents.count()
+    d = docsrc.with_spans(documents)
+    spans = docsrc.geotagged_media_spans(d)
+    tiled = tiling.tile_points(spans, level=12)
+    hits = pip.pip_join(
+        spark,
+        tiled.select(F.concat_ws("_", "doc_id", "offset").alias("span_key"), "lat", "lng"),
+        q.pip_polygons(),
+        point_id="span_key",
+    ).withColumnRenamed("point_id", "span_key")
+    n_out = (
+        tiled.withColumn("span_key", F.concat_ws("_", "doc_id", "offset"))
+        .join(hits, "span_key", "left")
+        .groupBy("tile", "polygon_id")
+        .agg(F.count("*").alias("n_spans"), F.count_distinct("doc_id").alias("n_docs"))
+        .count()
+    )
+    flagship_sec = time.time() - t0
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+    timings["flagship_rows"] = n_out
+    timings["docs_per_sec"] = round(n_docs / flagship_sec, 1)
+
+    total = round(sum(v for k, v in timings.items() if not k.endswith(("_rows", "per_sec"))), 3)
+    spark.stop()
+    return total, timings, n_docs
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    total, timings, n_docs = run(sf_dir, cpus)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tiling suite wall time (flagship docs/sec in queries.docs_per_sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+                "n_docs": n_docs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

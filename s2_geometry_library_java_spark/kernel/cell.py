@@ -1,0 +1,119 @@
+"""S2Cell geometry: derived (never stored) face/level/uv-bounds + vertex,
+edge-normal, and point-containment math. Parity: S2Cell.java:93-240,
+S2Projections getUNorm/getVNorm :858-899.
+
+Scalar-Python objects — used only inside the per-region coverer where
+candidate counts are tiny; batch paths use kernel.cellid directly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import numpy as np
+
+from . import cellid as ci
+
+
+def _get_u_norm(face: int, u: float) -> np.ndarray:
+    return np.array(
+        [
+            (u, -1.0, 0.0),
+            (1.0, u, 0.0),
+            (1.0, 0.0, u),
+            (-u, 0.0, 1.0),
+            (0.0, -u, 1.0),
+            (0.0, -1.0, -u),
+        ][face]
+    )
+
+
+def _get_v_norm(face: int, v: float) -> np.ndarray:
+    return np.array(
+        [
+            (-v, 0.0, 1.0),
+            (0.0, -v, 1.0),
+            (0.0, -1.0, -v),
+            (v, -1.0, 0.0),
+            (1.0, v, 0.0),
+            (1.0, 0.0, v),
+        ][face]
+    )
+
+
+@dataclass(frozen=True)
+class Cell:
+    """Geometric cell derived from an id (uint64 int)."""
+
+    id: int
+
+    @cached_property
+    def _fij(self):
+        f, i, j, o = ci.to_face_ij_orientation(np.uint64(self.id))
+        return int(f), int(i), int(j)
+
+    @property
+    def face(self) -> int:
+        return self._fij[0]
+
+    @cached_property
+    def level(self) -> int:
+        return int(ci.level(np.uint64(self.id)))
+
+    @cached_property
+    def uv_bounds(self) -> tuple[float, float, float, float]:
+        """(u_lo, u_hi, v_lo, v_hi) from the ij bounds (S2Cell.init)."""
+        f, i, j = self._fij
+        size = 1 << (ci.MAX_LEVEL - self.level)
+        i_lo = i & -size
+        j_lo = j & -size
+        u_lo = float(ci.st_to_uv(ci.ij_to_st_min(i_lo)))
+        u_hi = float(ci.st_to_uv(ci.ij_to_st_min(i_lo + size)))
+        v_lo = float(ci.st_to_uv(ci.ij_to_st_min(j_lo)))
+        v_hi = float(ci.st_to_uv(ci.ij_to_st_min(j_lo + size)))
+        return u_lo, u_hi, v_lo, v_hi
+
+    @cached_property
+    def vertices(self) -> np.ndarray:
+        """(4,3) unit vertices in CCW order SW,SE,NE,NW (S2Cell.java:197-203)."""
+        u_lo, u_hi, v_lo, v_hi = self.uv_bounds
+        us = [u_lo, u_hi, u_hi, u_lo]
+        vs = [v_lo, v_lo, v_hi, v_hi]
+        x, y, z = ci.face_uv_to_xyz(np.full(4, self.face), np.array(us), np.array(vs))
+        v = np.stack([x, y, z], axis=1)
+        return v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+
+    @cached_property
+    def edge_normals_raw(self) -> np.ndarray:
+        """(4,3) inward normals: bottom, right, top, left (S2Cell.java:215-227)."""
+        u_lo, u_hi, v_lo, v_hi = self.uv_bounds
+        return np.stack(
+            [
+                _get_v_norm(self.face, v_lo),
+                _get_u_norm(self.face, u_hi),
+                -_get_v_norm(self.face, v_hi),
+                -_get_u_norm(self.face, u_lo),
+            ]
+        )
+
+    def contains_point(self, p: np.ndarray) -> bool:
+        """Exact-ish uv containment (S2Cell.contains: project to this face)."""
+        f = np.array([self.face])
+        u, v = ci.face_xyz_to_uv(f, p[0:1], p[1:2], p[2:3])
+        u0, u1, v0, v1 = self.uv_bounds
+        # point must be on this face's hemisphere
+        face_norm = {0: (1, 0, 0), 1: (0, 1, 0), 2: (0, 0, 1),
+                     3: (-1, 0, 0), 4: (0, -1, 0), 5: (0, 0, -1)}[self.face]
+        if p @ np.array(face_norm, dtype=np.float64) <= 0:
+            return False
+        return bool(u0 <= u[0] <= u1 and v0 <= v[0] <= v1)
+
+    def children(self) -> list["Cell"]:
+        cid = np.uint64(self.id)
+        return [Cell(int(ci.child(cid, k))) for k in range(4)]
+
+    def average_area(self) -> float:
+        from . import sphere
+
+        return float(sphere.metric_value(sphere.AVG_AREA_DERIV, self.level, dim=2))

@@ -544,8 +544,88 @@ def from_signed(ids) -> np.ndarray:
 
 def to_biased(ids) -> np.ndarray:
     """uint64 id -> order-preserving signed int64 (id XOR 2^63)."""
-    return (_as_u64(ids) ^ BIAS).view(np.int64)
+    return (np.atleast_1d(_as_u64(ids)) ^ BIAS).view(np.int64)
 
 
 def from_biased(biased) -> np.ndarray:
-    return (np.asarray(biased, dtype=np.int64).view(np.uint64)) ^ BIAS
+    return (np.atleast_1d(np.asarray(biased, dtype=np.int64)).view(np.uint64)) ^ BIAS
+
+
+# ---------------------------------------------------------------------------
+# Neighbors (S2CellId.java:1004-1153, fromFaceIJWrap :1455-1488)
+# ---------------------------------------------------------------------------
+
+_IJ_TO_ST_LINEAR = 1.0 / MAX_SIZE
+_DBL_EPSILON = float(np.finfo(np.float64).eps)
+
+
+def get_size_ij(level) -> np.ndarray:
+    """Edge length in leaf-ij units of a cell at this level."""
+    return np.asarray(1, dtype=np.int64) << (MAX_LEVEL - np.asarray(level, dtype=np.int64))
+
+
+def from_face_ij_wrap(face_idx, i, j) -> np.ndarray:
+    """Leaf cell for (i,j) outside the face's valid range, wrapped onto the
+    adjacent face via the linear u=2s-1 projection (S2CellId.java:1455-1488)."""
+    i = np.clip(np.asarray(i, dtype=np.int64), -1, MAX_SIZE)
+    j = np.clip(np.asarray(j, dtype=np.int64), -1, MAX_SIZE)
+    k_limit = 1.0 + _DBL_EPSILON
+    u = np.clip(_IJ_TO_ST_LINEAR * ((i * 2) + 1 - MAX_SIZE), -k_limit, k_limit)
+    v = np.clip(_IJ_TO_ST_LINEAR * ((j * 2) + 1 - MAX_SIZE), -k_limit, k_limit)
+    x, y, z = face_uv_to_xyz(np.asarray(face_idx, dtype=np.int64), u, v)
+    new_face = xyz_to_face(x, y, z)
+    nu, nv = face_xyz_to_uv(new_face, x, y, z)
+    return from_face_ij(new_face, st_to_ij(0.5 * (1 + nu)), st_to_ij(0.5 * (1 + nv)))
+
+
+def from_face_ij_same(face_idx, i, j, same_face) -> np.ndarray:
+    """fromFaceIJ when in range, else wrap (S2CellId.java:1493-1500)."""
+    same_face = np.asarray(same_face, dtype=bool)
+    # Clamp the in-range path's inputs so both branches are safe to evaluate.
+    safe_i = np.clip(np.asarray(i, dtype=np.int64), 0, MAX_SIZE - 1)
+    safe_j = np.clip(np.asarray(j, dtype=np.int64), 0, MAX_SIZE - 1)
+    inside = from_face_ij(np.asarray(face_idx, dtype=np.int64), safe_i, safe_j)
+    wrapped = from_face_ij_wrap(face_idx, i, j)
+    return np.where(same_face, inside, wrapped)
+
+
+def get_edge_neighbors(ids) -> np.ndarray:
+    """The 4 neighbors across each edge, shape (n, 4) (S2CellId.java:1004-1018)."""
+    ids = np.atleast_1d(_as_u64(ids))
+    lvl = level(ids)
+    size = np.asarray(1, dtype=np.int64) << (MAX_LEVEL - lvl)
+    f, i, j, _ = to_face_ij_orientation(ids)
+    down = parent(from_face_ij_same(f, i, j - size, j - size >= 0), lvl)
+    right = parent(from_face_ij_same(f, i + size, j, i + size < MAX_SIZE), lvl)
+    up = parent(from_face_ij_same(f, i, j + size, j + size < MAX_SIZE), lvl)
+    left = parent(from_face_ij_same(f, i - size, j, i - size >= 0), lvl)
+    return np.stack([down, right, up, left], axis=1)
+
+
+def get_all_neighbors_same_level(ids) -> np.ndarray:
+    """All 8 edge+vertex neighbors at the cell's own level, shape (n, 8).
+
+    Specialization of visitNeighbors (S2CellId.java:1112-1153) with
+    nbrLevel == level: the k-loop runs exactly {-size, 0, size}. Cells at
+    cube corners repeat a neighbor (same as the reference's duplicates).
+    """
+    ids = np.atleast_1d(_as_u64(ids))
+    lvl = level(ids)
+    size = np.asarray(1, dtype=np.int64) << (MAX_LEVEL - lvl)
+    f, i, j, _ = to_face_ij_orientation(ids)
+    i = i & (-size)
+    j = j & (-size)
+    out = []
+    for k_mult in (-1, 0, 1):
+        k = k_mult * size
+        if k_mult < 0:
+            same = j + k >= 0
+        elif k_mult > 0:
+            same = j + k < MAX_SIZE
+        else:
+            same = np.ones(len(np.atleast_1d(ids)), dtype=bool)
+            out.append(parent(from_face_ij_same(f, i + k, j - size, j - size >= 0), lvl))
+            out.append(parent(from_face_ij_same(f, i + k, j + size, j + size < MAX_SIZE), lvl))
+        out.append(parent(from_face_ij_same(f, i - size, j + k, same & (i - size >= 0)), lvl))
+        out.append(parent(from_face_ij_same(f, i + size, j + k, same & (i + size < MAX_SIZE)), lvl))
+    return np.stack(out, axis=1)

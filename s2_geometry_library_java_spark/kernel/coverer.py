@@ -1,0 +1,280 @@
+"""S2RegionCoverer: best-first priority-queue cell covering of a region.
+
+From-scratch Python reimplementation of the reference algorithm
+(S2RegionCoverer.java:322-755): seed with the 4 vertex-neighbor cells of the
+region's bounding cap (or the 6 faces), repeatedly pop the highest-priority
+candidate (largest cells first, then fewest intersecting children, then
+fewest terminal children — priority int at :604-609), expand via the
+region's 3-valued cell tests, stop at max_cells; then normalize +
+denormalize (S2CellUnion.java:898-960, :380-415) for min_level/level_mod.
+
+Runs scalar-per-region (regions are few, coverings <= max_cells); at scale
+it executes inside a pandas_udf over the polygon table, one covering per
+row, output exploded to (region_id, cell_id, is_interior) join rows.
+
+Determinism: ties in the queue pop FIFO (insertion order), mirroring the
+reference's deterministic comparator + stable construction order
+(S2RegionCoverer.java:124-129).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import cellid as ci
+from . import region as rg
+from . import sphere
+from .cell import Cell
+
+
+def union_normalize(ids: list[int]) -> list[int]:
+    """Sort (unsigned), drop contained, collapse 4 siblings -> parent
+    (S2CellUnion.java:898-960)."""
+    ids = sorted(int(i) & 0xFFFFFFFFFFFFFFFF for i in ids)
+    out: list[int] = []
+    for cid in ids:
+        if out and _contains(out[-1], cid):
+            continue
+        while out and _contains(cid, out[-1]):
+            out.pop()
+        while len(out) >= 3:
+            if (out[-3] ^ out[-2] ^ out[-1]) != cid:
+                break
+            mask = (_lsb(cid) << 1) & 0xFFFFFFFFFFFFFFFF
+            mask = ~(mask + (mask << 1)) & 0xFFFFFFFFFFFFFFFF
+            masked = cid & mask
+            if (
+                (out[-3] & mask) != masked
+                or (out[-2] & mask) != masked
+                or (out[-1] & mask) != masked
+                or _is_face(cid)
+            ):
+                break
+            cid = _parent_once(cid)
+            out = out[:-3]
+        out.append(cid)
+    return out
+
+
+def union_denormalize(ids: list[int], min_level: int, level_mod: int) -> list[int]:
+    """Split cells down to satisfy min_level/level_mod
+    (S2CellUnion.java:380-415)."""
+    out: list[int] = []
+    for cid in ids:
+        lvl = int(ci.level(np.uint64(cid)))
+        new_level = max(min_level, lvl)
+        if level_mod > 1:
+            new_level += (ci.MAX_LEVEL - (new_level - min_level)) % level_mod
+            new_level = min(ci.MAX_LEVEL, new_level)
+        if new_level == lvl:
+            out.append(cid)
+        else:
+            begin = int(ci.child_begin(np.uint64(cid), new_level))
+            end = int(ci.child_end(np.uint64(cid), new_level))
+            cur = begin
+            while cur != end:
+                out.append(cur)
+                cur = int(ci.next_cell(np.uint64(cur)))
+    return out
+
+
+def _lsb(cid: int) -> int:
+    return cid & (~cid + 1) & 0xFFFFFFFFFFFFFFFF
+
+
+def _is_face(cid: int) -> bool:
+    return (cid & ((1 << ci.POS_BITS) - 1)) == (1 << (ci.POS_BITS - 1))
+
+
+def _parent_once(cid: int) -> int:
+    nl = (_lsb(cid) << 2) & 0xFFFFFFFFFFFFFFFF
+    return (cid & (~nl + 1) & 0xFFFFFFFFFFFFFFFF) | nl
+
+
+def _contains(a: int, b: int) -> bool:
+    la = _lsb(a) - 1
+    return a - la <= b <= a + la
+
+
+def _vertex_neighbors(cid: int, level: int) -> list[int]:
+    """getVertexNeighbors (S2CellId.java:1029-1070), scalar."""
+    u = np.uint64(cid)
+    f, i, j, _ = ci.to_face_ij_orientation(u)
+    f, i, j = int(f), int(i), int(j)
+    halfsize = 1 << (ci.MAX_LEVEL - (level + 1))
+    size = halfsize << 1
+    if i & halfsize:
+        ioffset, isame = size, (i + size) < ci.MAX_SIZE
+    else:
+        ioffset, isame = -size, (i - size) >= 0
+    if j & halfsize:
+        joffset, jsame = size, (j + size) < ci.MAX_SIZE
+    else:
+        joffset, jsame = -size, (j - size) >= 0
+    out = [int(ci.parent(u, level))]
+    out.append(int(ci.parent(ci.from_face_ij_same(f, i + ioffset, j, isame), level)))
+    out.append(int(ci.parent(ci.from_face_ij_same(f, i, j + joffset, jsame), level)))
+    if isame or jsame:
+        out.append(
+            int(
+                ci.parent(
+                    ci.from_face_ij_same(f, i + ioffset, j + joffset, isame and jsame),
+                    level,
+                )
+            )
+        )
+    return out
+
+
+@dataclass
+class _Candidate:
+    cell: Cell
+    is_terminal: bool
+    children: list = field(default_factory=list)
+    num_terminals: int = 0
+
+
+class RegionCoverer:
+    """Options mirror S2RegionCoverer.Builder (:152-286); defaults
+    max_cells=8 (:80), level_mod=1, levels 0..30."""
+
+    def __init__(self, min_level=0, max_level=ci.MAX_LEVEL, level_mod=1, max_cells=8):
+        self.min_level = min_level
+        self.max_level = max_level
+        self.level_mod = level_mod
+        self.max_cells = max_cells
+
+    # -- public API -----------------------------------------------------
+
+    def get_covering(self, region) -> list[int]:
+        """Covering cell ids (denormalized for min_level/level_mod)."""
+        raw = self._covering_internal(region, interior=False)
+        return union_denormalize(union_normalize(raw), self.min_level, self.level_mod)
+
+    def get_interior_covering(self, region) -> list[int]:
+        raw = self._covering_internal(region, interior=True)
+        return union_denormalize(union_normalize(raw), self.min_level, self.level_mod)
+
+    def get_covering_tokens(self, region) -> list[str]:
+        return [str(t) for t in ci.to_token(np.array(self.get_covering(region), dtype=np.uint64))]
+
+    # -- internals (S2RegionCoverer.ActiveCovering) ----------------------
+
+    def _adjust_level(self, level: int) -> int:
+        if self.level_mod > 1 and level > self.min_level:
+            level -= (level - self.min_level) % self.level_mod
+        return level
+
+    def _max_children_shift(self) -> int:
+        return 2 * self.level_mod
+
+    def _new_candidate(self, cell: Cell, interior, may_intersect, contains):
+        if not may_intersect(cell):
+            return None
+        is_terminal = False
+        if cell.level >= self.min_level:
+            if interior:
+                if contains(cell):
+                    is_terminal = True
+                elif cell.level + self.level_mod > self.max_level:
+                    return None
+            else:
+                if cell.level + self.level_mod > self.max_level or contains(cell):
+                    is_terminal = True
+        return _Candidate(cell, is_terminal)
+
+    def _expand_children(self, candidate, cell, num_levels, interior, mi, co):
+        num_levels -= 1
+        num_terminals = 0
+        for child in cell.children():
+            if num_levels > 0:
+                if mi(child):
+                    num_terminals += self._expand_children(
+                        candidate, child, num_levels, interior, mi, co
+                    )
+                continue
+            c = self._new_candidate(child, interior, mi, co)
+            if c is not None:
+                candidate.children.append(c)
+                if c.is_terminal:
+                    num_terminals += 1
+        return num_terminals
+
+    def _covering_internal(self, region, interior: bool) -> list[int]:
+        contains, may_intersect, cap = rg.region_cell_tests(region)
+        result: list[int] = []
+        queue: list[tuple[int, int, _Candidate]] = []
+        seq = 0
+
+        def add_candidate(candidate):
+            nonlocal seq
+            if candidate is None:
+                return
+            if candidate.is_terminal:
+                result.append(candidate.cell.id)
+                return
+            num_levels = 1 if candidate.cell.level < self.min_level else self.level_mod
+            num_terminals = self._expand_children(
+                candidate, candidate.cell, num_levels, interior, may_intersect, contains
+            )
+            shift = self._max_children_shift()
+            if not candidate.children:
+                return
+            if (
+                not interior
+                and num_terminals == (1 << shift)
+                and candidate.cell.level >= self.min_level
+            ):
+                candidate.is_terminal = True
+                add_candidate(candidate)
+                return
+            priority = -(
+                (((candidate.cell.level << shift) + len(candidate.children)) << shift)
+                + num_terminals
+            )
+            # reference pops LARGEST queue id first (:124-129); heapq is a
+            # min-heap so push the negation; seq gives FIFO tie-break.
+            heapq.heappush(queue, (-priority, seq, candidate))
+            seq += 1
+
+        # initial candidates (S2RegionCoverer.java:648-682)
+        seeded = False
+        if self.max_cells >= 4:
+            level = min(
+                sphere.metric_max_level(sphere.MIN_WIDTH_DERIV, 2 * cap.bound_angle()),
+                self.max_level,
+                ci.MAX_LEVEL - 1,
+            )
+            if self.level_mod > 1 and level > self.min_level:
+                level -= (level - self.min_level) % self.level_mod
+            if level > 0:
+                cx, cy, cz = cap.center
+                leaf = int(ci.xyz_to_cell_id(np.float64(cx), np.float64(cy), np.float64(cz)))
+                for nid in _vertex_neighbors(leaf, level):
+                    add_candidate(self._new_candidate(Cell(nid), interior, may_intersect, contains))
+                seeded = True
+        if not seeded:
+            for f in range(6):
+                add_candidate(
+                    self._new_candidate(Cell(int(ci.from_face(f))), interior, may_intersect, contains)
+                )
+
+        while queue and (not interior or len(result) < self.max_cells):
+            _, _, candidate = heapq.heappop(queue)
+            if (
+                interior
+                or candidate.cell.level < self.min_level
+                or len(candidate.children) == 1
+                or len(result) + len(queue) + len(candidate.children) <= self.max_cells
+            ):
+                for child in candidate.children:
+                    if not interior or len(result) < self.max_cells:
+                        add_candidate(child)
+            else:
+                candidate.is_terminal = True
+                candidate.children = []
+                result.append(candidate.cell.id)
+        return result

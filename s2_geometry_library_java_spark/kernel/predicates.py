@@ -1,0 +1,218 @@
+"""Exactness-escalating geometric predicates.
+
+Mirrors the reference's triage -> stable -> exact cascade
+(S2Predicates.java:116-344) in masked-array form: the vectorized fast path
+runs on whole batches; only rows whose determinant falls inside the
+certified error bound escalate, first to the stable recomputation and
+finally to exact rational arithmetic (fractions.Fraction) — expected ~0
+rows per batch on non-adversarial data, preserving the "no per-row Python"
+contract for the 99.999% path.
+
+Edge-crossing parity (EdgeCrosser / robustCrossing,
+S2EdgeUtil.java:186-504, 1806-1924) is the backbone of point-in-polygon.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+
+DBL_EPSILON = float(np.finfo(np.float64).eps)
+
+#: Max determinant error for the simple triage sign (S2Predicates.java:116-194).
+TRIAGE_ERROR = 1.8274 * DBL_EPSILON
+
+#: Stable-sign relative error bound (S2Predicates.java:241-275).
+STABLE_ERROR = 3.2321 * DBL_EPSILON
+
+
+def _det3(ax, ay, az, bx, by, bz, cx, cy, cz):
+    """Scalar triple product a . (b x c)."""
+    return (
+        ax * (by * cz - bz * cy)
+        + ay * (bz * cx - bx * cz)
+        + az * (bx * cy - by * cx)
+    )
+
+
+def _exact_sign_one(a, b, c) -> int:
+    """Exact rational sign of det(a,b,c); 0 only for truly coplanar."""
+    af = [Fraction(float(v)) for v in a]
+    bf = [Fraction(float(v)) for v in b]
+    cf = [Fraction(float(v)) for v in c]
+    det = (
+        af[0] * (bf[1] * cf[2] - bf[2] * cf[1])
+        + af[1] * (bf[2] * cf[0] - bf[0] * cf[2])
+        + af[2] * (bf[0] * cf[1] - bf[1] * cf[0])
+    )
+    return (det > 0) - (det < 0)
+
+
+def sign_batch(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """CCW sign of point triples, shape-broadcast (n,3) arrays -> (n,) ints.
+
+    Triage on the plain determinant; rows within the error bound escalate
+    to the stable longest-edge recomputation, then to exact rationals.
+    Never returns 0 for distinct points off a common great circle; exact
+    zeros (degenerate inputs) stay 0 (SoS perturbation is phase-2).
+    """
+    a, b, c = np.broadcast_arrays(a, b, c)
+    det = _det3(
+        a[..., 0], a[..., 1], a[..., 2],
+        b[..., 0], b[..., 1], b[..., 2],
+        c[..., 0], c[..., 1], c[..., 2],
+    )
+    out = np.sign(det).astype(np.int64)
+    uncertain = np.abs(det) <= TRIAGE_ERROR
+    if not np.any(uncertain):
+        return out
+    # stable recomputation: det via differences from the longest edge
+    # (S2Predicates.Sign.stable) — subtractions cancel shared magnitude.
+    ia = a[uncertain]
+    ib = b[uncertain]
+    ic = c[uncertain]
+    ab = ib - ia
+    bc = ic - ib
+    ca = ia - ic
+    det2 = _det3(
+        ab[..., 0], ab[..., 1], ab[..., 2],
+        bc[..., 0], bc[..., 1], bc[..., 2],
+        # cross with position of one vertex: det(a,b,c) == (ab x bc) . a? use
+        # (ca x ab) . b form: equals det for unit triangles
+        ic[..., 0], ic[..., 1], ic[..., 2],
+    )
+    err2 = STABLE_ERROR * np.sqrt((ab * ab).sum(-1)) * np.sqrt((bc * bc).sum(-1))
+    stable_ok = np.abs(det2) > err2
+    res = np.sign(det2).astype(np.int64)
+    # exact fallback on the residue
+    residue = ~stable_ok
+    if np.any(residue):
+        idxs = np.nonzero(residue)[0]
+        for k in idxs:
+            res[k] = _exact_sign_one(ia[k], ib[k], ic[k])
+    out[uncertain] = res
+    return out
+
+
+def count_crossings(
+    origin: np.ndarray, points: np.ndarray, loop_vertices: np.ndarray
+) -> np.ndarray:
+    """Number of loop edges crossed by the geodesic origin->p, per point.
+
+    points: (n,3); loop_vertices: (m,3) closed implicitly (last->first).
+    Uses the four-sign minor-arc crossing test (robustCrossing semantics,
+    S2EdgeUtil.java:1806-1849, interior crossings; shared-vertex tiebreaks
+    are phase-2 — synthetic points never coincide with vertices).
+    All m edges x n points evaluated as one broadcast batch.
+    """
+    o = np.asarray(origin, dtype=np.float64)
+    p = np.asarray(points, dtype=np.float64)  # (n,3)
+    v = np.asarray(loop_vertices, dtype=np.float64)  # (m,3)
+    c = v[None, :, :]  # (1,m,3)
+    d = np.roll(v, -1, axis=0)[None, :, :]
+    on = o[None, None, :]
+    pn = p[:, None, :]  # (n,1,3)
+    # Minor arcs AB, CD cross iff triangles ACB, BDA, CBD, DAC all have the
+    # same nonzero orientation (the EdgeCrosser invariant; the naive
+    # "endpoints separated" test is fooled by antipodal arc pairs).
+    acb = sign_batch(on, c, pn)
+    bda = sign_batch(pn, d, on)
+    cbd = sign_batch(c, pn, d)
+    dac = sign_batch(d, on, c)
+    crossing = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+    return crossing.sum(axis=1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Scalar wedge predicates for loop initialization (S2.ortho S2.java:306-320,
+# orderedCCW S2Predicates.java:508-526, angleContainsVertex :555-565,
+# vertexCrossing S2EdgeUtil.java:1836-1860).
+# ---------------------------------------------------------------------------
+
+_ORTHO_BASES = np.array(
+    [[1.0, 0.0053, 0.00457], [0.012, 1.0, 0.00457], [0.012, 0.0053, 1.0]]
+)
+
+
+def ortho(a: np.ndarray) -> np.ndarray:
+    """Deterministic unit vector orthogonal to a; ortho(-a) == -ortho(a)."""
+    ax, ay, az = abs(a[0]), abs(a[1]), abs(a[2])
+    largest = 0 if (ax > ay and ax > az) else (1 if ay > az else 2)
+    k = largest - 1
+    if k < 0:
+        k = 2
+    v = np.cross(a, _ORTHO_BASES[k])
+    return v / np.sqrt(v @ v)
+
+
+def _sign1(a, b, c) -> int:
+    return int(sign_batch(a[None, :], b[None, :], c[None, :])[0])
+
+
+def ordered_ccw(a, b, c, o) -> bool:
+    """True if edges OA, OB, OC occur in that order sweeping CCW."""
+    total = 0
+    if _sign1(b, o, a) >= 0:
+        total += 1
+    if _sign1(c, o, b) >= 0:
+        total += 1
+    if _sign1(a, o, c) > 0:
+        total += 1
+    return total >= 2
+
+
+def angle_contains_vertex(a, b, c) -> bool:
+    """Angle ABC contains vertex B (closed at A, open at C)."""
+    return not ordered_ccw(ortho(b), c, a, b)
+
+
+def vertex_crossing(a, b, c, d) -> bool:
+    """Crossing parity contribution for edges AB, CD sharing a vertex."""
+    if np.array_equal(a, b) or np.array_equal(c, d):
+        return False
+    if np.array_equal(a, d):
+        return ordered_ccw(ortho(a), c, b, a)
+    if np.array_equal(b, c):
+        return ordered_ccw(ortho(b), d, a, b)
+    if np.array_equal(a, c):
+        return ordered_ccw(ortho(a), d, b, a)
+    if np.array_equal(b, d):
+        return ordered_ccw(ortho(b), c, a, b)
+    return False
+
+
+def _arcs_cross_scalar(a, b, c, d) -> bool:
+    acb = _sign1(a, c, b)
+    bda = _sign1(b, d, a)
+    cbd = _sign1(c, b, d)
+    dac = _sign1(d, a, c)
+    return acb == bda == cbd == dac and acb != 0
+
+
+def edge_or_vertex_crossing(a, b, c, d) -> bool:
+    """robustCrossing > 0, or == 0 with vertexCrossing true
+    (S2EdgeUtil.edgeOrVertexCrossing semantics)."""
+    shared = (
+        np.array_equal(a, c)
+        or np.array_equal(a, d)
+        or np.array_equal(b, c)
+        or np.array_equal(b, d)
+    )
+    if shared:
+        return vertex_crossing(a, b, c, d)
+    return _arcs_cross_scalar(a, b, c, d)
+
+
+def loop_contains_point_scalar(vertices: np.ndarray, origin: np.ndarray,
+                               origin_inside: bool, p: np.ndarray) -> bool:
+    """Crossing-parity containment handling shared vertices exactly
+    (used during loop init where p IS a loop vertex)."""
+    inside = origin_inside
+    n = len(vertices)
+    for k in range(n):
+        c = vertices[k]
+        d = vertices[(k + 1) % n]
+        if edge_or_vertex_crossing(origin, p, c, d):
+            inside = not inside
+    return inside

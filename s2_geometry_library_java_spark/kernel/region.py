@@ -1,0 +1,375 @@
+"""Query regions: spherical cap, lat/lng rect, loop, polygon.
+
+Vectorized point-containment kernels (points as numpy xyz arrays) plus the
+3-valued cell tests the coverer needs. Parity targets: S2Cap.java,
+S2LatLngRectBase.java, S2Loop.java:1303-1373, S2Polygon.java:3043-3070.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import cellid as ci
+from . import sphere
+
+
+@dataclass(frozen=True)
+class Cap:
+    """Spherical disc: center (unit xyz) + radius as squared chord length
+    (S2Cap.java:99-132). radius2 < 0 = empty; radius2 = 4 = full sphere."""
+
+    center: tuple[float, float, float]
+    radius2: float
+
+    @staticmethod
+    def from_latlng_deg(lat: float, lng: float, radius_deg: float) -> "Cap":
+        x, y, z = ci.latlng_to_xyz(np.radians(lat), np.radians(lng))
+        r2 = float(sphere.chord2_from_angle(np.radians(radius_deg)))
+        return Cap((float(x), float(y), float(z)), r2)
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        """chord2(center, p) <= radius2 (S2Cap.contains, S2Cap.java:600-604)."""
+        cx, cy, cz = self.center
+        return sphere.chord2_between(x, y, z, cx, cy, cz) <= self.radius2
+
+    def bound_angle(self) -> float:
+        return float(sphere.angle_from_chord2(max(0.0, self.radius2)))
+
+
+@dataclass(frozen=True)
+class LatLngRect:
+    """lat interval x lng interval, radians; lng interval may wrap the
+    dateline (lo > hi means inverted, S2LatLngRectBase semantics)."""
+
+    lat_lo: float
+    lat_hi: float
+    lng_lo: float
+    lng_hi: float
+
+    @staticmethod
+    def from_degrees(lat_lo, lat_hi, lng_lo, lng_hi) -> "LatLngRect":
+        return LatLngRect(
+            np.radians(lat_lo), np.radians(lat_hi), np.radians(lng_lo), np.radians(lng_hi)
+        )
+
+    def is_inverted(self) -> bool:
+        return self.lng_lo > self.lng_hi
+
+    def contains_latlng(self, lat, lng) -> np.ndarray:
+        lat_ok = (lat >= self.lat_lo) & (lat <= self.lat_hi)
+        if self.is_inverted():
+            lng_ok = (lng >= self.lng_lo) | (lng <= self.lng_hi)
+        else:
+            lng_ok = (lng >= self.lng_lo) & (lng <= self.lng_hi)
+        return lat_ok & lng_ok
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        lat, lng = ci.xyz_to_latlng(x, y, z)
+        return self.contains_latlng(lat, lng)
+
+
+@dataclass
+class Loop:
+    """Simple closed spherical polygon loop, CCW interior (S2Loop.java).
+
+    vertices: (n,3) float64 unit vectors. Containment = crossing parity
+    from a fixed origin point, exactly the reference's brute-force
+    ``S2Loop.contains`` (S2Loop.java:1303-1347).
+    """
+
+    vertices: np.ndarray
+    origin_inside: bool = field(init=False)
+
+    # Reference origin (S2.origin(), S2.java:100-106) — a fixed point chosen
+    # to avoid coincidences with real-world geometry.
+    ORIGIN = np.array(
+        [-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195]
+    )
+
+    def __post_init__(self):
+        from . import predicates
+
+        self.vertices = np.asarray(self.vertices, dtype=np.float64)
+        # S2Loop.initOriginAndBound (S2Loop.java:1536-1552): guess that the
+        # origin is outside, check whether vertex(1) containment then agrees
+        # with the wedge test angleContainsVertex(v0, v1, v2); if not, the
+        # origin must be inside.
+        v = self.vertices
+        v1_inside = predicates.angle_contains_vertex(v[0], v[1], v[2])
+        guess = predicates.loop_contains_point_scalar(v, self.ORIGIN, False, v[1])
+        self.origin_inside = bool(v1_inside != guess)
+
+    @staticmethod
+    def from_latlng_degrees(latlngs: list[tuple[float, float]]) -> "Loop":
+        lat = np.radians([p[0] for p in latlngs])
+        lng = np.radians([p[1] for p in latlngs])
+        x, y, z = ci.latlng_to_xyz(lat, lng)
+        return Loop(np.stack([x, y, z], axis=1))
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        """Crossing parity from ORIGIN to each point (S2Loop.java:1303-1347):
+        inside = originInside XOR (#edge crossings of geodesic origin->p odd).
+        """
+        from . import predicates
+
+        pts = np.stack(
+            [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1
+        ).astype(np.float64)
+        crossings = predicates.count_crossings(self.ORIGIN, pts, self.vertices)
+        return np.where((crossings & 1) == 1, not self.origin_inside, self.origin_inside)
+
+
+def _winding_number(p: np.ndarray, vertices: np.ndarray) -> int:
+    """Signed spherical winding parity of point p w.r.t. the loop, via the
+    signed angle sum around p (robust for points off the boundary)."""
+    v = vertices - 0.0
+    a = v
+    b = np.roll(v, -1, axis=0)
+    # project edges onto the tangent plane at p and accumulate turning angle
+    pa = a - np.outer(a @ p, p)
+    pb = b - np.outer(b @ p, p)
+    na = np.sqrt((pa * pa).sum(axis=1))
+    nb = np.sqrt((pb * pb).sum(axis=1))
+    pa = pa / na[:, None]
+    pb = pb / nb[:, None]
+    cross = np.cross(pa, pb) @ p
+    dot = (pa * pb).sum(axis=1)
+    ang = np.arctan2(cross, dot)
+    total = ang.sum()
+    return int(np.round(total / (2 * np.pi)))
+
+
+@dataclass
+class Polygon:
+    """Set of loops; interior = XOR of loop interiors
+    (S2Polygon.java:3057-3064)."""
+
+    loops: list[Loop]
+
+    @staticmethod
+    def from_text(text: str) -> "Polygon":
+        """S2TextFormat polygon grammar: ';'-separated loops of
+        comma-separated 'lat:lng' vertices (S2TextFormat.java:484-495)."""
+        loops = []
+        for loop_text in text.strip().split(";"):
+            loop_text = loop_text.strip()
+            if not loop_text:
+                continue
+            pts = []
+            for tok in loop_text.split(","):
+                la, ln = tok.strip().split(":")
+                pts.append((float(la), float(ln)))
+            loops.append(Loop.from_latlng_degrees(pts))
+        return Polygon(loops)
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        inside = np.zeros(np.shape(np.atleast_1d(x)), dtype=bool)
+        for loop in self.loops:
+            inside ^= loop.contains_points(x, y, z)
+        return inside
+
+
+# ---------------------------------------------------------------------------
+# 3-valued cell tests (the S2Region contract, S2Region.java:37-76) used by
+# the coverer. contains(cell) may false-negative (covering just refines
+# further); may_intersect(cell) must NEVER false-negative (covering validity).
+# ---------------------------------------------------------------------------
+
+def _cap_intersects_cell(cap: Cap, cell, vertices: np.ndarray) -> bool:
+    """S2Cap.intersects(cell, vertices) (S2Cap.java:545-594): true iff the
+    cap intersects the cell given no cell vertex is inside the cap."""
+    from . import sphere
+
+    if cap.radius2 >= 2.0:  # hemisphere or larger (chord2 of 90deg = 2)
+        return False
+    if cap.radius2 < 0:
+        return False
+    axis = np.array(cap.center)
+    if cell.contains_point(axis):
+        return True
+    sin2_angle = cap.radius2 * (1 - 0.25 * cap.radius2)  # S1ChordAngle.sin2
+    for k in range(4):
+        edge = cell.edge_normals_raw[k]
+        dot = float(axis @ edge)
+        if dot > 0:
+            continue
+        if dot * dot > sin2_angle * float(edge @ edge):
+            return False
+        # the great circle of the edge is within the cap's angle; check the
+        # closest point on the edge segment lies within the edge's wedge
+        dir_ = np.cross(edge, axis)
+        if dir_ @ cell.vertices[k] < 0 and dir_ @ cell.vertices[(k + 1) & 3] > 0:
+            return True
+    return False
+
+
+def cap_contains_cell(cap: Cap, cell) -> bool:
+    v = cell.vertices
+    if not bool(np.all(cap.contains_points(v[:, 0], v[:, 1], v[:, 2]))):
+        return False
+    complement = Cap(
+        (-cap.center[0], -cap.center[1], -cap.center[2]), 4.0 - cap.radius2
+    )
+    return not _cap_intersects_cell(complement, cell, v)
+
+
+def cap_may_intersect_cell(cap: Cap, cell) -> bool:
+    v = cell.vertices
+    if bool(np.any(cap.contains_points(v[:, 0], v[:, 1], v[:, 2]))):
+        return True
+    return _cap_intersects_cell(cap, cell, v)
+
+
+def _cell_rect_bound(cell):
+    """Conservative lat/lng bound of a cell: vertex extremes padded by the
+    max edge bulge (exact bounds are phase-2; padding keeps may_intersect
+    sound)."""
+    v = cell.vertices
+    lat, lng = ci.xyz_to_latlng(v[:, 0], v[:, 1], v[:, 2])
+    pad = 0.36 * (2.0 ** -cell.level) + 1e-15  # > half MAX_ANGLE_SPAN bulge
+    lat_lo, lat_hi = float(lat.min() - pad), float(lat.max() + pad)
+    # detect dateline wrap via vertex spread
+    lng_sorted = np.sort(lng)
+    if cell.level == 0 or (lng_sorted[-1] - lng_sorted[0]) > np.pi:
+        return lat_lo, lat_hi, -np.pi, np.pi
+    # poles: if the cell contains a pole its lng span is full
+    if lat_hi >= np.pi / 2 - 1e-9 or lat_lo <= -np.pi / 2 + 1e-9:
+        return lat_lo, lat_hi, -np.pi, np.pi
+    return lat_lo, lat_hi, float(lng.min() - pad), float(lng.max() + pad)
+
+
+def rect_contains_cell(rect: LatLngRect, cell) -> bool:
+    lat_lo, lat_hi, lng_lo, lng_hi = _cell_rect_bound(cell)
+    if not (lat_lo >= rect.lat_lo and lat_hi <= rect.lat_hi):
+        return False
+    if rect.is_inverted():
+        return lng_lo >= rect.lng_lo or lng_hi <= rect.lng_hi
+    return lng_lo >= rect.lng_lo and lng_hi <= rect.lng_hi
+
+
+def rect_may_intersect_cell(rect: LatLngRect, cell) -> bool:
+    lat_lo, lat_hi, lng_lo, lng_hi = _cell_rect_bound(cell)
+    if lat_hi < rect.lat_lo or lat_lo > rect.lat_hi:
+        return False
+    if rect.is_inverted():
+        return lng_hi >= rect.lng_lo or lng_lo <= rect.lng_hi
+    return lng_hi >= rect.lng_lo and lng_lo <= rect.lng_hi
+
+
+def _edges_cross_cell(loop: Loop, cell) -> bool:
+    """Any loop edge crosses any cell edge (four-triangle arc test)."""
+    from . import predicates
+
+    a = loop.vertices
+    b = np.roll(a, -1, axis=0)
+    cv = cell.vertices
+    for k in range(4):
+        c = cv[k]
+        d = cv[(k + 1) & 3]
+        acb = predicates.sign_batch(a, c[None, :], b)
+        bda = predicates.sign_batch(b, d[None, :], a)
+        cbd = predicates.sign_batch(c[None, :], b, d[None, :])
+        dac = predicates.sign_batch(d[None, :], a, c[None, :])
+        if bool(np.any((acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0))):
+            return True
+    return False
+
+
+def loop_contains_cell(loop: Loop, cell) -> bool:
+    """Loop ⊇ cell iff all 4 cell vertices inside and no edge crossings."""
+    v = cell.vertices
+    if not bool(np.all(loop.contains_points(v[:, 0], v[:, 1], v[:, 2]))):
+        return False
+    return not _edges_cross_cell(loop, cell)
+
+
+def loop_may_intersect_cell(loop: Loop, cell) -> bool:
+    """Loop ∩ cell ≠ ∅ iff a cell vertex is in the loop, a loop vertex is in
+    the cell, or edges cross (both convex-cell-vs-loop cases covered)."""
+    v = cell.vertices
+    if bool(np.any(loop.contains_points(v[:, 0], v[:, 1], v[:, 2]))):
+        return True
+    if any(cell.contains_point(loop.vertices[i]) for i in range(len(loop.vertices))):
+        return True
+    return _edges_cross_cell(loop, cell)
+
+
+def polygon_contains_cell(poly: Polygon, cell) -> bool:
+    """Conservative: XOR-of-loops region contains the cell if the cell's
+    4 vertices and center are inside and no loop edge crosses the cell."""
+    v = cell.vertices
+    if not bool(np.all(poly.contains_points(v[:, 0], v[:, 1], v[:, 2]))):
+        return False
+    return not any(_edges_cross_cell(lp, cell) for lp in poly.loops)
+
+
+def polygon_may_intersect_cell(poly: Polygon, cell) -> bool:
+    v = cell.vertices
+    if bool(np.any(poly.contains_points(v[:, 0], v[:, 1], v[:, 2]))):
+        return True
+    for lp in poly.loops:
+        if any(cell.contains_point(lp.vertices[i]) for i in range(len(lp.vertices))):
+            return True
+        if _edges_cross_cell(lp, cell):
+            return True
+    return False
+
+
+def region_cell_tests(region):
+    """(contains_cell, may_intersect_cell, cap_bound) dispatch for a region."""
+    from . import sphere
+
+    if isinstance(region, Cap):
+        return (
+            lambda cell: cap_contains_cell(region, cell),
+            lambda cell: cap_may_intersect_cell(region, cell),
+            region,
+        )
+    if isinstance(region, LatLngRect):
+        # cap bound: centered at rect center, radius to the farthest corner
+        clat = 0.5 * (region.lat_lo + region.lat_hi)
+        if region.is_inverted():
+            clng = 0.5 * (region.lng_lo + region.lng_hi) + np.pi
+            width = 2 * np.pi - (region.lng_lo - region.lng_hi)
+        else:
+            clng = 0.5 * (region.lng_lo + region.lng_hi)
+            width = region.lng_hi - region.lng_lo
+        corners_lat = np.array([region.lat_lo, region.lat_hi] * 2)
+        corners_lng = np.array(
+            [clng - width / 2, clng - width / 2, clng + width / 2, clng + width / 2]
+        )
+        cx, cy, cz = ci.latlng_to_xyz(np.array([clat]), np.array([clng]))
+        vx, vy, vz = ci.latlng_to_xyz(corners_lat, corners_lng)
+        r2 = float(sphere.chord2_between(vx, vy, vz, cx, cy, cz).max()) * (1 + 1e-12)
+        cap = Cap((float(cx[0]), float(cy[0]), float(cz[0])), min(4.0, r2))
+        return (
+            lambda cell: rect_contains_cell(region, cell),
+            lambda cell: rect_may_intersect_cell(region, cell),
+            cap,
+        )
+    if isinstance(region, Loop):
+        region = Polygon([region])
+    if isinstance(region, Polygon):
+        allv = np.concatenate([lp.vertices for lp in region.loops], axis=0)
+        centroid = allv.mean(axis=0)
+        n = float(np.sqrt(centroid @ centroid))
+        if n < 1e-12:
+            cap = Cap((1.0, 0.0, 0.0), 4.0)
+        else:
+            centroid = centroid / n
+            d = sphere.chord2_between(
+                allv[:, 0], allv[:, 1], allv[:, 2], centroid[0], centroid[1], centroid[2]
+            )
+            cap = Cap(tuple(centroid), min(4.0, float(d.max()) * (1 + 1e-12)))
+            # if the polygon contains the anti-centroid the cap must be full
+            anti = -centroid
+            if bool(region.contains_points(anti[0:1], anti[1:2], anti[2:3])[0]):
+                cap = Cap((1.0, 0.0, 0.0), 4.0)
+        return (
+            lambda cell: polygon_contains_cell(region, cell),
+            lambda cell: polygon_may_intersect_cell(region, cell),
+            cap,
+        )
+    raise TypeError(f"unsupported region {type(region)}")

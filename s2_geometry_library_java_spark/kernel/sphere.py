@@ -1,0 +1,108 @@
+"""Spherical vector math: chord angles, haversine, cell metrics, Earth units.
+
+Vectorized numpy equivalents of S1ChordAngle.java, S2LatLng.java:288-301,
+S2.java metric definitions (:203-279 with derivs from S2Projections.java),
+and S2Earth.java unit conversions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Earth radius used by the reference (S2Earth.java:53): meters.
+EARTH_RADIUS_METERS = 1000 * 6371.01
+
+# Metric derivs for the quadratic projection (S2Projections.java:230-252).
+MIN_AREA_DERIV = 8 * np.sqrt(2) / 9  # 1.257
+AVG_AREA_DERIV = 4 * np.pi / 6  # exact: avg cell area = sphere/6 cells
+MAX_AREA_DERIV = 2.635799256963161491
+MIN_ANGLE_SPAN_DERIV = 4.0 / 3
+MAX_ANGLE_SPAN_DERIV = 1.704897179199218452
+MIN_WIDTH_DERIV = 2 * np.sqrt(2) / 3
+AVG_WIDTH_DERIV = 1.434523672886099389
+MIN_EDGE_DERIV = 2 * np.sqrt(2) / 3
+AVG_EDGE_DERIV = 1.459213746386106062
+MIN_DIAG_DERIV = 8 * np.sqrt(2) / 9
+MAX_DIAG_DERIV = 2.438654594434021032
+AVG_DIAG_DERIV = 2.060422738998471683
+
+
+def metric_value(deriv: float, level, dim: int = 1):
+    """Metric.getValue (S2.java:210-214): deriv * 2^(-dim*level)."""
+    return deriv * np.power(2.0, -dim * np.asarray(level, dtype=np.float64))
+
+
+def metric_max_level(deriv: float, value: float, dim: int = 1) -> int:
+    """Largest level where metric >= value (S2.java:268-279)."""
+    if value <= 0:
+        return 30
+    lvl = int(np.floor(np.log2(deriv / value) / dim))
+    return max(0, min(30, lvl))
+
+
+def metric_min_level(deriv: float, value: float, dim: int = 1) -> int:
+    """Smallest level where metric <= value (S2.java:243-257)."""
+    if value <= 0:
+        return 30
+    lvl = int(np.ceil(np.log2(deriv / value) / dim))
+    return max(0, min(30, lvl))
+
+
+def meters_to_radians(m):
+    return np.asarray(m, dtype=np.float64) / EARTH_RADIUS_METERS
+
+
+def radians_to_meters(r):
+    return np.asarray(r, dtype=np.float64) * EARTH_RADIUS_METERS
+
+
+# ---------------------------------------------------------------------------
+# Chord angles (S1ChordAngle.java): distance as squared chord length in [0,4].
+# Monotone with angle, cheap, and exact under comparison — ALL engine distance
+# comparisons use length2, matching the reference.
+# ---------------------------------------------------------------------------
+
+def chord2_between(x1, y1, z1, x2, y2, z2):
+    """Squared chord length between unit vectors (S1ChordAngle.java:335)."""
+    dx = x1 - x2
+    dy = y1 - y2
+    dz = z1 - z2
+    return np.minimum(4.0, dx * dx + dy * dy + dz * dz)
+
+
+def chord2_from_angle(radians):
+    """S1ChordAngle.fromS1Angle: (2*sin(min(pi,a)/2))^2."""
+    a = np.asarray(radians, dtype=np.float64)
+    half = 0.5 * np.minimum(np.pi, a)
+    s = 2.0 * np.sin(half)
+    return s * s
+
+
+def angle_from_chord2(length2):
+    """S1ChordAngle.toAngle: 2*asin(0.5*sqrt(length2))."""
+    return 2.0 * np.arcsin(0.5 * np.sqrt(np.asarray(length2, dtype=np.float64)))
+
+
+def angle_between(x1, y1, z1, x2, y2, z2):
+    """Stable angle via atan2(|a x b|, a.b) (S2Point.angle)."""
+    cx = y1 * z2 - z1 * y2
+    cy = z1 * x2 - x1 * z2
+    cz = x1 * y2 - y1 * x2
+    dot = x1 * x2 + y1 * y2 + z1 * z2
+    return np.arctan2(np.sqrt(cx * cx + cy * cy + cz * cz), dot)
+
+
+def haversine_distance(lat1, lng1, lat2, lng2):
+    """S2LatLng.getDistance (S2LatLng.java:288-301), radians in/out."""
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    dlat = np.sin(0.5 * (lat2 - lat1))
+    dlng = np.sin(0.5 * (np.asarray(lng2, np.float64) - np.asarray(lng1, np.float64)))
+    x = dlat * dlat + dlng * dlng * np.cos(lat1) * np.cos(lat2)
+    return 2.0 * np.arcsin(np.sqrt(np.minimum(1.0, x)))
+
+
+def normalize_rows(v: np.ndarray) -> np.ndarray:
+    """Normalize an (n,3) array of vectors."""
+    n = np.sqrt((v * v).sum(axis=1, keepdims=True))
+    return v / n

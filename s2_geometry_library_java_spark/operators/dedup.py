@@ -1,0 +1,181 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard. All are pure Column expressions over
+JVM built-ins — no Python in the hot path — so they scale to the full
+table via ordinary shuffle-on-key aggregation with map-side combine.
+
+The portable 32-bit hash is ``int(md5(seed ':' x)[:8], 16)``: identical in
+Spark (conv/substring/md5) and DuckDB (the oracle twin in oracle.py), so
+every operator here is hash-verifiable end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash32(col, seed: int) -> Column:
+    """Deterministic unsigned-32-bit hash of a string column."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), _c(col))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def normalized_words(text) -> Column:
+    """Lowercased alpha words (the shared tokenization for all dedup ops)."""
+    return F.split(F.trim(F.regexp_replace(F.lower(_c(text)), "[^a-z ]", " ")), " +")
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string>."""
+    w = normalized_words(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    parts = [F.element_at(w, i) for i in range(1, n + 1)]
+
+    def gram(i):
+        return F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)])
+
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: (id, content_md5, group_size, canonical_id).
+
+    canonical = min id per hash; group_size > 1 marks duplicates. One
+    shuffle on the hash; map-side combine applies.
+    """
+    h = F.md5(F.lower(_c(text_col))).alias("content_md5")
+    hashed = df.select(_c(id_col).alias("id"), h)
+    groups = hashed.groupBy("content_md5").agg(
+        F.count("*").alias("group_size"), F.min("id").alias("canonical_id")
+    )
+    return hashed.join(groups, "content_md5").select(
+        "id", "content_md5", "group_size", "canonical_id"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): per-doc min over shingles of seeded hash32.
+
+    Explode-then-groupBy(id) — a single shuffle keyed by doc id, partial
+    min() combine on the map side.
+    """
+    ex = df.select(
+        _c(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [F.min(hash32("sh", s)).alias(f"mh_{s}") for s in range(n_hashes)]
+    return ex.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b): docs sharing any band.
+
+    Bands become equi-join keys — the scalable path: the self-join is a
+    shuffle on band values, never a cross join.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    n_bands = n_hashes // band_rows
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(b),
+                        *[F.col(f"mh_{b * band_rows + r}") for r in range(band_rows)],
+                    ).alias("band")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(right, (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over word hashes.
+
+    Per-bit majority as 32 conditional aggregations in ONE groupBy — no
+    32x row blowup, single shuffle, map-side partial sums.
+    """
+    ex = df.select(
+        _c(id_col).alias("id"), F.explode(normalized_words(text_col)).alias("w")
+    ).where(F.col("w") != "")
+    h = hash32("w", 0)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    sums = ex.groupBy("id").agg(*bit_sums)
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"b{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 80,
+    shingle_n: int = 3,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard >= threshold_pct/100.
+
+    Inverted-index self-join on distinct shingles; shingles appearing in
+    more than ``max_doc_freq`` docs are dropped before the join (standard
+    stop-shingle pruning — bounds the quadratic fanout on hot shingles;
+    the DuckDB oracle applies the identical rule). The threshold compare is
+    exact integer math: 100*|A∩B| >= pct*(|A|+|B|-|A∩B|).
+    """
+    ex = (
+        df.select(
+            _c(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
+        )
+        .distinct()
+    )
+    freq = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    ex = ex.join(F.broadcast(freq.where(F.col("df") <= max_doc_freq)), "sh")
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        ex.alias("l")
+        .join(ex.alias("r"), (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .where(
+            F.lit(100) * F.col("common")
+            >= F.lit(threshold_pct) * (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .select("a", "b", "common", (F.col("na") + F.col("nb") - F.col("common")).alias("union_sz"))
+    )

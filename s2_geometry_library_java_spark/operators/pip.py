@@ -1,0 +1,134 @@
+"""Point-in-polygon spatial join.
+
+The engine's central query shape (S2ContainsPointQuery semantics,
+S2ContainsPointQuery.java:113 / S2Loop.java:1303-1373), restructured for
+Spark exactly as SURVEY.md §3.2 plans:
+
+1. polygons -> coverings (kernel.coverer, driver-side: polygons are few)
+   exploded to (polygon_id, range_min_b, range_max_b, is_interior) rows;
+2. points get leaf cell ids (one Arrow batch kernel) biased for ordering;
+3. broadcast range join: candidate pairs are points whose leaf id falls in
+   a covering cell's Hilbert range — Catalyst turns this into a broadcast
+   nested-loop join over the tiny covering table, i.e. a map-only stage
+   with NO shuffle of the point table;
+4. interior-cell candidates are accepted immediately (is_interior flag —
+   the coverer's terminal-contains cells); only boundary-cell candidates
+   run the exact crossing-parity kernel against the polygon's edges.
+
+At 100 TB the point table never shuffles: the covering table is O(polygons
+x max_cells) rows and broadcasts; the PIP kernel sees only boundary-cell
+candidates (a thin sliver of the data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..functions import columns as cc
+from ..functions import udfs
+from ..kernel import cellid as s2
+from ..kernel import coverer as cov
+from ..kernel import region as rg
+from ..kernel.cell import Cell
+
+
+def covering_rows(
+    polygons: dict, max_cells: int = 8, min_level: int = 0, max_level: int = 30
+) -> list[tuple]:
+    """(polygon_id, cell_id, range_min_b, range_max_b, is_interior) rows.
+
+    is_interior marks covering cells fully contained in the polygon
+    (computed with the polygon's own contains-cell test), enabling the
+    exact-test skip (SURVEY.md §4 'interior fast accept').
+    """
+    rows = []
+    coverer = cov.RegionCoverer(
+        max_cells=max_cells, min_level=min_level, max_level=max_level
+    )
+    for pid, poly in polygons.items():
+        contains_cell, _, _ = rg.region_cell_tests(poly)
+        for cid in coverer.get_covering(poly):
+            u = np.uint64(cid)
+            interior = bool(contains_cell(Cell(cid)))
+            rows.append(
+                (
+                    pid,
+                    int(s2.to_signed(u)[0]),
+                    int(s2.to_biased(s2.range_min(u))[0]),
+                    int(s2.to_biased(s2.range_max(u))[0]),
+                    interior,
+                )
+            )
+    return rows
+
+
+def make_pip_contains_udf(polygons: dict):
+    """Exact containment pandas UDF closed over the polygon geometry.
+
+    The dict (polygon_id -> kernel.region.Polygon) is tiny and ships to
+    executors in the UDF closure — the 'broadcast small side' of §3.2.
+    """
+    verts = {
+        pid: [lp.vertices for lp in poly.loops] for pid, poly in polygons.items()
+    }
+    origins_inside = {
+        pid: [lp.origin_inside for lp in poly.loops] for pid, poly in polygons.items()
+    }
+
+    @pandas_udf(BooleanType())
+    def pip_contains(pid: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+        from ..kernel import predicates
+
+        lat_r = np.radians(lat.to_numpy(np.float64))
+        lng_r = np.radians(lng.to_numpy(np.float64))
+        x, y, z = s2.latlng_to_xyz(lat_r, lng_r)
+        pts = np.stack([x, y, z], axis=1)
+        out = np.zeros(len(pts), dtype=bool)
+        for p in pd.unique(pid):
+            mask = (pid == p).to_numpy()
+            sub = pts[mask]
+            inside = np.zeros(len(sub), dtype=bool)
+            for loop_v, oi in zip(verts[p], origins_inside[p]):
+                crossings = predicates.count_crossings(rg.Loop.ORIGIN, sub, loop_v)
+                inside ^= np.where((crossings & 1) == 1, not oi, oi)
+            out[mask] = inside
+        return pd.Series(out)
+
+    return pip_contains
+
+
+def pip_join(
+    spark,
+    points: DataFrame,
+    polygons: dict,
+    point_id: str = "id",
+    lat: str = "lat",
+    lng: str = "lng",
+    max_cells: int = 8,
+) -> DataFrame:
+    """(point_id, polygon_id) for every point contained in each polygon."""
+    cov_df = F.broadcast(
+        spark.createDataFrame(
+            covering_rows(polygons, max_cells=max_cells),
+            "polygon_id string, cell_id long, range_min_b long, range_max_b long, is_interior boolean",
+        )
+    )
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(lat).alias("lat"),
+        F.col(lng).alias("lng"),
+        cc.biased(udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30)).alias("leaf_b"),
+    )
+    cand = pts.join(
+        cov_df,
+        (F.col("leaf_b") >= F.col("range_min_b")) & (F.col("leaf_b") <= F.col("range_max_b")),
+    )
+    pip = make_pip_contains_udf(polygons)
+    hits = cand.where(
+        F.col("is_interior") | pip(F.col("polygon_id"), F.col("lat"), F.col("lng"))
+    )
+    return hits.select("point_id", "polygon_id")

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+side, compute dot products JVM-side via ``aggregate(zip_with(...))`` —
+sequential summation order, so a SQL oracle summing in index order matches
+bit-for-bit — and take top-k per query with a window.
+
+The scale path is hyperplane-LSH bucketing: deterministic integer-derived
+hyperplanes, sign-bit bucket per plane, equi-join on bucket. At 100 TB the
+bucket join replaces the cross join entirely; brute force remains the
+per-bucket refiner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a, b) -> Column:
+    """Sequential-order dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm2(a) -> Column:
+    return dot(a, a)
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / F.sqrt(norm2(a) * norm2(b))
+
+
+def cosine_topk_bruteforce(
+    index: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, sim) exact top-k by cosine.
+
+    Queries are broadcast: the join is a broadcast nested loop over index
+    partitions (no index shuffle); only the q x n candidate rows shuffle
+    for the per-query window. Ties broken by neighbor id for determinism.
+    """
+    q = F.broadcast(
+        queries.select(_c(id_col).alias("query_id"), _c(vec_col).alias("qv"))
+    )
+    x = index.select(_c(id_col).alias("neighbor_id"), _c(vec_col).alias("xv"))
+    scored = q.join(x, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine("qv", "xv").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def hyperplane_weight(p: int, d: int) -> float:
+    """Deterministic rational hyperplane component in [-1, 1]."""
+    return ((p * 37 + d * 11) % 21 - 10) / 10.0
+
+
+def lsh_bucket(vec, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-bit bucket id over ``n_planes`` deterministic hyperplanes."""
+    def _proj_lambda(p):
+        def fn(acc, d):
+            return acc + F.element_at(_c(vec), (d + 1).cast("int")).cast(
+                "double"
+            ) * ((d * 11 + F.lit(p * 37)) % 21 - 10) / 10.0
+
+        return fn
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        d_idx = F.sequence(F.lit(0), F.lit(dim - 1))
+        proj = F.aggregate(d_idx, F.lit(0.0), _proj_lambda(p))
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_neighbors(
+    index: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    """(a, b, sim) for pairs sharing an LSH bucket — the ANN scale path."""
+    b = index.select(
+        _c(id_col).alias("id"),
+        _c(vec_col).alias("v"),
+        lsh_bucket(vec_col, n_planes, dim).alias("bucket"),
+    )
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            cosine(F.col("l.v"), F.col("r.v")).alias("sim"),
+        )
+    )
+    return pairs

@@ -1,0 +1,53 @@
+"""Raster-tile operators: fixed-level tiling of points + tile<->vector joins.
+
+A "tile" is a cell at a fixed level (the raster grid); tiling a point table
+is one Arrow-batch kernel + pure-Column parent bit math. Tile<->vector
+joins are F1 range joins at the tile level: the vector side's covering
+cells get their tile-range via parent/range algebra, so the join is an
+equi-join on the tile id (shuffle on tile key only) plus a residual range
+check for coarse covering cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import columns as cc
+from ..functions import udfs
+
+
+def tile_points(
+    df: DataFrame, lat: str = "lat", lng: str = "lng", level: int = 12
+) -> DataFrame:
+    """Adds ``tile`` (cell id at ``level``) and ``leaf`` columns."""
+    leaf = udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30)
+    return df.withColumn("leaf", leaf).withColumn("tile", cc.parent("leaf", level))
+
+
+def tile_counts(
+    df: DataFrame, lat: str = "lat", lng: str = "lng", level: int = 12, extra_keys=()
+) -> DataFrame:
+    """Per-tile row counts (+ optional distinct keys): the density rollup
+    primitive (E4). One shuffle with map-side combine."""
+    tiled = tile_points(df, lat, lng, level)
+    aggs = [F.count("*").alias("n")]
+    for key in extra_keys:
+        aggs.append(F.approx_count_distinct(key).alias(f"approx_{key}"))
+    return tiled.groupBy("tile").agg(*aggs)
+
+
+def density_rollup(tiled: DataFrame, levels: list[int], weight_col=None) -> DataFrame:
+    """S2DensityTree-style multi-level rollup (S2DensityTree.java:502-560):
+    per-level cell weights from one pass per level over the leaf column.
+    Output: (level, cell_id, weight) — the engine's skew/metrics table."""
+    out = None
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    for lvl in levels:
+        cur = (
+            tiled.select(cc.parent("leaf", lvl).alias("cell_id"), w.alias("w"))
+            .groupBy("cell_id")
+            .agg(F.sum("w").alias("weight"))
+            .withColumn("level", F.lit(lvl))
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out.select("level", "cell_id", "weight")

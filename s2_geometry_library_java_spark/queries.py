@@ -1,0 +1,776 @@
+"""The engine's query registry: every operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, a DuckDB
+oracle string computing the identical result — the driver's correctness
+gate (see __spark_entry__.py).
+
+Design rule: every output column is either an integer/string computed by
+integer-exact arithmetic in both engines, or an FP value used only through
+order/threshold decisions whose flip probability is ~measure-zero on the
+synthetic data. Aggregated money is integer cents; all aliases match the
+oracle exactly (the driver hashes by column name).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from . import oracle
+from .functions import columns as cc
+from .functions import udfs
+from .kernel import cellid as s2
+from .kernel import coverer as cov
+from .kernel import region as rg
+from .operators import dedup, knn, pip, similarity, textstats, tiling
+from .sources import docs as docsrc
+from .sources import geo, tables
+
+# ---------------------------------------------------------------------------
+# Fixed query geometry (deterministic, defined once; convex CCW quads so the
+# SQL oracle can verify containment with the all-edges-sign test).
+# ---------------------------------------------------------------------------
+
+PIP_QUADS = {
+    "p0": (10.0, 20.0, 4.0),
+    "p1": (45.0, -100.0, 6.0),
+    "p2": (-30.0, 140.0, 5.0),
+    "p3": (5.0, 178.0, 4.0),  # dateline-crossing
+    "p4": (-60.0, -45.0, 6.0),
+    "p5": (70.0, 60.0, 5.0),
+}
+
+CAP_CENTER = (30.0, 40.0)
+CAP_RADIUS_DEG = 25.0
+RECT_DEG = (10.0, 50.0, 150.0, -160.0)  # lat_lo, lat_hi, lng_lo, lng_hi (wraps)
+
+
+def _quad_polygon(clat, clng, h) -> rg.Polygon:
+    return rg.Polygon(
+        [
+            rg.Loop.from_latlng_degrees(
+                [
+                    (clat - h, clng - h),
+                    (clat - h, clng + h),
+                    (clat + h, clng + h),
+                    (clat + h, clng - h),
+                ]
+            )
+        ]
+    )
+
+
+def pip_polygons() -> dict[str, rg.Polygon]:
+    return {pid: _quad_polygon(*spec) for pid, spec in PIP_QUADS.items()}
+
+
+def _quad_edges_sql_values() -> str:
+    """All polygon edges as (pid, ax..bz) VALUES with full-precision xyz."""
+    rows = []
+    for pid, poly in pip_polygons().items():
+        v = poly.loops[0].vertices
+        for k in range(len(v)):
+            a = v[k]
+            b = v[(k + 1) % len(v)]
+            rows.append(
+                f"('{pid}',{a[0]!r},{a[1]!r},{a[2]!r},{b[0]!r},{b[1]!r},{b[2]!r})"
+            )
+    return ",".join(rows)
+
+
+def _pts_sql(table: str, key: str) -> str:
+    """DuckDB subquery: integer keys -> (k, face, i, j) per sources/geo.py."""
+    return (
+        f"SELECT {key} AS k, {geo.face_sql(key)} AS face, "
+        f"{geo.i_sql(key)} AS i, {geo.j_sql(key)} AS j FROM {table}"
+    )
+
+
+def _latlng_sql(table: str, key: str) -> str:
+    return (
+        f"SELECT {key} AS k, {geo.lat_sql(key)} AS lat, {geo.lng_sql(key)} AS lng "
+        f"FROM {table}"
+    )
+
+
+_XYZ_SQL = (
+    "cos(radians(lat))*cos(radians(lng)) AS x, "
+    "cos(radians(lat))*sin(radians(lng)) AS y, "
+    "sin(radians(lat)) AS z"
+)
+
+
+# ---------------------------------------------------------------------------
+# Small Spark helpers
+# ---------------------------------------------------------------------------
+
+def _points_from_keys(df: DataFrame, key: str) -> DataFrame:
+    k = F.col(key)
+    return df.select(
+        k.alias("k"),
+        geo.face_col(key).alias("face"),
+        geo.i_col(key).alias("i"),
+        geo.j_col(key).alias("j"),
+        geo.lat_col(key).alias("lat"),
+        geo.lng_col(key).alias("lng"),
+    )
+
+
+_CAP = rg.Cap.from_latlng_deg(*CAP_CENTER, CAP_RADIUS_DEG)
+_RECT = rg.LatLngRect.from_degrees(*RECT_DEG)
+
+
+@pandas_udf(BooleanType())
+def _cap_contains_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    x, y, z = s2.latlng_to_xyz(
+        np.radians(lat.to_numpy(np.float64)), np.radians(lng.to_numpy(np.float64))
+    )
+    return pd.Series(_CAP.contains_points(x, y, z))
+
+
+@pandas_udf(BooleanType())
+def _rect_contains_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    return pd.Series(
+        _RECT.contains_latlng(
+            np.radians(lat.to_numpy(np.float64)), np.radians(lng.to_numpy(np.float64))
+        )
+    )
+
+
+# ===========================================================================
+# S2 kernel queries (integer-exact oracles via the SQL Hilbert encoder)
+# ===========================================================================
+
+def q_cellid_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: leaf cell ids from integer-derived (face,i,j) over orders."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return pts.select(
+        "k", udfs.cell_id_from_face_ij("face", "i", "j").alias("cell_id")
+    )
+
+
+def q_cellid_encode_oracle() -> str:
+    return oracle.hilbert_encode_sql(_pts_sql("orders", "o_orderkey"), ["k"])
+
+
+def q_cellid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A8 inverse: encode -> decode must reproduce (face,i,j) exactly."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    enc = pts.select("k", udfs.cell_id_from_face_ij("face", "i", "j").alias("cell_id"))
+    dec = enc.withColumn("fij", udfs.cell_id_to_face_ij(F.col("cell_id")))
+    return dec.select(
+        "k",
+        F.col("fij.face").alias("face"),
+        F.col("fij.i").alias("i"),
+        F.col("fij.j").alias("j"),
+    )
+
+
+def q_cellid_roundtrip_oracle() -> str:
+    return f"SELECT k, face, i, j FROM ({_pts_sql('orders', 'o_orderkey')})"
+
+
+def q_cell_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-A12 as pure Column bit math: level/parent/range/token at mixed
+    levels — stays entirely in WholeStageCodegen (no Python)."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    lvl = (F.col("k") % 26 + 3).cast("int")
+    enc = pts.select(
+        "k",
+        cc.parent(udfs.cell_id_from_face_ij("face", "i", "j"), lvl).alias("cell_id"),
+    )
+    return enc.select(
+        "k",
+        "cell_id",
+        cc.level("cell_id").alias("level"),
+        cc.parent("cell_id", F.greatest(cc.level("cell_id") - 2, F.lit(0))).alias("parent2"),
+        cc.range_min("cell_id").alias("rmin"),
+        cc.range_max("cell_id").alias("rmax"),
+        cc.token("cell_id").alias("token"),
+    )
+
+
+def q_cell_algebra_oracle() -> str:
+    enc = oracle.hilbert_encode_sql(_pts_sql("orders", "o_orderkey"), ["k"])
+    leveled = (
+        f"SELECT k, {oracle.parent_sql('cell_id', '(k % 26 + 3)')} AS cell_id "
+        f"FROM ({enc})"
+    )
+    lvl = oracle.level_sql("cell_id")
+    return (
+        f"SELECT k, cell_id, {lvl} AS level, "
+        f"{oracle.parent_sql('cell_id', f'greatest({lvl} - 2, 0)')} AS parent2, "
+        f"{oracle.range_min_sql('cell_id')} AS rmin, "
+        f"{oracle.range_max_sql('cell_id')} AS rmax, "
+        f"{oracle.token_sql('cell_id')} AS token "
+        f"FROM ({leveled})"
+    )
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/tiling: level-12 tile rollup over integer-derived points."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    enc = pts.select(udfs.cell_id_from_face_ij("face", "i", "j").alias("leaf"))
+    return (
+        enc.select(cc.parent("leaf", 12).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_tile_counts_oracle() -> str:
+    enc = oracle.hilbert_encode_sql(_pts_sql("orders", "o_orderkey"), ["k"])
+    return (
+        f"SELECT {oracle.parent_sql('cell_id', '12')} AS tile, COUNT(*) AS n "
+        f"FROM ({enc}) GROUP BY 1"
+    )
+
+
+def q_face_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/xyzToFace over trig-derived lat/lng; grouped so 1-ulp libm
+    differences cannot flip the output."""
+    ev = tables.load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        geo.lat_col("event_id").alias("lat"), geo.lng_col("event_id").alias("lng")
+    )
+    return (
+        pts.select(udfs.face_from_latlng_deg("lat", "lng").alias("face"))
+        .groupBy("face")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_face_counts_oracle() -> str:
+    pts = _latlng_sql("events", "event_id")
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({pts})),
+    f AS (SELECT k, CASE
+        WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z)
+            THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+            ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+        ELSE (CASE WHEN abs(y) > abs(z)
+            THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+            ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+      END AS face FROM p)
+    SELECT CAST(face AS INTEGER) AS face, COUNT(*) AS n FROM f GROUP BY 1
+    """
+
+
+def q_cap_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: spherical-cap point containment over customers."""
+    cust = tables.load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("k"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    return pts.select("k", _cap_contains_udf("lat", "lng").alias("inside"))
+
+
+def q_cap_contains_oracle() -> str:
+    cx, cy, cz = _CAP.center
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('customer', 'c_custkey')}))
+    SELECT k, (least(4.0, (x-({cx!r}))*(x-({cx!r})) + (y-({cy!r}))*(y-({cy!r}))
+        + (z-({cz!r}))*(z-({cz!r}))) <= {_CAP.radius2!r}) AS inside FROM p
+    """
+
+
+def q_rect_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: dateline-wrapping lat/lng-rect containment over parts."""
+    part = tables.load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("k"),
+        geo.lat_col("p_partkey").alias("lat"),
+        geo.lng_col("p_partkey").alias("lng"),
+    )
+    return pts.select("k", _rect_contains_udf("lat", "lng").alias("inside"))
+
+
+def q_rect_contains_oracle() -> str:
+    lat_lo, lat_hi, lng_lo, lng_hi = RECT_DEG
+    return f"""
+    SELECT k, (lat >= {lat_lo!r} AND lat <= {lat_hi!r}
+        AND (lng >= {lng_lo!r} OR lng <= {lng_hi!r})) AS inside
+    FROM ({_latlng_sql('part', 'p_partkey')})
+    """
+
+
+def q_pip_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: the covering-broadcast range-join PIP against 6 convex quads."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return pip.pip_join(spark, pts, pip_polygons(), point_id="k").withColumnsRenamed(
+        {"point_id": "k"}
+    )
+
+
+def q_pip_contains_oracle() -> str:
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    e(pid, ax, ay, az, bx, by, bz) AS (VALUES {_quad_edges_sql_values()}),
+    d AS (SELECT p.k, e.pid,
+        (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+        FROM p CROSS JOIN e)
+    SELECT k, pid AS polygon_id FROM d GROUP BY k, pid HAVING bool_and(det > 0)
+    """
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 baseline: exact kNN, supplier queries vs customer index."""
+    cust = tables.load_table(spark, sf_dir, "customer")
+    supp = tables.load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") < 20)
+    index = cust.select(
+        F.col("c_custkey").alias("id"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    queries = supp.select(
+        F.col("s_suppkey").alias("query_id"),
+        (geo.lat_col("s_suppkey") / 2).alias("lat"),
+        (geo.lng_col("s_suppkey") / 2).alias("lng"),
+    )
+    return knn.knn_bruteforce(index, queries, k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def _knn_oracle() -> str:
+    return f"""
+    WITH ip AS (SELECT k AS id, {_XYZ_SQL}
+                FROM ({_latlng_sql('customer', 'c_custkey')})),
+    qp0 AS (SELECT s_suppkey AS query_id,
+            {geo.lat_sql('s_suppkey')} / 2 AS lat, {geo.lng_sql('s_suppkey')} / 2 AS lng
+            FROM supplier WHERE s_suppkey < 20),
+    qp AS (SELECT query_id, {_XYZ_SQL} FROM qp0),
+    scored AS (SELECT qp.query_id, ip.id AS neighbor_id,
+        least(4.0, (qp.x-ip.x)*(qp.x-ip.x) + (qp.y-ip.y)*(qp.y-ip.y)
+            + (qp.z-ip.z)*(qp.z-ip.z)) AS chord2
+        FROM qp CROSS JOIN ip),
+    ranked AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY chord2, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    """
+
+
+def q_knn_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 scale path: cell-ring join kNN; must equal the brute oracle."""
+    cust = tables.load_table(spark, sf_dir, "customer")
+    supp = tables.load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") < 20)
+    index = cust.select(
+        F.col("c_custkey").alias("id"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    queries = supp.select(
+        F.col("s_suppkey").alias("query_id"),
+        (geo.lat_col("s_suppkey") / 2).alias("lat"),
+        (geo.lng_col("s_suppkey") / 2).alias("lng"),
+    )
+    return knn.knn_cell_join(index, queries, k=5, level=6).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: coverings of the 6 query polygons (rows-only check: no SQL
+    oracle can compute a covering; bit-level checks live in tests/)."""
+    rows = []
+    coverer = cov.RegionCoverer(max_cells=8)
+    for pid, poly in pip_polygons().items():
+        for seq, tok in enumerate(coverer.get_covering_tokens(poly)):
+            rows.append((pid, seq, tok))
+    return spark.createDataFrame(rows, "polygon_id string, seq int, token string")
+
+
+# ===========================================================================
+# Training-data pipeline queries (documents / embeddings)
+# ===========================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text")
+
+
+def q_dedup_exact_oracle() -> str:
+    return """
+    WITH h AS (SELECT doc_id AS id, md5(lower(text)) AS content_md5 FROM documents),
+    g AS (SELECT content_md5, COUNT(*) AS group_size, MIN(id) AS canonical_id
+          FROM h GROUP BY 1)
+    SELECT h.id, h.content_md5, g.group_size, g.canonical_id FROM h JOIN g USING (content_md5)
+    """
+
+
+_SHINGLE_SQL = """
+    words AS (SELECT doc_id AS id,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM documents),
+    sh AS (SELECT id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM words)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8)
+
+
+def q_minhash_signatures_oracle() -> str:
+    mins = ", ".join(
+        f"MIN({oracle.md5_hash32_sql('sh', s)}) AS mh_{s}" for s in range(8)
+    )
+    return f"WITH {_SHINGLE_SQL} SELECT id, {mins} FROM sh GROUP BY id"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return dedup.simhash32(d, "doc_id", "text")
+
+
+def q_simhash_oracle() -> str:
+    h = oracle.md5_hash32_sql("w", 0)
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+    WITH words AS (SELECT doc_id AS id, unnest(
+            string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +')
+        ) AS w FROM documents),
+    hashed AS (SELECT id, {h} AS hv FROM words WHERE w <> ''),
+    sums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
+    SELECT id, {sim} AS simhash FROM sums
+    """
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents")
+    return textstats.doc_stats(d, "doc_id", "text")
+
+
+def q_doc_stats_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    sw = f"len([x for x in w if list_contains([{stop_list}], x)])"
+    ws = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    puncts = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+    return f"""
+    WITH base AS (SELECT doc_id AS id, text,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM documents)
+    SELECT id,
+      {ws} AS ws_tokens,
+      len(regexp_extract_all(lower(text), '{textstats.TOKEN_REGEX}')) AS re_tokens,
+      {sw} AS stopwords,
+      {puncts} AS puncts,
+      CASE WHEN len(w) = 0 THEN 'und'
+           WHEN 20 * {sw} >= len(w) THEN 'en' ELSE 'unk' END AS lang_guess,
+      least(length(text) // 20, 40)
+        + greatest(least(40 - (100 * {puncts}) // greatest(length(text), 1), 40), 0)
+        + least((200 * {sw}) // greatest({ws}, 1), 20) AS quality,
+      CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 2147483647) END AS fingerprint
+    FROM base
+    """
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+
+
+def q_ann_topk_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    qdot = dot.format(a="q.embedding", b="x.embedding")
+    qn = dot.format(a="q.embedding", b="q.embedding")
+    xn = dot.format(a="x.embedding", b="x.embedding")
+    return f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    scored AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        {qdot} / sqrt({qn} * {xn}) AS sim
+        FROM q CROSS JOIN embeddings x WHERE q.vec_id <> x.vec_id),
+    ranked AS (SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored)
+    SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    """
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id"), similarity.lsh_bucket("embedding", 8, 64).alias("bucket")
+    )
+
+
+def q_lsh_buckets_oracle() -> str:
+    planes = []
+    for p in range(8):
+        proj = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(0, 64), "
+            f"d -> CAST(embedding[CAST(d + 1 AS INTEGER)] AS DOUBLE)"
+            f" * ((d * 11 + {p * 37}) % 21 - 10) / 10.0)), (x, y) -> x + y)"
+        )
+        planes.append(
+            f"(CASE WHEN {proj} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return f"SELECT vec_id, {' + '.join(planes)} AS bucket FROM embeddings"
+
+
+# ===========================================================================
+# Interleaved-document queries (the subject table)
+# ===========================================================================
+
+_SPANS_SQL = """
+    docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                    CAST(4 + doc_id % 5 AS INTEGER) AS n_spans,
+                    doc_id AS doc_key
+             FROM documents),
+    spans AS (SELECT doc_id, doc_key,
+        CASE WHEN i % 3 = 2 THEN 'image' ELSE 'text' END AS kind,
+        CASE WHEN i % 3 = 2 THEN '' ELSE substr(text, CAST(i*40 + 1 AS INTEGER), 40) END
+            AS span_text,
+        CASE WHEN i % 3 = 2 THEN 'm' || doc_id || '_' || CAST(i AS VARCHAR) ELSE '' END
+            AS media_ref,
+        CAST(i AS INTEGER) AS "offset"
+        FROM docs, range(0, 100) r(i) WHERE i < n_spans)
+"""
+
+
+def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row invariant: span-sequence fingerprint per doc after an
+    explode -> shuffle -> reassemble round trip."""
+    d = docsrc.with_spans(tables.load_table(spark, sf_dir, "documents"))
+    spans = docsrc.exploded_spans(d).repartition(16, "doc_id")  # force a shuffle
+    canon = F.concat_ws(
+        "|", F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("offset"), canon.alias("s")))),
+            lambda x: x["s"],
+        ),
+        "#",
+    )
+    return spans.groupBy("doc_id").agg(
+        F.md5(seq).alias("span_seq_md5"), F.count("*").alias("n_spans")
+    )
+
+
+def q_span_invariant_oracle() -> str:
+    return f"""
+    WITH {_SPANS_SQL}
+    SELECT doc_id,
+      md5(string_agg(CAST("offset" AS VARCHAR) || '|' || kind || '|' || span_text
+          || '|' || media_ref, '#' ORDER BY "offset")) AS span_seq_md5,
+      COUNT(*) AS n_spans
+    FROM spans GROUP BY doc_id
+    """
+
+
+def q_media_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship shape: geotagged media spans -> level-12 tiles."""
+    d = docsrc.with_spans(tables.load_table(spark, sf_dir, "documents"))
+    spans = docsrc.geotagged_media_spans(d)
+    tiled = tiling.tile_points(spans, level=12)
+    return (
+        tiled.groupBy("tile")
+        .agg(F.count("*").alias("n_spans"), F.count_distinct("doc_id").alias("n_docs"))
+    )
+
+
+def q_media_tiles_oracle() -> str:
+    geo_key = 'doc_key * 31 + "offset"'
+    pts = f"""
+    SELECT doc_id, {geo.lat_sql(geo_key)} AS lat, {geo.lng_sql(geo_key)} AS lng
+    FROM spans WHERE kind = 'image'
+    """
+    # lat/lng -> (face,i,j) in SQL trig, then the Hilbert encoder
+    fij = f"""
+    WITH {_SPANS_SQL},
+    ll AS ({pts}),
+    p AS (SELECT doc_id, {_XYZ_SQL} FROM ll),
+    fc AS (SELECT doc_id, x, y, z, CASE
+        WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z)
+            THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+            ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+        ELSE (CASE WHEN abs(y) > abs(z)
+            THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+            ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+      END AS face FROM p),
+    uv AS (SELECT doc_id, face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        FROM fc),
+    st AS (SELECT doc_id, face,
+        CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3*u) ELSE 1 - 0.5 * sqrt(1 - 3*u) END AS s,
+        CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3*v) ELSE 1 - 0.5 * sqrt(1 - 3*v) END AS t
+        FROM uv)
+    SELECT doc_id AS k, CAST(face AS INTEGER) AS face,
+      CAST(greatest(0, least(1073741823, floor((1073741824 * s - 0.5) + 0.5))) AS BIGINT) AS i,
+      CAST(greatest(0, least(1073741823, floor((1073741824 * t - 0.5) + 0.5))) AS BIGINT) AS j
+    FROM st
+    """
+    enc = oracle.hilbert_encode_sql(fij, ["k"])
+    return f"""
+    SELECT {oracle.parent_sql('cell_id', '12')} AS tile, COUNT(*) AS n_spans,
+           COUNT(DISTINCT k) AS n_docs
+    FROM ({enc}) GROUP BY 1
+    """
+
+
+# ===========================================================================
+# Standard relational surface (§2.I)
+# ===========================================================================
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_price_cents"
+            ),
+            F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias(
+                "sum_disc_pct"
+            ),
+        )
+    )
+
+
+def q_pricing_summary_oracle() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct
+    FROM lineitem GROUP BY 1, 2
+    """
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load_table(spark, sf_dir, "lineitem")
+    o = tables.load_table(spark, sf_dir, "orders")
+    c = tables.load_table(spark, sf_dir, "customer")
+    n = tables.load_table(spark, sf_dir, "nation")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_cents"), F.count_distinct("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_nation_revenue_oracle() -> str:
+    return """
+    SELECT n_name,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """
+
+
+def q_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("value_cents"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+def q_user_events_oracle() -> str:
+    return """
+    SELECT user_id, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+      MAX(event_id) AS last_event
+    FROM events GROUP BY 1, 2
+    """
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+def all_queries():
+    return {
+        "cellid_encode": q_cellid_encode,
+        "cellid_roundtrip": q_cellid_roundtrip,
+        "cell_algebra": q_cell_algebra,
+        "tile_counts": q_tile_counts,
+        "face_counts": q_face_counts,
+        "cap_contains": q_cap_contains,
+        "rect_contains": q_rect_contains,
+        "pip_contains": q_pip_contains,
+        "knn_brute": q_knn_brute,
+        "knn_cell": q_knn_cell,
+        "covering_tokens": q_covering_tokens,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "doc_stats": q_doc_stats,
+        "ann_topk": q_ann_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "span_invariant": q_span_invariant,
+        "media_tiles": q_media_tiles,
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
+        "user_events": q_user_events,
+    }
+
+
+def all_oracles():
+    return {
+        "cellid_encode": q_cellid_encode_oracle(),
+        "cellid_roundtrip": q_cellid_roundtrip_oracle(),
+        "cell_algebra": q_cell_algebra_oracle(),
+        "tile_counts": q_tile_counts_oracle(),
+        "face_counts": q_face_counts_oracle(),
+        "cap_contains": q_cap_contains_oracle(),
+        "rect_contains": q_rect_contains_oracle(),
+        "pip_contains": q_pip_contains_oracle(),
+        "knn_brute": _knn_oracle(),
+        "knn_cell": _knn_oracle(),
+        # covering_tokens: rows-only (a covering is not SQL-expressible)
+        "dedup_exact": q_dedup_exact_oracle(),
+        "minhash_signatures": q_minhash_signatures_oracle(),
+        "simhash": q_simhash_oracle(),
+        "doc_stats": q_doc_stats_oracle(),
+        "ann_topk": q_ann_topk_oracle(),
+        "lsh_buckets": q_lsh_buckets_oracle(),
+        "span_invariant": q_span_invariant_oracle(),
+        "media_tiles": q_media_tiles_oracle(),
+        "pricing_summary": q_pricing_summary_oracle(),
+        "nation_revenue": q_nation_revenue_oracle(),
+        "user_events": q_user_events_oracle(),
+    }
