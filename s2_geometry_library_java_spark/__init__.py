@@ -1,0 +1,5 @@
+"""PySpark-native S2 spatial-join + tiling engine."""
+
+from ._threads import limit_worker_threads
+
+limit_worker_threads()

@@ -278,3 +278,99 @@ class RegionCoverer:
                 candidate.children = []
                 result.append(candidate.cell.id)
         return result
+
+
+# ---------------------------------------------------------------------------
+# Range tiling + union expansion (S2CellId.maximumTile :1156-1197,
+# S2CellUnion.initFromBeginEnd :228-257, expand :700-745)
+# ---------------------------------------------------------------------------
+
+def maximum_tile(cid: int, limit: int) -> int:
+    """Largest cell with the same range_min whose range_max < limit's
+    range_min; 'limit' if none (greedy range tiling primitive)."""
+    u = lambda x: x & 0xFFFFFFFFFFFFFFFF  # noqa: E731
+
+    def rmin(x):
+        return x - (_lsb(x) - 1)
+
+    def rmax(x):
+        return u(x + (_lsb(x) - 1))
+
+    def child0(x):
+        l = _lsb(x)
+        return u(x - l + (l >> 2))
+
+    cid_start = rmin(cid)
+    if cid_start >= rmin(limit):
+        return limit
+    if rmax(cid) >= limit:
+        while rmax(cid) >= limit:
+            cid = child0(cid)
+        return cid
+    while not _is_face(cid):
+        p = _parent_once(cid)
+        if rmin(p) < cid_start or rmax(p) >= limit:
+            break
+        cid = p
+    return cid
+
+
+def cells_from_leaf_range(begin: int, end: int) -> list[int]:
+    """Minimal sorted cell set covering leaf range [begin, end)
+    (initFromBeginEnd) — the Hilbert-range -> cells primitive used for
+    shard/cluster construction."""
+    out: list[int] = []
+    next_begin = begin
+    while next_begin < end:
+        cid = next_begin
+        while not _is_face(cid):
+            p = _parent_once(cid)
+            la = _lsb(p) - 1
+            if p - la != next_begin or p + la >= end:
+                break
+            cid = p
+        out.append(cid)
+        # rangeMax().next(): leaves are odd and stride 2 (S2CellUnion:253)
+        next_begin = (cid + (_lsb(cid) - 1)) + 2
+    return out
+
+
+def union_expand_level(ids: list[int], expand_level: int) -> list[int]:
+    """Buffer a normalized union by its neighbors at expand_level
+    (S2CellUnion.expand(int))."""
+    ids = union_normalize(ids)
+    level_lsb = 1 << (2 * (ci.MAX_LEVEL - expand_level))
+    out: list[int] = []
+    i = len(ids) - 1
+    while i >= 0:
+        cid = ids[i]
+        if _lsb(cid) < level_lsb:
+            cid = int(ci.parent(np.uint64(cid), expand_level))
+            while i > 0 and _contains(cid, ids[i - 1]):
+                i -= 1
+        out.append(cid)
+        lvl = int(ci.level(np.uint64(cid)))
+        # neighbors at expand_level (>= cell level after the parent step)
+        nb_level = max(expand_level, lvl)
+        if nb_level == lvl:
+            nbrs = ci.get_all_neighbors_same_level(np.uint64(cid))[0]
+            out.extend(int(n) for n in nbrs)
+        else:  # pragma: no cover - parent step guarantees nb_level == lvl
+            raise AssertionError("expand invariant violated")
+        i -= 1
+    return union_normalize(out)
+
+
+def union_expand_radius(ids: list[int], min_radius_rad: float, max_level_diff: int = 8) -> list[int]:
+    """Buffer a union so all points within min_radius are covered
+    (S2CellUnion.expand(S1Angle,int) — the tolerant-join pre-filter)."""
+    ids = union_normalize(ids)
+    if not ids:
+        return ids
+    min_level = min(int(ci.level(np.uint64(c))) for c in ids)
+    radius_level = sphere.metric_max_level(sphere.MIN_WIDTH_DERIV, min_radius_rad)
+    if radius_level == 0 and min_radius_rad > sphere.metric_value(
+        sphere.MIN_WIDTH_DERIV, 0
+    ):
+        ids = union_expand_level(ids, 0)
+    return union_expand_level(ids, min(min_level + max_level_diff, radius_level))

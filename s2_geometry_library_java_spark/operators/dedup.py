@@ -31,17 +31,30 @@ def normalized_words(text) -> Column:
     return F.split(F.trim(F.regexp_replace(F.lower(_c(text)), "[^a-z ]", " ")), " +")
 
 
-def shingles(text, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string>."""
-    w = normalized_words(text)
+def shingles_from_words(w, n: int = 3) -> Column:
+    """Word n-gram shingles from a materialized words-array COLUMN.
+
+    ``w`` must be a column reference (not an inline expression): Catalyst
+    does not share subexpressions across lambda boundaries, so an inline
+    split/regexp would be re-evaluated per element_at — measured 10x+
+    slow-down at sf0.1.
+    """
+    w = _c(w)
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
-    parts = [F.element_at(w, i) for i in range(1, n + 1)]
 
     def gram(i):
         return F.concat_ws(" ", *[F.element_at(w, i + k + 1) for k in range(n)])
 
     return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) rows: words materialized once, then shingled and exploded."""
+    return (
+        df.select(_c(id_col).alias("id"), normalized_words(text_col).alias("w"))
+        .select("id", F.explode(shingles_from_words("w", n)).alias("sh"))
     )
 
 
@@ -69,9 +82,7 @@ def minhash_signatures(
     Explode-then-groupBy(id) — a single shuffle keyed by doc id, partial
     min() combine on the map side.
     """
-    ex = df.select(
-        _c(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
-    )
+    ex = exploded_shingles(df, id_col, text_col, shingle_n)
     aggs = [F.min(hash32("sh", s)).alias(f"mh_{s}") for s in range(n_hashes)]
     return ex.groupBy("id").agg(*aggs)
 
@@ -155,12 +166,7 @@ def ngram_jaccard_pairs(
     the DuckDB oracle applies the identical rule). The threshold compare is
     exact integer math: 100*|A∩B| >= pct*(|A|+|B|-|A∩B|).
     """
-    ex = (
-        df.select(
-            _c(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
-        )
-        .distinct()
-    )
+    ex = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
     freq = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ex = ex.join(F.broadcast(freq.where(F.col("df") <= max_doc_freq)), "sh")
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))

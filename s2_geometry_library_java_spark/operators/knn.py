@@ -76,11 +76,26 @@ def knn_bruteforce(
     )
 
 
+def choose_level(n_index: int, k: int) -> int:
+    """Largest level whose 3x3 ring is expected to hold >= max(32, 8k)
+    points under a uniform prior — the DataFrame analogue of the
+    reference's per-query seed-level heuristic (S2ClosestPointQuery
+    initQueue). Density rollups (tiling.density_rollup) refine this per
+    region when the data is skewed."""
+    import math
+
+    target = max(32, 8 * k)
+    ratio = 1.5 * n_index / target
+    if ratio <= 1:
+        return 0
+    return max(0, min(30, int(math.log(ratio, 4))))
+
+
 def knn_cell_join(
     index: DataFrame,
     queries: DataFrame,
     k: int,
-    level: int,
+    level: int | None = None,
     index_id: str = "id",
     query_id: str = "query_id",
     lat: str = "lat",
@@ -96,6 +111,8 @@ def knn_cell_join(
     guaranteed min chord2 (lower bound above), mirroring the reference's
     shrinking maxDistanceLimit (S2ClosestPointQuery.java:121-136).
     """
+    if level is None:
+        level = choose_level(index.count(), k)
     idx = _with_xyz(index, lat, lng, "i").select(
         F.col(index_id).alias("neighbor_id"), "ix", "iy", "iz",
         udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30).alias("leaf"),
@@ -104,12 +121,18 @@ def knn_cell_join(
         F.col(query_id).alias("query_id"), "qx", "qy", "qz",
         udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30).alias("qleaf"),
     )
+    from pyspark import StorageLevel
+
+    idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+    qs = qs.persist(StorageLevel.MEMORY_AND_DISK)
     results = None
     remaining = qs
     lvl = level
     for round_no in range(max_rounds):
         from ..functions import columns as cc
 
+        if round_no > 0 and remaining.isEmpty():
+            return results
         idx_l = idx.withColumn("cell", cc.parent("leaf", lvl))
         q_cells = remaining.withColumn("qcell", cc.parent("qleaf", lvl))
         probe = q_cells.select(
@@ -147,8 +170,8 @@ def knn_cell_join(
         if lvl == 0:
             break
     # anything still unfinished: exact brute-force remnant (tiny by now)
-    leftover = remaining.select("query_id", "qx", "qy", "qz")
-    if leftover is not None:
+    if not remaining.isEmpty():
+        leftover = remaining.select("query_id", "qx", "qy", "qz")
         x = idx.select("neighbor_id", "ix", "iy", "iz")
         scored = F.broadcast(leftover).crossJoin(x).select(
             "query_id", "neighbor_id", _chord2().alias("chord2")

@@ -1,0 +1,100 @@
+"""Density-driven partitioning: the engine's answer to skewed hot cells.
+
+Reimplements the *intent* of S2DensityTree.getPartitioning
+(S2DensityTree.java:329-349) and S2DensityClusterQuery
+(S2DensityClusterQuery.java:48-94) in DataFrame terms:
+
+1. roll up leaf weights per cell at a chosen level (tiling.density_rollup
+   — the engine's skew/metrics table);
+2. collect the (tiny) per-cell histogram to the driver and walk it in
+   Hilbert order, emitting equal-weight contiguous cell-range boundaries;
+3. repartitionByRange on the biased cell id against those boundaries, so
+   each Spark partition holds one contiguous equal-weight Hilbert range —
+   explicit spatial partitioning with bounded skew;
+4. for cells heavier than a whole target partition ('hot metros'), a salt
+   column spreads the cell across ``ceil(weight/target)`` subpartitions
+   (broadcast-side replication is the join-side dual).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import columns as cc
+from ..kernel import cellid as s2
+
+
+def equal_weight_boundaries(
+    density_rows: list[tuple[int, int]], n_partitions: int
+) -> list[int]:
+    """Greedy equal-weight split of a (cell_id, weight) histogram sorted in
+    Hilbert (biased) order; returns n_partitions-1 biased boundary ids."""
+    if not density_rows:
+        return []
+    rows = sorted(
+        (int(s2.to_biased(np.uint64(c))[0]), int(w)) for c, w in density_rows
+    )
+    total = sum(w for _, w in rows)
+    target = max(1, total // n_partitions)
+    boundaries: list[int] = []
+    acc = 0
+    for cid_b, w in rows:
+        acc += w
+        if acc >= target and len(boundaries) < n_partitions - 1:
+            boundaries.append(cid_b)
+            acc = 0
+    return boundaries
+
+
+def density_histogram(df: DataFrame, leaf_col: str, level: int) -> list[tuple[int, int]]:
+    """(cell_id_at_level, weight) collected to the driver — rows are at most
+    6*4^level, and the level is chosen so this is thousands, not millions."""
+    rows = (
+        df.select(cc.parent(leaf_col, level).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    return [(int(np.uint64(np.int64(r["cell"]))), int(r["w"])) for r in rows]
+
+
+def repartition_by_hilbert_range(
+    df: DataFrame, leaf_col: str, n_partitions: int, histogram_level: int = 8
+) -> DataFrame:
+    """Explicit equal-weight spatial partitioning. At 100 TB this is the
+    table layout step before writing a sorted/bucketed Iceberg table: one
+    pass for the histogram, one shuffle for the layout."""
+    hist = density_histogram(df, leaf_col, histogram_level)
+    boundaries = equal_weight_boundaries(hist, n_partitions)
+    if not boundaries:
+        return df.repartition(n_partitions)
+    b = cc.biased(leaf_col)
+    # partition index = number of boundaries below the biased id; a literal
+    # sum of comparisons stays in codegen and needs no UDF or join.
+    part: Column = sum(
+        (b > F.lit(x)).cast("int") for x in boundaries
+    )  # type: ignore[assignment]
+    return df.repartition(n_partitions, part)
+
+
+def with_hot_cell_salt(
+    df: DataFrame, leaf_col: str, level: int, max_rows_per_cell: int
+) -> DataFrame:
+    """Adds (cell, salt): rows in cells with > max_rows_per_cell rows get a
+    deterministic salt in [0, ceil(n/max)) — the build-side of a salted
+    join replicates instead. Deterministic: salt = pmod(hash64(leaf), n)."""
+    cell = cc.parent(leaf_col, level)
+    counts = df.select(cell.alias("cell")).groupBy("cell").agg(F.count("*").alias("n"))
+    fanout = counts.select(
+        "cell",
+        F.ceil(F.col("n") / max_rows_per_cell).cast("int").alias("n_salts"),
+    )
+    out = df.withColumn("cell", cell).join(F.broadcast(fanout), "cell", "left")
+    return out.withColumn(
+        "salt",
+        F.when(
+            F.col("n_salts") > 1,
+            F.pmod(F.xxhash64(F.col(leaf_col)), F.col("n_salts")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )

@@ -369,7 +369,7 @@ def q_knn_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         (geo.lat_col("s_suppkey") / 2).alias("lat"),
         (geo.lng_col("s_suppkey") / 2).alias("lng"),
     )
-    return knn.knn_cell_join(index, queries, k=5, level=6).select(
+    return knn.knn_cell_join(index, queries, k=5).select(
         "query_id", "rank", "neighbor_id"
     )
 
@@ -743,6 +743,9 @@ def all_queries():
         "lsh_buckets": q_lsh_buckets,
         "span_invariant": q_span_invariant,
         "media_tiles": q_media_tiles,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "union_intersection_membership": q_union_intersection_membership,
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "user_events": q_user_events,
@@ -770,7 +773,185 @@ def all_oracles():
         "lsh_buckets": q_lsh_buckets_oracle(),
         "span_invariant": q_span_invariant_oracle(),
         "media_tiles": q_media_tiles_oracle(),
+        "lsh_pairs": q_lsh_pairs_oracle(),
+        "jaccard_pairs": q_jaccard_pairs_oracle(),
+        "union_intersection_membership": q_union_intersection_membership_oracle(),
         "pricing_summary": q_pricing_summary_oracle(),
         "nation_revenue": q_nation_revenue_oracle(),
         "user_events": q_user_events_oracle(),
     }
+
+
+# ===========================================================================
+# Near-duplicate pair queries (duplicates synthesized: each doc plus a
+# truncated twin, so the pair-finding paths have real positives to find)
+# ===========================================================================
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.greatest(F.length("text") - 60, F.lit(1))).alias(
+            "text"
+        ),
+    )
+    return d.unionByName(twins)
+
+
+_DOCS_DUP_SQL = """
+    docs_dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               substr(text, 1, greatest(length(text) - 60, 1)) AS text
+        FROM documents)
+"""
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over docs + truncated twins."""
+    return dedup.lsh_candidate_pairs(
+        _docs_with_near_dups(spark, sf_dir), "doc_id", "text", n_hashes=8, band_rows=2
+    )
+
+
+def q_lsh_pairs_oracle() -> str:
+    mins = ", ".join(
+        f"MIN({oracle.md5_hash32_sql('sh', s)}) AS mh_{s}" for s in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, CAST({b} AS VARCHAR) || '_' || CAST(mh_{2*b} AS VARCHAR) || '_' || "
+        f"CAST(mh_{2*b+1} AS VARCHAR) AS band FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_DOCS_DUP_SQL},
+    words AS (SELECT doc_id AS id,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM docs_dup),
+    sh AS (SELECT id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM words),
+    sig AS (SELECT id, {mins} FROM sh GROUP BY id),
+    bands AS ({bands})
+    SELECT DISTINCT l.id AS a, r.id AS b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.id < r.id
+    """
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard >= 0.5 pairs (integer-exact threshold compare)."""
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_near_dups(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold_pct=50,
+        max_doc_freq=50,
+    )
+
+
+def q_jaccard_pairs_oracle() -> str:
+    return f"""
+    WITH {_DOCS_DUP_SQL},
+    words AS (SELECT doc_id AS id,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM docs_dup),
+    sh0 AS (SELECT id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+            FROM words),
+    sh AS (SELECT DISTINCT id, sh FROM sh0),
+    freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+    kept AS (SELECT sh.id, sh.sh FROM sh JOIN freq USING (sh) WHERE freq.df <= 50),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY id),
+    pairs AS (SELECT l.id AS a, r.id AS b, COUNT(*) AS common
+              FROM kept l JOIN kept r ON l.sh = r.sh AND l.id < r.id
+              GROUP BY l.id, r.id)
+    SELECT a, b, CAST(common AS BIGINT) AS common,
+           CAST(sa.n_sh + sb.n_sh - common AS BIGINT) AS union_sz
+    FROM pairs
+    JOIN sizes sa ON sa.id = a
+    JOIN sizes sb ON sb.id = b
+    WHERE 100 * common >= 50 * (sa.n_sh + sb.n_sh - common)
+    """
+
+
+def q_union_intersection_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10/C5: points inside the INTERSECTION of two cap coverings, where
+    the intersection is computed by the DataFrame cell-union operator and
+    membership is the broadcast semi-join (containment is a JOIN)."""
+    from .operators import cellunion
+
+    cap_a = rg.Cap.from_latlng_deg(20.0, 30.0, 12.0)
+    cap_b = rg.Cap.from_latlng_deg(24.0, 36.0, 12.0)
+    coverer = cov.RegionCoverer(max_cells=24)
+    ua = spark.createDataFrame(
+        [(int(np.int64(np.uint64(c))),) for c in coverer.get_covering(cap_a)], "cell_id long"
+    )
+    ub = spark.createDataFrame(
+        [(int(np.int64(np.uint64(c))),) for c in coverer.get_covering(cap_b)], "cell_id long"
+    )
+    inter = cellunion.intersection_df(ua, ub)
+    pts = tables.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    pts = pts.withColumn(
+        "leaf", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30)
+    )
+    return cellunion.contains_points_df(inter, pts, "leaf").select("k")
+
+
+def q_union_intersection_membership_oracle() -> str:
+    """Oracle: inline the two coverings' leaf ranges (driver-computed), and
+    a point is in the intersection iff it is in an A-range AND a B-range —
+    range membership is independent of the union set-op implementation."""
+    from .kernel import coverer as _cov
+
+    cap_a = rg.Cap.from_latlng_deg(20.0, 30.0, 12.0)
+    cap_b = rg.Cap.from_latlng_deg(24.0, 36.0, 12.0)
+    coverer = _cov.RegionCoverer(max_cells=24)
+
+    def ranges(cap):
+        ids = np.array(coverer.get_covering(cap), dtype=np.uint64)
+        lo = s2.to_biased(s2.range_min(ids))
+        hi = s2.to_biased(s2.range_max(ids))
+        return ",".join(f"({int(a)},{int(b)})" for a, b in zip(lo, hi))
+
+    enc = oracle.hilbert_encode_sql(
+        f"""SELECT k, face, i, j FROM (
+        WITH ll AS ({_latlng_sql('customer', 'c_custkey')}),
+        p AS (SELECT k, {_XYZ_SQL} FROM ll),
+        fc AS (SELECT k, x, y, z, CASE
+            WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z)
+                THEN (CASE WHEN x < 0 THEN 3 ELSE 0 END)
+                ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+            ELSE (CASE WHEN abs(y) > abs(z)
+                THEN (CASE WHEN y < 0 THEN 4 ELSE 1 END)
+                ELSE (CASE WHEN z < 0 THEN 5 ELSE 2 END) END)
+          END AS face FROM p),
+        uv AS (SELECT k, face,
+            CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                      WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+            CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                      WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+            FROM fc),
+        st AS (SELECT k, face,
+            CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+            CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
+            FROM uv)
+        SELECT k, CAST(face AS INTEGER) AS face,
+          CAST(greatest(0, least(1073741823, floor((1073741824*s - 0.5) + 0.5))) AS BIGINT) AS i,
+          CAST(greatest(0, least(1073741823, floor((1073741824*t - 0.5) + 0.5))) AS BIGINT) AS j
+        FROM st)""",
+        ["k"],
+    )
+    return f"""
+    WITH enc AS ({enc}),
+    leafb AS (SELECT k, {oracle.biased_sql('cell_id')} AS lb FROM enc),
+    ra(lo, hi) AS (VALUES {ranges(cap_a)}),
+    rb(lo, hi) AS (VALUES {ranges(cap_b)})
+    SELECT k FROM leafb
+    WHERE EXISTS (SELECT 1 FROM ra WHERE lb BETWEEN ra.lo AND ra.hi)
+      AND EXISTS (SELECT 1 FROM rb WHERE lb BETWEEN rb.lo AND rb.hi)
+    """

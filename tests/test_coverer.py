@@ -103,3 +103,61 @@ def test_union_normalize_drops_contained():
     parent = int(ci.from_face_pos_level(1, 0x42, 8))
     child = int(ci.child_begin(np.uint64(parent), 12))
     assert cv.union_normalize([parent, child]) == [parent]
+
+
+def test_maximum_tile_identity():
+    # S2CellIdTest.java:130-161: maximumTile(id, id) == id
+    rng = np.random.RandomState(123455)
+    for _ in range(200):
+        lat, lng = rng.uniform(-80, 80), rng.uniform(-180, 180)
+        cid = int(ci.parent(ci.latlng_degrees_to_cell_id(lat, lng), rng.randint(5, 25)))
+        assert cv.maximum_tile(cid, cid) == cid
+
+
+def test_cells_from_leaf_range():
+    # initFromMinMax of one cell's own range reproduces that cell
+    rng = np.random.RandomState(7)
+    for _ in range(100):
+        lat, lng = rng.uniform(-80, 80), rng.uniform(-180, 180)
+        cid = ci.parent(ci.latlng_degrees_to_cell_id(lat, lng), rng.randint(3, 28))
+        lo = int(ci.range_min(cid))
+        hi = int(ci.range_max(cid))
+        assert cv.cells_from_leaf_range(lo, hi + 1) == [int(cid)]
+    # a range spanning two sibling cells yields exactly those cells
+    a = ci.from_face_pos_level(2, 0x40, 20)
+    b = ci.next_cell(a)
+    got = cv.cells_from_leaf_range(int(ci.range_min(a)), int(ci.range_max(b)) + 1)
+    assert got == [int(a), int(b)]
+    # full union property: ranges of output tile the input exactly
+    lo = int(ci.range_min(ci.from_face_pos_level(1, 0x1234567, 25)))
+    hi = int(ci.range_max(ci.from_face_pos_level(1, 0x1237567, 25)))
+    cells = cv.cells_from_leaf_range(lo, hi + 1)
+    spans = [(int(ci.range_min(np.uint64(c))), int(ci.range_max(np.uint64(c)))) for c in cells]
+    assert spans[0][0] == lo and spans[-1][1] == hi
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert b0 == a1 + 2  # leaf ids are odd and stride 2
+
+
+def test_union_expand_covers_buffer():
+    cap = rg.Cap.from_latlng_deg(10.0, 10.0, 1.0)
+    cov8 = cv.RegionCoverer(max_cells=16)
+    ids = cov8.get_covering(cap)
+    import numpy as _np
+
+    expanded = cv.union_expand_radius(ids, _np.radians(0.5))
+    # every point within 1.0+0.4 deg of center must be covered
+    rng = np.random.RandomState(3)
+    lat = np.radians(10 + rng.uniform(-1.4, 1.4, 5000))
+    lng = np.radians(10 + rng.uniform(-1.4, 1.4, 5000))
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    from s2_geometry_library_java_spark.kernel import sphere as sp
+
+    d = sp.angle_between(x, y, z, *ci.latlng_to_xyz(np.radians(10.0), np.radians(10.0)))
+    want = d <= np.radians(1.0 + 0.4)
+    leaf = ci.latlng_to_cell_id(lat, lng)
+    u = np.array(expanded, dtype=np.uint64)
+    covered = (
+        (leaf[:, None] >= ci.range_min(u)[None, :])
+        & (leaf[:, None] <= ci.range_max(u)[None, :])
+    ).any(axis=1)
+    assert bool(covered[want].all())

@@ -1,0 +1,94 @@
+"""Pipeline resume, density partitioner, streaming, and multimodal tests."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.operators import multimodal
+from s2_geometry_library_java_spark.plans import density
+from s2_geometry_library_java_spark.sources import docs as docsrc
+from s2_geometry_library_java_spark.sources import geo, tables
+from tests.conftest import SF_DIR
+
+
+def test_checkpointed_pipeline_resume(spark, tmp_path):
+    from s2_geometry_library_java_spark.pipeline.runner import CheckpointedPipeline
+
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("x"))
+
+    pl = CheckpointedPipeline(spark, str(tmp_path))
+    a = pl.stage("s1", make, "fp-v1")
+    assert a.count() == 100 and calls["n"] == 1
+    # same fingerprint -> resumed from checkpoint, no recompute
+    b = pl.stage("s1", make, "fp-v1")
+    assert b.count() == 100 and calls["n"] == 1
+    # changed fingerprint -> recompute
+    c = pl.stage("s1", make, "fp-v2")
+    assert c.count() == 100 and calls["n"] == 2
+    m = pl.metrics().collect()
+    assert m[0]["rows_out"] == 100 and m[0]["skew_factor"] >= 1.0
+
+
+def test_density_partitioner(spark):
+    from s2_geometry_library_java_spark.functions import udfs
+
+    ev = tables.load_table(spark, SF_DIR, "events")
+    pts = ev.select(
+        F.col("event_id").alias("k"),
+        geo.lat_col("event_id").alias("lat"),
+        geo.lng_col("event_id").alias("lng"),
+    ).withColumn("leaf", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30))
+    out = density.repartition_by_hilbert_range(pts, "leaf", 8, histogram_level=4)
+    sizes = (
+        out.groupBy(F.spark_partition_id().alias("p")).count().toPandas()["count"]
+    )
+    assert out.count() == pts.count()
+    # equal-weight goal: no partition more than 3x the mean
+    assert sizes.max() <= 3 * max(sizes.mean(), 1)
+
+
+def test_hot_cell_salt(spark):
+    from s2_geometry_library_java_spark.functions import udfs
+
+    # all points in one metro cell -> salting must spread them
+    pts = spark.range(2000).select(
+        F.col("id"),
+        (F.lit(33.0) + F.col("id") % 100 / 10000.0).alias("lat"),
+        F.lit(-112.0).alias("lng"),
+    ).withColumn("leaf", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30))
+    salted = density.with_hot_cell_salt(pts, "leaf", level=6, max_rows_per_cell=500)
+    n_salts = salted.select("salt").distinct().count()
+    assert n_salts >= 3
+    assert salted.count() == 2000
+
+
+def test_streaming_tile_counts(spark):
+    from s2_geometry_library_java_spark.streaming import tiles
+
+    q = tiles.run_to_memory_sink(spark, level=4, rows_per_second=2000, name="t_tiles")
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM t_tiles")
+    # rate + availableNow may deliver few rows; schema is the contract
+    assert out.columns == ["window_start", "tile_token", "n", "approx_ids"]
+
+
+def test_multimodal_features(spark):
+    docs = docsrc.with_spans(tables.load_table(spark, SF_DIR, "documents"))
+    spans = docsrc.exploded_spans(docs)
+    media = multimodal.synthesize_media_assets(spans)
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.deterministic_fake_decoder
+    )
+    pdf = feats.limit(20).toPandas()
+    assert len(pdf) == 20
+    assert all(len(f) == 16 for f in pdf["feature"])
+    assert (pdf["n_bytes"] == 32).all()
+    # stub decoder must raise loudly
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(media).limit(1).toPandas()
