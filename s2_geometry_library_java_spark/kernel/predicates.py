@@ -36,17 +36,68 @@ def _det3(ax, ay, az, bx, by, bz, cx, cy, cz):
     )
 
 
-def _exact_sign_one(a, b, c) -> int:
-    """Exact rational sign of det(a,b,c); 0 only for truly coplanar."""
-    af = [Fraction(float(v)) for v in a]
-    bf = [Fraction(float(v)) for v in b]
-    cf = [Fraction(float(v)) for v in c]
-    det = (
-        af[0] * (bf[1] * cf[2] - bf[2] * cf[1])
-        + af[1] * (bf[2] * cf[0] - bf[0] * cf[2])
-        + af[2] * (bf[0] * cf[1] - bf[1] * cf[0])
+def _sos(a, b, c, bc) -> int:
+    """Simulation-of-Simplicity tie break (S2Predicates.sos :378-489):
+    coefficients of the symbolic perturbations in decreasing magnitude;
+    the first nonzero decides. Requires a < b < c lexicographically and
+    det(a,b,c) exactly zero. Inputs are Fraction triples; bc = b x c."""
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    for coeff in (
+        bc[2],  # da[2]
+        bc[1],  # da[1]
+        bc[0],  # da[0]
+        c[0] * a[1] - c[1] * a[0],  # db[2]
+        c[0],  # db[2] * da[1]
+        -c[1],  # db[2] * da[0]
+        c[2] * a[0] - c[0] * a[2],  # db[1]
+        c[2],  # db[1] * da[0]
+        a[0] * b[1] - a[1] * b[0],  # dc[2]
+        -b[0],  # dc[2] * da[1]
+        b[1],  # dc[2] * da[0]
+        a[0],  # dc[2] * db[1]
+    ):
+        s = sgn(coeff)
+        if s != 0:
+            return s
+    return 1  # dc[2] * db[1] * da[0]
+
+
+def _exact_sign_one(a, b, c, perturb: bool = True) -> int:
+    """Exact rational sign of det(a,b,c); for exactly-degenerate inputs,
+    resolves via symbolic perturbation (never 0 for distinct points) when
+    ``perturb`` (S2Predicates.Sign.exact :281-344)."""
+    pts = [tuple(float(v) for v in p) for p in (a, b, c)]
+    perm = 1
+    if pts[0] > pts[1]:
+        pts[0], pts[1] = pts[1], pts[0]
+        perm = -perm
+    if pts[1] > pts[2]:
+        pts[1], pts[2] = pts[2], pts[1]
+        perm = -perm
+    if pts[0] > pts[1]:
+        pts[0], pts[1] = pts[1], pts[0]
+        perm = -perm
+    af, bf, cf = (
+        [Fraction(v) for v in pts[0]],
+        [Fraction(v) for v in pts[1]],
+        [Fraction(v) for v in pts[2]],
     )
-    return (det > 0) - (det < 0)
+    bc = [
+        bf[1] * cf[2] - bf[2] * cf[1],
+        bf[2] * cf[0] - bf[0] * cf[2],
+        bf[0] * cf[1] - bf[1] * cf[0],
+    ]
+    det = bc[0] * af[0] + bc[1] * af[1] + bc[2] * af[2]
+    if det != 0:
+        return perm * ((det > 0) - (det < 0))
+    if not perturb:
+        return 0
+    if pts[0] == pts[1] or pts[1] == pts[2]:
+        return 0  # duplicate points have no defined sign
+    return perm * _sos(af, bf, cf, bc)
 
 
 def sign_batch(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:

@@ -349,6 +349,12 @@ def region_cell_tests(region):
             lambda cell: rect_may_intersect_cell(region, cell),
             cap,
         )
+    if isinstance(region, Polyline):
+        return (
+            lambda cell: False,
+            lambda cell: polyline_may_intersect_cell(region, cell),
+            _polyline_cap(region),
+        )
     if isinstance(region, Loop):
         region = Polygon([region])
     if isinstance(region, Polygon):
@@ -373,3 +379,82 @@ def region_cell_tests(region):
             cap,
         )
     raise TypeError(f"unsupported region {type(region)}")
+
+
+@dataclass
+class Polyline:
+    """Open vertex chain (S2Polyline.java). No interior:
+    contains(cell) == False always; mayIntersect(cell) == any vertex in the
+    cell or any chain edge crossing-or-touching any cell edge
+    (S2Polyline.java:347-374: robustCrossing >= 0 counts)."""
+
+    vertices: np.ndarray
+
+    def __post_init__(self):
+        self.vertices = np.asarray(self.vertices, dtype=np.float64)
+
+    @staticmethod
+    def from_latlng_degrees(latlngs: list[tuple[float, float]]) -> "Polyline":
+        lat = np.radians([p[0] for p in latlngs])
+        lng = np.radians([p[1] for p in latlngs])
+        x, y, z = ci.latlng_to_xyz(lat, lng)
+        return Polyline(np.stack([x, y, z], axis=1))
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        return np.zeros(np.shape(np.atleast_1d(x)), dtype=bool)
+
+
+def _robust_crossing_sign(a, b, c, d) -> int:
+    """EdgeCrosser.robustCrossing 3-value semantics: +1 proper crossing,
+    0 shared vertex or degenerate (some exact sign is 0 — SoS is phase-2),
+    -1 no crossing."""
+    from . import predicates
+
+    if (
+        np.array_equal(a, c)
+        or np.array_equal(a, d)
+        or np.array_equal(b, c)
+        or np.array_equal(b, d)
+    ):
+        return 0
+    acb = predicates._sign1(a, c, b)
+    bda = predicates._sign1(b, d, a)
+    cbd = predicates._sign1(c, b, d)
+    dac = predicates._sign1(d, a, c)
+    if 0 in (acb, bda, cbd, dac):
+        return 0
+    return 1 if (acb == bda == cbd == dac) else -1
+
+
+def polyline_may_intersect_cell(line: Polyline, cell) -> bool:
+    v = line.vertices
+    if len(v) == 0:
+        return False
+    if any(cell.contains_point(v[i]) for i in range(len(v))):
+        return True
+    cv4 = cell.vertices
+    for j in range(4):
+        c0 = cv4[j]
+        c1 = cv4[(j + 1) & 3]
+        for i in range(len(v) - 1):
+            if _robust_crossing_sign(c0, c1, v[i], v[i + 1]) >= 0:
+                return True
+    return False
+
+
+def _polyline_cap(line: Polyline) -> Cap:
+    """Bounding cap: midpoint-axis cap grown to the farthest vertex
+    (the midCap branch of S2LatLngRectBase.getCapBound — exact RectBounder
+    lat-bulge is phase-2; for coverer seeding only the seed level derives
+    from this, and normalization makes the result insensitive for
+    generic-position chains)."""
+    centroid = line.vertices.mean(axis=0)
+    n = float(np.sqrt(centroid @ centroid))
+    if n < 1e-12:
+        return Cap((1.0, 0.0, 0.0), 4.0)
+    axis = centroid / n
+    d = sphere.chord2_between(
+        line.vertices[:, 0], line.vertices[:, 1], line.vertices[:, 2],
+        axis[0], axis[1], axis[2],
+    )
+    return Cap(tuple(axis), min(4.0, float(d.max()) * (1 + 1e-12)))

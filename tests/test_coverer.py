@@ -161,3 +161,38 @@ def test_union_expand_covers_buffer():
         & (leaf[:, None] <= ci.range_max(u)[None, :])
     ).any(axis=1)
     assert bool(covered[want].all())
+
+
+def test_polyline_covering_golden_tokens():
+    """S2RegionCovererTest.testPolylineCovering (:144-166): literal token
+    list, default coverer. The polyline lies EXACTLY on cell boundaries, so
+    this exercises the full exact-predicate + SoS cascade."""
+    line = rg.Polyline.from_latlng_degrees([(0.0, 0.0), (0.0, 1.0)])
+    toks = cv.RegionCoverer(max_cells=8).get_covering_tokens(line)
+    assert toks == [
+        "0555555555555555", "0fffffffffffffff", "10001", "10007",
+        "10009", "1000a4", "1aaa09e01fffdf7f", "1aaaaaaaaaaaaaab",
+    ]
+
+
+def test_polyline_covering_java_cc_consistency():
+    """S2RegionCovererTest.testPolylineCoveringJavaCcConsistency (:168-229):
+    the 42-token cross-implementation golden list (Java == C++ == this)."""
+    line = rg.Polyline.from_latlng_degrees(
+        [(-33.8663457, 151.1960891), (-33.866094000000004, 151.19517439999998)]
+    )
+    coverer = cv.RegionCoverer(min_level=0, max_level=22, max_cells=2**31 - 1)
+    toks = coverer.get_covering_tokens(line)
+    assert toks == [
+        "6b12ae36313d", "6b12ae36313f", "6b12ae363141", "6b12ae363143",
+        "6b12ae363145", "6b12ae363159", "6b12ae36315b", "6b12ae363343",
+        "6b12ae363345", "6b12ae36334d", "6b12ae36334f", "6b12ae363369",
+        "6b12ae36336f", "6b12ae363371", "6b12ae363377", "6b12ae363391",
+        "6b12ae363393", "6b12ae36339b", "6b12ae36339d", "6b12ae3633e3",
+        "6b12ae3633e5", "6b12ae3633ed", "6b12ae3633ef", "6b12ae37cc11",
+        "6b12ae37cc13", "6b12ae37cc1b", "6b12ae37cc1d", "6b12ae37cc63",
+        "6b12ae37cc65", "6b12ae37cc6d", "6b12ae37cc6f", "6b12ae37cc89",
+        "6b12ae37cc8f", "6b12ae37cc91", "6b12ae37cc97", "6b12ae37ccb1",
+        "6b12ae37ccb3", "6b12ae37ccbb", "6b12ae37ccbd", "6b12ae37cea5",
+        "6b12ae37cea7", "6b12ae37cebb",
+    ]
