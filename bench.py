@@ -82,12 +82,15 @@ def run(sf_dir: str, cpus: int, extra_conf: dict | None = None):
     n_docs = documents.count()
     d = docsrc.with_spans(documents)
     spans = docsrc.geotagged_media_spans(d)
-    tiled = tiling.tile_points(spans, level=12)
-    hits = pip.pip_join(
+    tiled = tiling.tile_points(spans, level=12, engine="jvm")
+    hits = pip.pip_join_convex(
         spark,
-        tiled.select(F.concat_ws("_", "doc_id", "offset").alias("span_key"), "lat", "lng"),
+        tiled.select(
+            F.concat_ws("_", "doc_id", "offset").alias("span_key"), "lat", "lng", "leaf"
+        ),
         q.pip_polygons(),
         point_id="span_key",
+        leaf_col="leaf",
     ).withColumnRenamed("point_id", "span_key")
     n_out = (
         tiled.withColumn("span_key", F.concat_ws("_", "doc_id", "offset"))

@@ -154,3 +154,88 @@ def pip_join(
         F.col("is_interior") | pip(F.col("polygon_id"), F.col("lat"), F.col("lng"))
     )
     return hits.select("point_id", "polygon_id")
+
+
+def make_convex_pip_filter(polygons: dict):
+    """JVM-side exact-enough containment for CONVEX single-loop polygons:
+    point is inside iff det(a, b, p) > 0 for every CCW edge (a,b) — plain
+    Column arithmetic with the loop vertices inlined as literals, fully
+    inside whole-stage codegen (no Python). The general crossing-parity
+    kernel (make_pip_contains_udf) remains the path for concave/holed
+    geometry; callers pick via pip_join(convex_fast_path=True).
+
+    Returns fn(polygon_id_col, px, py, pz) -> BooleanColumn.
+    """
+    edges = {}
+    for pid, poly in polygons.items():
+        assert len(poly.loops) == 1, "convex fast path requires single loops"
+        v = poly.loops[0].vertices
+        edges[pid] = [(v[k], v[(k + 1) % len(v)]) for k in range(len(v))]
+
+    def contains(pid_col, px, py, pz):
+        expr = None
+        for pid, es in edges.items():
+            inside = None
+            for a, b in es:
+                det = (
+                    F.lit(float(a[0])) * (F.lit(float(b[1])) * pz - F.lit(float(b[2])) * py)
+                    + F.lit(float(a[1])) * (F.lit(float(b[2])) * px - F.lit(float(b[0])) * pz)
+                    + F.lit(float(a[2])) * (F.lit(float(b[0])) * py - F.lit(float(b[1])) * px)
+                )
+                term = det > 0
+                inside = term if inside is None else (inside & term)
+            branch = (pid_col == pid) & inside
+            expr = branch if expr is None else (expr | branch)
+        return expr
+
+    return contains
+
+
+def pip_join_convex(
+    spark,
+    points,
+    polygons: dict,
+    point_id: str = "id",
+    lat: str = "lat",
+    lng: str = "lng",
+    max_cells: int = 8,
+    leaf_col: str | None = None,
+):
+    """pip_join variant with ZERO Python stages: covering broadcast hash
+    join + interior fast-accept + JVM convex det filter. Exactly equal to
+    pip_join for convex CCW polygons (both reduce to the same halfspace
+    membership; divergence would need a point within ~1 ulp of an edge)."""
+    from ..functions import encode_cols
+
+    rows = covering_rows(polygons, max_cells=max_cells)
+    levels = sorted({int(s2.level(np.uint64(np.int64(r[1]).view(np.uint64)))) for r in rows})
+    cov_df = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            "polygon_id string, cell_id long, range_min_b long, range_max_b long, is_interior boolean",
+        ).select("polygon_id", "cell_id", "is_interior")
+    )
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(lat).alias("lat"),
+        F.col(lng).alias("lng"),
+        (F.col(leaf_col) if leaf_col else encode_cols.cell_id_col(lat, lng)).alias("leaf"),
+    )
+    x, y, z = encode_cols.xyz_cols(F.col("lat"), F.col("lng"))
+    cand = (
+        pts.withColumns({"_px": x, "_py": y, "_pz": z})
+        .select(
+            "point_id",
+            "_px",
+            "_py",
+            "_pz",
+            F.explode(F.array(*[cc.parent("leaf", lv) for lv in levels])).alias("cell_id"),
+        )
+        .join(cov_df, "cell_id")
+    )
+    convex = make_convex_pip_filter(polygons)
+    hits = cand.where(
+        F.col("is_interior")
+        | convex(F.col("polygon_id"), F.col("_px"), F.col("_py"), F.col("_pz"))
+    )
+    return hits.select("point_id", "polygon_id")

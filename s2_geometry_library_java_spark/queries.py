@@ -299,7 +299,16 @@ def q_rect_contains_oracle() -> str:
 
 
 def q_pip_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3: the covering-broadcast range-join PIP against 6 convex quads."""
+    """F3 zero-Python path: covering hash join + JVM convex det filter."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return pip.pip_join_convex(spark, pts, pip_polygons(), point_id="k").withColumnsRenamed(
+        {"point_id": "k"}
+    )
+
+
+def q_pip_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 general path: covering hash join + crossing-parity Arrow kernel
+    (handles concave/holed polygons; same oracle as the convex path)."""
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
     return pip.pip_join(spark, pts, pip_polygons(), point_id="k").withColumnsRenamed(
         {"point_id": "k"}
@@ -699,6 +708,33 @@ def q_nation_revenue_oracle() -> str:
     """
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I windows: per-user event ordering — row_number, lag, running
+    count over (user_id ORDER BY event_id). Integer outputs only."""
+    from pyspark.sql import Window
+
+    ev = tables.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_id", 1).over(w).alias("prev_event"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_n"),
+    )
+
+
+def q_event_windows_oracle() -> str:
+    return """
+    SELECT user_id, event_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+      lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_event,
+      count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM events
+    """
+
+
 def q_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables.load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
@@ -732,6 +768,7 @@ def all_queries():
         "cap_contains": q_cap_contains,
         "rect_contains": q_rect_contains,
         "pip_contains": q_pip_contains,
+        "pip_kernel": q_pip_kernel,
         "knn_brute": q_knn_brute,
         "knn_cell": q_knn_cell,
         "covering_tokens": q_covering_tokens,
@@ -749,6 +786,7 @@ def all_queries():
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
         "user_events": q_user_events,
+        "event_windows": q_event_windows,
     }
 
 
@@ -762,6 +800,7 @@ def all_oracles():
         "cap_contains": q_cap_contains_oracle(),
         "rect_contains": q_rect_contains_oracle(),
         "pip_contains": q_pip_contains_oracle(),
+        "pip_kernel": q_pip_contains_oracle(),
         "knn_brute": _knn_oracle(),
         "knn_cell": _knn_oracle(),
         # covering_tokens: rows-only (a covering is not SQL-expressible)
@@ -779,6 +818,7 @@ def all_oracles():
         "pricing_summary": q_pricing_summary_oracle(),
         "nation_revenue": q_nation_revenue_oracle(),
         "user_events": q_user_events_oracle(),
+        "event_windows": q_event_windows_oracle(),
     }
 
 

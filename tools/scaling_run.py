@@ -81,8 +81,8 @@ def run_once(cpus: int, n_docs: int) -> dict:
     t0 = time.time()
     d = docsrc.with_spans(documents)
     spans = docsrc.geotagged_media_spans(d)
-    tiled = tiling.tile_points(spans, level=12)
-    hits = pip.pip_join(
+    tiled = tiling.tile_points(spans, level=12, engine="jvm")
+    hits = pip.pip_join_convex(
         spark,
         tiled.select(
             F.concat_ws("_", "doc_id", "offset").alias("span_key"), "lat", "lng", "leaf"
@@ -160,7 +160,7 @@ deterministic {n_docs:,}-doc input at two parallelism levels.
 | local[{base}]  (N)  | {results[base]['wall_sec']} | {results[base]['docs_per_sec']:,} |
 | local[{base * 4}] (4N) | {results[base * 4]['wall_sec']} | {results[base * 4]['docs_per_sec']:,} |
 
-- speedup N -> 4N cores: **{report['speedup_8_to_32']}x**
+- speedup N -> 4N cores: **{report['speedup_n_to_4n']}x**
 - scaling efficiency (throughput_4N / throughput_N) / 4 = **{report['scaling_efficiency']}**
 - criterion >= 0.8: **{"PASS" if report['pass'] else "FAIL"}**
 
