@@ -82,8 +82,8 @@ def run(sf_dir: str, cpus: int, extra_conf: dict | None = None):
     n_docs = documents.count()
     d = docsrc.with_spans(documents)
     spans = docsrc.geotagged_media_spans(d)
-    tiled = tiling.tile_points(spans, level=12, engine="jvm")
-    hits = pip.pip_join_convex(
+    tiled = tiling.tile_points(spans, level=12)
+    hits = pip.pip_join(
         spark,
         tiled.select(
             F.concat_ws("_", "doc_id", "offset").alias("span_key"), "lat", "lng", "leaf"

@@ -374,3 +374,28 @@ def union_expand_radius(ids: list[int], min_radius_rad: float, max_level_diff: i
     ):
         ids = union_expand_level(ids, 0)
     return union_expand_level(ids, min(min_level + max_level_diff, radius_level))
+
+
+def get_simple_covering(region, start_latlng_deg: tuple[float, float], level: int) -> list[int]:
+    """Fixed-level covering of a connected region by BFS flood fill over
+    edge neighbors (S2RegionCoverer.getSimpleCovering/floodFill :395-398,
+    :731-755). Output order follows the reference's stack discipline."""
+    _, may_intersect, _ = rg.region_cell_tests(region)
+    from .cell import Cell
+
+    lat, lng = start_latlng_deg
+    start = int(ci.parent(ci.latlng_degrees_to_cell_id(np.float64(lat), np.float64(lng)), level))
+    all_seen = {start}
+    frontier = [start]
+    output: list[int] = []
+    while frontier:
+        cid = frontier.pop()
+        if not may_intersect(Cell(cid)):
+            continue
+        output.append(cid)
+        for nbr in ci.get_edge_neighbors(np.uint64(cid))[0]:
+            n = int(nbr)
+            if n not in all_seen:
+                frontier.append(n)
+                all_seen.add(n)
+    return output

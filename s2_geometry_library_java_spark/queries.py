@@ -299,18 +299,20 @@ def q_rect_contains_oracle() -> str:
 
 
 def q_pip_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 zero-Python path: covering hash join + JVM convex det filter."""
+    """F3 general path: covering hash join + crossing-parity Arrow kernel
+    (the bench headline; handles concave/holed polygons)."""
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
-    return pip.pip_join_convex(spark, pts, pip_polygons(), point_id="k").withColumnsRenamed(
+    return pip.pip_join(spark, pts, pip_polygons(), point_id="k").withColumnsRenamed(
         {"point_id": "k"}
     )
 
 
-def q_pip_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 general path: covering hash join + crossing-parity Arrow kernel
-    (handles concave/holed polygons; same oracle as the convex path)."""
+def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 zero-Python path: covering hash join + JVM convex det filter
+    (same oracle; preferred when the Python worker boundary is the
+    bottleneck, e.g. low-core executors)."""
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
-    return pip.pip_join(spark, pts, pip_polygons(), point_id="k").withColumnsRenamed(
+    return pip.pip_join_convex(spark, pts, pip_polygons(), point_id="k").withColumnsRenamed(
         {"point_id": "k"}
     )
 
@@ -768,7 +770,7 @@ def all_queries():
         "cap_contains": q_cap_contains,
         "rect_contains": q_rect_contains,
         "pip_contains": q_pip_contains,
-        "pip_kernel": q_pip_kernel,
+        "pip_convex": q_pip_convex,
         "knn_brute": q_knn_brute,
         "knn_cell": q_knn_cell,
         "covering_tokens": q_covering_tokens,
@@ -800,7 +802,7 @@ def all_oracles():
         "cap_contains": q_cap_contains_oracle(),
         "rect_contains": q_rect_contains_oracle(),
         "pip_contains": q_pip_contains_oracle(),
-        "pip_kernel": q_pip_contains_oracle(),
+        "pip_convex": q_pip_contains_oracle(),
         "knn_brute": _knn_oracle(),
         "knn_cell": _knn_oracle(),
         # covering_tokens: rows-only (a covering is not SQL-expressible)

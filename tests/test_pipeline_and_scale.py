@@ -92,3 +92,47 @@ def test_multimodal_features(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         multimodal.extract_features(media).limit(1).toPandas()
+
+
+def test_simple_covering_flood_fill():
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import coverer as cv
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    cap = rg.Cap.from_latlng_deg(12.0, 34.0, 1.5)
+    ids = cv.get_simple_covering(cap, (12.0, 34.0), level=8)
+    assert ids
+    lv = ci.level(np.array(ids, dtype=np.uint64))
+    assert set(lv.tolist()) == {8}
+    # covers the cap
+    rng = np.random.RandomState(0)
+    lat = np.radians(12 + rng.uniform(-1.5, 1.5, 5000))
+    lng = np.radians(34 + rng.uniform(-1.6, 1.6, 5000))
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    inside = cap.contains_points(x, y, z)
+    leaf = ci.latlng_to_cell_id(lat, lng)
+    u = np.array(ids, dtype=np.uint64)
+    covered = (
+        (leaf[:, None] >= ci.range_min(u)[None, :])
+        & (leaf[:, None] <= ci.range_max(u)[None, :])
+    ).any(axis=1)
+    assert bool(covered[inside].all())
+
+
+def test_region_sharder():
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import coverer as cv
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    # shards from a synthetic histogram over a cap's neighborhood
+    boundaries = density.equal_weight_boundaries(
+        [(int(ci.parent(ci.latlng_degrees_to_cell_id(float(la), 30.0), 6)), 10)
+         for la in range(-40, 41, 2)],
+        8,
+    )
+    sharder = density.RegionSharder(boundaries)
+    cov8 = cv.RegionCoverer(max_cells=8)
+    ids = cov8.get_covering(rg.Cap.from_latlng_deg(10.0, 30.0, 2.0))
+    shards = sharder.intersecting_shards(ids)
+    assert shards and len(shards) <= 8
+    assert sharder.most_intersecting_shard(ids) in shards
