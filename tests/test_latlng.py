@@ -65,3 +65,30 @@ def test_earth_units():
     # S2Earth radius: 6371.01 km
     assert sphere.radians_to_meters(1.0) == 6371010.0
     assert abs(sphere.meters_to_radians(6371010.0) - 1.0) < 1e-15
+
+
+def test_triangle_area_octant():
+    # one octant of the sphere = 4*pi/8 = pi/2
+    a = np.array([[1.0, 0.0, 0.0]])
+    b = np.array([[0.0, 1.0, 0.0]])
+    c = np.array([[0.0, 0.0, 1.0]])
+    area = sphere.triangle_area(a, b, c)
+    assert abs(float(area[0]) - np.pi / 2) < 1e-12
+
+
+def test_loop_area_hemisphere():
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    north = rg.Polygon.from_text("0:-180, 0:-90, 0:0, 0:90").loops[0]
+    area = sphere.signed_loop_area(north.vertices)
+    assert abs(area - 2 * np.pi) < 1e-9
+
+
+def test_loop_area_small_square():
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    sq = rg.Polygon.from_text("9:19, 9:21, 11:21, 11:19").loops[0]
+    area = sphere.signed_loop_area(sq.vertices)
+    # ~ (2 deg)^2 * cos(10 deg) in steradians
+    approx = np.radians(2.0) ** 2 * np.cos(np.radians(10.0))
+    assert abs(area - approx) / approx < 0.01
