@@ -119,3 +119,62 @@ def contains_points_df(union: DataFrame, points: DataFrame, leaf_col: str) -> Da
         .drop("_cand")
         .distinct()
     )
+
+
+def difference_df(a: DataFrame, b: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Cells covering A \\ B exactly (S2CellUnion.getDifference :635-656).
+
+    Iterative refinement instead of recursion: cells of A disjoint from B
+    pass through; cells contained in a B cell drop; partially-overlapped
+    non-leaf cells explode into their 4 children and re-enter the loop.
+    Each round is one broadcast range join; lineage is truncated per round
+    (localCheckpoint) so the plan stays constant-size regardless of depth.
+    """
+    rb = F.broadcast(
+        _with_ranges(b).select(
+            F.col("rmin_b").alias("b_rmin"), F.col("rmax_b").alias("b_rmax")
+        )
+    )
+    kept_parts = []
+    frontier = a.select("cell_id")
+    for _ in range(max_rounds):
+        fr = _with_ranges(frontier).localCheckpoint(eager=True)
+        tagged = (
+            fr.join(
+                rb,
+                (F.col("rmin_b") <= F.col("b_rmax"))
+                & (F.col("rmax_b") >= F.col("b_rmin")),
+                "left",
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.max(
+                    F.when(
+                        (F.col("b_rmin") <= F.col("rmin_b"))
+                        & (F.col("rmax_b") <= F.col("b_rmax")),
+                        2,
+                    )
+                    .when(F.col("b_rmin").isNotNull(), 1)
+                    .otherwise(0)
+                ).alias("verdict")
+            )
+            .localCheckpoint(eager=True)
+        )
+        kept_parts.append(tagged.where(F.col("verdict") == 0).select("cell_id"))
+        to_split = tagged.where((F.col("verdict") == 1) & ~cc.is_leaf("cell_id"))
+        if to_split.isEmpty():
+            break
+        t = (
+            to_split.withColumn("_lvl", cc.level("cell_id") + 1)
+            .withColumn("_cb", cc.child_begin("cell_id", F.col("_lvl")))
+            .withColumn("_step", cc.lsb_for_level(F.col("_lvl")) * 2)
+        )
+        frontier = t.select(
+            F.explode(
+                F.array(*[F.col("_cb") + F.lit(k) * F.col("_step") for k in range(4)])
+            ).alias("cell_id")
+        )
+    out = kept_parts[0]
+    for part in kept_parts[1:]:
+        out = out.unionByName(part)
+    return normalize_df(out)

@@ -136,3 +136,39 @@ def test_region_sharder():
     shards = sharder.intersecting_shards(ids)
     assert shards and len(shards) <= 8
     assert sharder.most_intersecting_shard(ids) in shards
+
+
+def test_cellunion_difference_df(spark):
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import coverer as cv
+    from s2_geometry_library_java_spark.kernel import region as rg
+    from s2_geometry_library_java_spark.operators import cellunion
+
+    cap_a = rg.Cap.from_latlng_deg(20.0, 30.0, 10.0)
+    cap_b = rg.Cap.from_latlng_deg(23.0, 34.0, 8.0)
+    cov = cv.RegionCoverer(max_cells=20)
+    ua = spark.createDataFrame(
+        [(int(np.int64(np.uint64(c))),) for c in cov.get_covering(cap_a)], "cell_id long"
+    )
+    ub = spark.createDataFrame(
+        [(int(np.int64(np.uint64(c))),) for c in cov.get_covering(cap_b)], "cell_id long"
+    )
+    ids = np.array(
+        [np.uint64(np.int64(r["cell_id"])) for r in cellunion.difference_df(ua, ub).collect()],
+        dtype=np.uint64,
+    )
+    assert bool(np.all(ci.is_valid(ids)))
+    rng = np.random.RandomState(0)
+    lat = np.radians(rng.uniform(5, 35, 10000))
+    lng = np.radians(rng.uniform(15, 45, 10000))
+    leaf = ci.latlng_to_cell_id(lat, lng)
+
+    def member(u):
+        return (
+            (leaf[:, None] >= ci.range_min(u)[None, :])
+            & (leaf[:, None] <= ci.range_max(u)[None, :])
+        ).any(axis=1)
+
+    ua_ids = np.array(cov.get_covering(cap_a), dtype=np.uint64)
+    ub_ids = np.array(cov.get_covering(cap_b), dtype=np.uint64)
+    assert np.array_equal(member(ids), member(ua_ids) & ~member(ub_ids))
