@@ -259,7 +259,12 @@ def rect_may_intersect_cell(rect: LatLngRect, cell) -> bool:
 
 
 def _edges_cross_cell(loop: Loop, cell) -> bool:
-    """Any loop edge crosses any cell edge (four-triangle arc test)."""
+    """Any loop edge crosses OR touches any cell edge (four-triangle arc
+    test). Zero signs — shared/duplicated vertices, exactly-degenerate
+    configurations — count as touching (robustCrossing >= 0 semantics,
+    mirroring the polyline path), so may_intersect never false-negatives
+    on loops that graze a cell at a vertex or edge; for contains this is
+    conservative (touching boundary => not strictly contained)."""
     from . import predicates
 
     a = loop.vertices
@@ -273,6 +278,8 @@ def _edges_cross_cell(loop: Loop, cell) -> bool:
         cbd = predicates.sign_batch(c[None, :], b, d[None, :])
         dac = predicates.sign_batch(d[None, :], a, c[None, :])
         if bool(np.any((acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0))):
+            return True
+        if bool(np.any((acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0))):
             return True
     return False
 

@@ -33,10 +33,15 @@ def metric_value(deriv: float, level, dim: int = 1):
 
 
 def metric_max_level(deriv: float, value: float, dim: int = 1) -> int:
-    """Largest level where metric >= value (S2.java:268-279)."""
+    """Largest level where metric >= value (S2.java:268-279): extracts the
+    IEEE exponent of deriv/value exactly like Math.getExponent — float
+    log2 can be one level off near powers of two."""
     if value <= 0:
         return 30
-    lvl = int(np.floor(np.log2(deriv / value) / dim))
+    import math
+
+    exponent = math.frexp(deriv / value)[1] - 1  # Math.getExponent
+    lvl = exponent >> (dim - 1)
     return max(0, min(30, lvl))
 
 
@@ -44,7 +49,10 @@ def metric_min_level(deriv: float, value: float, dim: int = 1) -> int:
     """Smallest level where metric <= value (S2.java:243-257)."""
     if value <= 0:
         return 30
-    lvl = int(np.ceil(np.log2(deriv / value) / dim))
+    import math
+
+    exponent = math.frexp(value / deriv)[1] - 1
+    lvl = -(exponent >> (dim - 1))
     return max(0, min(30, lvl))
 
 

@@ -137,7 +137,11 @@ def difference_df(a: DataFrame, b: DataFrame, max_rounds: int = 30) -> DataFrame
     )
     kept_parts = []
     frontier = a.select("cell_id")
-    for _ in range(max_rounds):
+    # A level-0 cell of A overlapped by a leaf-level B cell needs 30 splits
+    # and 31 classification passes; the loop runs until the frontier drains
+    # (bounded: to_split excludes leaves, so depth <= MAX_LEVEL splits) and
+    # raises rather than silently dropping an unclassified frontier.
+    for round_no in range(max_rounds + 1):
         fr = _with_ranges(frontier).localCheckpoint(eager=True)
         tagged = (
             fr.join(
@@ -164,6 +168,11 @@ def difference_df(a: DataFrame, b: DataFrame, max_rounds: int = 30) -> DataFrame
         to_split = tagged.where((F.col("verdict") == 1) & ~cc.is_leaf("cell_id"))
         if to_split.isEmpty():
             break
+        if round_no == max_rounds:
+            raise RuntimeError(
+                "difference_df: frontier not drained after "
+                f"{max_rounds} refinement rounds (max_rounds too small)"
+            )
         t = (
             to_split.withColumn("_lvl", cc.level("cell_id") + 1)
             .withColumn("_cb", cc.child_begin("cell_id", F.col("_lvl")))

@@ -79,23 +79,30 @@ def repartition_by_hilbert_range(
 
 
 def with_hot_cell_salt(
-    df: DataFrame, leaf_col: str, level: int, max_rows_per_cell: int
+    df: DataFrame, leaf_col: str, level: int, max_rows_per_cell: int,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Adds (cell, salt): rows in cells with > max_rows_per_cell rows get a
     deterministic salt in [0, ceil(n/max)) — the build-side of a salted
-    join replicates instead. Deterministic: salt = pmod(hash64(leaf), n)."""
+    join replicates instead.
+
+    The salt hashes ``salt_cols`` (default: every input column), NOT the
+    leaf cell id: many rows share a leaf id in the common skew case (all
+    records at one coordinate), and a leaf-derived salt would send the
+    whole hot cell to one subpartition."""
     cell = cc.parent(leaf_col, level)
     counts = df.select(cell.alias("cell")).groupBy("cell").agg(F.count("*").alias("n"))
     fanout = counts.select(
         "cell",
         F.ceil(F.col("n") / max_rows_per_cell).cast("int").alias("n_salts"),
     )
+    salt_src = [F.col(c) for c in (salt_cols or df.columns)]
     out = df.withColumn("cell", cell).join(F.broadcast(fanout), "cell", "left")
     return out.withColumn(
         "salt",
         F.when(
             F.col("n_salts") > 1,
-            F.pmod(F.xxhash64(F.col(leaf_col)), F.col("n_salts")).cast("int"),
+            F.pmod(F.xxhash64(*salt_src), F.col("n_salts")).cast("int"),
         ).otherwise(F.lit(0)),
     )
 

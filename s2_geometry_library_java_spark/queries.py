@@ -33,13 +33,17 @@ from .sources import geo, tables
 # SQL oracle can verify containment with the all-edges-sign test).
 # ---------------------------------------------------------------------------
 
+# Half-widths are nudged off the 0.01-degree synthetic point grid so no
+# point ever lands exactly on a polygon edge: there the edge determinant is
+# ~1e-17 and the Spark exact predicate vs DuckDB's double det could disagree,
+# making the oracle gate flaky at larger scale factors.
 PIP_QUADS = {
-    "p0": (10.0, 20.0, 4.0),
-    "p1": (45.0, -100.0, 6.0),
-    "p2": (-30.0, 140.0, 5.0),
-    "p3": (5.0, 178.0, 4.0),  # dateline-crossing
-    "p4": (-60.0, -45.0, 6.0),
-    "p5": (70.0, 60.0, 5.0),
+    "p0": (10.0, 20.0, 4.0051),
+    "p1": (45.0, -100.0, 6.0051),
+    "p2": (-30.0, 140.0, 5.0051),
+    "p3": (5.0, 178.0, 4.0051),  # dateline-crossing
+    "p4": (-60.0, -45.0, 6.0051),
+    "p5": (70.0, 60.0, 5.0051),
 }
 
 CAP_CENTER = (30.0, 40.0)
