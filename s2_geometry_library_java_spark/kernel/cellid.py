@@ -176,6 +176,17 @@ def xyz_to_latlng(x, y, z):
     return lat, lng
 
 
+def normalize_latlng(lat_rad, lng_rad):
+    """A4 S2LatLng.normalized (S2LatLng.java:240-245): clamp lat to
+    [-pi/2, pi/2]; IEEE-remainder lng into [-pi, pi] (round-half-even
+    quotient — np.round is half-even, matching Platform.IEEEremainder)."""
+    lat = np.clip(np.asarray(lat_rad, dtype=np.float64), -np.pi / 2, np.pi / 2)
+    lng = np.asarray(lng_rad, dtype=np.float64)
+    two_pi = 2.0 * np.pi
+    lng = lng - two_pi * np.round(lng / two_pi)
+    return lat, lng + 0.0
+
+
 def xyz_to_face(x, y, z):
     """Cube face 0-5 by largest |component| (S2Projections.java:847-856,
     S2Point.largestAbsComponent S2Point.java:366-371: strict > comparisons,
@@ -600,6 +611,49 @@ def get_edge_neighbors(ids) -> np.ndarray:
     up = parent(from_face_ij_same(f, i, j + size, j + size < MAX_SIZE), lvl)
     left = parent(from_face_ij_same(f, i - size, j, i - size >= 0), lvl)
     return np.stack([down, right, up, left], axis=1)
+
+
+def get_all_neighbors(cid, nbr_level: int) -> list[int]:
+    """All neighbors of one cell at ``nbr_level`` >= its level
+    (S2CellId.visitNeighbors :1108-1153): the full ring of finer-level
+    cells around the boundary. Scalar — used driver-side by covering
+    expansion where unions are tiny; may emit duplicates at cube corners
+    exactly like the reference (callers normalize)."""
+    u = np.uint64(cid)
+    lvl = int(level(u))
+    if nbr_level < lvl:
+        raise ValueError(f"nbr_level {nbr_level} < cell level {lvl}")
+    f, i, j, _ = to_face_ij_orientation(u)
+    size = 1 << (MAX_LEVEL - lvl)
+    fi = int(np.atleast_1d(f)[0])
+    ii = int(np.atleast_1d(i)[0]) & -size
+    jj = int(np.atleast_1d(j)[0]) & -size
+    nbr_size = 1 << (MAX_LEVEL - nbr_level)
+
+    def emit(x, y, same):
+        return int(
+            np.atleast_1d(parent(from_face_ij_same(fi, x, y, bool(same)), nbr_level))[0]
+        )
+
+    out: list[int] = []
+    k = -nbr_size
+    while True:
+        if k < 0:
+            same_face = jj + k >= 0
+        elif k >= size:
+            same_face = jj + k < MAX_SIZE
+        else:
+            same_face = True
+            # top and bottom neighbors
+            out.append(emit(ii + k, jj - nbr_size, jj - size >= 0))
+            out.append(emit(ii + k, jj + size, jj + size < MAX_SIZE))
+        # left, right (and diagonal) neighbors
+        out.append(emit(ii - nbr_size, jj + k, same_face and (ii - size >= 0)))
+        out.append(emit(ii + size, jj + k, same_face and (ii + size < MAX_SIZE)))
+        if k >= size:
+            break
+        k += nbr_size
+    return out
 
 
 def get_all_neighbors_same_level(ids) -> np.ndarray:

@@ -350,13 +350,14 @@ def union_expand_level(ids: list[int], expand_level: int) -> list[int]:
                 i -= 1
         out.append(cid)
         lvl = int(ci.level(np.uint64(cid)))
-        # neighbors at expand_level (>= cell level after the parent step)
-        nb_level = max(expand_level, lvl)
-        if nb_level == lvl:
+        # neighbors at expand_level; cells COARSER than expand_level get the
+        # full finer-level ring around their boundary (S2CellUnion.java:716
+        # -> S2CellId.getAllNeighbors(expandLevel))
+        if expand_level <= lvl:
             nbrs = ci.get_all_neighbors_same_level(np.uint64(cid))[0]
             out.extend(int(n) for n in nbrs)
-        else:  # pragma: no cover - parent step guarantees nb_level == lvl
-            raise AssertionError("expand invariant violated")
+        else:
+            out.extend(ci.get_all_neighbors(cid, expand_level))
         i -= 1
     return union_normalize(out)
 

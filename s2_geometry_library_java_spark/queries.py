@@ -24,7 +24,8 @@ from .functions import udfs
 from .kernel import cellid as s2
 from .kernel import coverer as cov
 from .kernel import region as rg
-from .operators import dedup, knn, pip, similarity, textstats, tiling
+from .kernel import sphere
+from .operators import dedup, knn, pip, similarity, textstats, tiling, tolerant
 from .sources import docs as docsrc
 from .sources import geo, tables
 
@@ -329,6 +330,116 @@ def q_pip_contains_oracle() -> str:
         (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
         FROM p CROSS JOIN e)
     SELECT k, pid AS polygon_id FROM d GROUP BY k, pid HAVING bool_and(det > 0)
+    """
+
+
+# F2 gate geometry: radii nudged off round numbers so no synthetic point
+# sits within FP noise of the decision boundary.
+TOLERANT_RADIUS_RAD = 1000.37e3 / sphere.EARTH_RADIUS_METERS  # ~1000 km
+NEAR_POLY_RADIUS_RAD = float(np.radians(3.0037))  # ~3 degrees
+
+
+def q_tolerant_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 point x point: all (customer, supplier) pairs within ~1000 km —
+    cell-keyed ring equi-join + exact chord post-filter (no cross product)."""
+    cust = tables.load_table(spark, sf_dir, "customer")
+    supp = tables.load_table(spark, sf_dir, "supplier")
+    a = cust.select(
+        F.col("c_custkey").alias("k"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    b = supp.select(
+        F.col("s_suppkey").alias("k"),
+        geo.lat_col("s_suppkey").alias("lat"),
+        geo.lng_col("s_suppkey").alias("lng"),
+    )
+    return tolerant.tolerant_pairs(
+        a, b, TOLERANT_RADIUS_RAD, a_id="k", b_id="k"
+    ).select(F.col("a_id").alias("cust"), F.col("b_id").alias("supp"))
+
+
+def q_tolerant_pairs_oracle() -> str:
+    threshold = float(sphere.chord2_from_angle(TOLERANT_RADIUS_RAD))
+    return f"""
+    WITH cp AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('customer', 'c_custkey')})),
+    sp AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('supplier', 's_suppkey')}))
+    SELECT cp.k AS cust, sp.k AS supp
+    FROM cp CROSS JOIN sp
+    WHERE least(4.0, (cp.x-sp.x)*(cp.x-sp.x) + (cp.y-sp.y)*(cp.y-sp.y)
+        + (cp.z-sp.z)*(cp.z-sp.z)) <= {threshold!r}
+    """
+
+
+def _edge_distance_sql(x: str, y: str, z: str) -> str:
+    """Min chord2 from point (x,y,z) to every PIP-quad boundary edge, as a
+    per-polygon CASE tree replicating kernel/edges.min_chord2_to_edges
+    op-for-op (planar acute test, wedge signs, XQ^2 + QR^2)."""
+    eps = float(np.finfo(np.float64).eps)
+    per_pid = []
+    for pid, poly in pip_polygons().items():
+        terms = []
+        for lp in poly.loops:
+            v = lp.vertices
+            for kk in range(len(v)):
+                a = v[kk]
+                b = v[(kk + 1) % len(v)]
+                c = np.cross(b + a, b - a)  # robust_cross_prod stable form
+                c2 = float(c @ c)
+                ab2 = float((a - b) @ (a - b))
+                xa2 = f"(({x}-({a[0]!r}))*({x}-({a[0]!r})) + ({y}-({a[1]!r}))*({y}-({a[1]!r})) + ({z}-({a[2]!r}))*({z}-({a[2]!r})))"
+                xb2 = f"(({x}-({b[0]!r}))*({x}-({b[0]!r})) + ({y}-({b[1]!r}))*({y}-({b[1]!r})) + ({z}-({b[2]!r}))*({z}-({b[2]!r})))"
+                xdc = f"({c[0]!r}*{x} + {c[1]!r}*{y} + {c[2]!r}*{z})"
+                cxx = f"({c[1]!r}*{z} - {c[2]!r}*{y})"
+                cxy = f"({c[2]!r}*{x} - {c[0]!r}*{z})"
+                cxz = f"({c[0]!r}*{y} - {c[1]!r}*{x})"
+                wedge = (
+                    f"((({a[0]!r}-{x})*{cxx} + ({a[1]!r}-{y})*{cxy} + ({a[2]!r}-{z})*{cxz}) < 0"
+                    f" AND (({b[0]!r}-{x})*{cxx} + ({b[1]!r}-{y})*{cxy} + ({b[2]!r}-{z})*{cxz}) > 0)"
+                )
+                planar = (
+                    f"(abs({xa2} - {xb2}) < {ab2!r} + "
+                    f"(4.75*{eps!r}*({xa2} + {xb2} + {ab2!r}) + 8*{eps!r}*{eps!r}))"
+                )
+                qr = f"(1 - sqrt(({cxx}*{cxx} + {cxy}*{cxy} + {cxz}*{cxz}) / {c2!r}))"
+                dint = f"({xdc}*{xdc}/{c2!r} + {qr}*{qr})"
+                dend = f"least({xa2}, {xb2})"
+                terms.append(
+                    f"(CASE WHEN {planar} AND {wedge} THEN least({dint}, {dend}) ELSE {dend} END)"
+                )
+        per_pid.append((pid, f"least({', '.join(terms)})"))
+    return per_pid
+
+
+def q_near_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 point x region: orders points within ~3 deg of each query quad
+    (inside counts) — expanded-covering broadcast join + A21 edge-distance
+    kernel post-filter."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    out = tolerant.within_distance_of_polygons(
+        spark, pts, pip_polygons(), NEAR_POLY_RADIUS_RAD, point_id="k"
+    )
+    return out.select(F.col("point_id").alias("k"), "polygon_id")
+
+
+def q_near_polygon_oracle() -> str:
+    threshold = float(sphere.chord2_from_angle(NEAR_POLY_RADIUS_RAD))
+    dist_cases = " ".join(
+        f"WHEN pid = '{pid}' THEN {expr}" for pid, expr in _edge_distance_sql("x", "y", "z")
+    )
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    e(pid, ax, ay, az, bx, by, bz) AS (VALUES {_quad_edges_sql_values()}),
+    dets AS (SELECT p.k, e.pid,
+        (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+        FROM p CROSS JOIN e),
+    inside AS (SELECT k, pid FROM dets GROUP BY k, pid HAVING bool_and(det > 0)),
+    near AS (SELECT p.k, d.pid FROM p
+        CROSS JOIN (SELECT DISTINCT pid FROM e) d
+        WHERE (CASE {dist_cases} END) <= {threshold!r})
+    SELECT k, pid AS polygon_id FROM inside
+    UNION
+    SELECT k, pid AS polygon_id FROM near
     """
 
 
@@ -777,6 +888,8 @@ def all_queries():
         "pip_convex": q_pip_convex,
         "knn_brute": q_knn_brute,
         "knn_cell": q_knn_cell,
+        "tolerant_pairs": q_tolerant_pairs,
+        "near_polygon": q_near_polygon,
         "covering_tokens": q_covering_tokens,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -809,6 +922,8 @@ def all_oracles():
         "pip_convex": q_pip_contains_oracle(),
         "knn_brute": _knn_oracle(),
         "knn_cell": _knn_oracle(),
+        "tolerant_pairs": q_tolerant_pairs_oracle(),
+        "near_polygon": q_near_polygon_oracle(),
         # covering_tokens: rows-only (a covering is not SQL-expressible)
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),
