@@ -1,0 +1,103 @@
+"""E2: shape-index build — clip shape edges into an adaptively refined
+cell quadtree with a bounded number of edges per cell.
+
+Semantics follow S2ShapeIndex.updateEdges (S2ShapeIndex.java:766+,
+DEFAULT_MAX_EDGES_PER_CELL = 10 at :124): start from the six face cells,
+keep the edges intersecting each cell, and subdivide while a cell holds
+more than max_edges_per_cell edges. Two deliberate simplifications vs the
+reference (documented; both conservative):
+
+* edge/cell intersection is decided geometrically (endpoint-in-cell range
+  check on leaf ids + robust edge-crossing signs against the four cell
+  edges) instead of the padded (u,v) clip of R2EdgeClipper — same cell ->
+  edge mapping up to the reference's CELL_PADDING slack;
+* the short/long-edge subdivision economics (makeIndexCell :534-650) are
+  replaced by a hard max_level stop, which bounds the worst case (many
+  edges through one point) the same way in practice.
+
+The output rows (cell_id, edge_id) sorted by biased cell id ARE the index:
+in the engine an index is a DataFrame (SURVEY.md §1.1 S2ShapeIndex row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid as ci
+from . import predicates
+from .cell import Cell
+
+
+def _edges_intersect_cell(cell: Cell, a: np.ndarray, b: np.ndarray,
+                          leaf_a: np.ndarray, leaf_b: np.ndarray) -> np.ndarray:
+    """Boolean mask of edges (a[k], b[k]) intersecting the cell: endpoint
+    inside (leaf-range containment — exact) or edge crossing/touching any
+    of the four cell edges (robust signs; zero counts as touching)."""
+    u = np.uint64(cell.id)
+    bias = np.uint64(1) << np.uint64(63)
+    lob = (np.atleast_1d(ci.range_min(u)) ^ bias).view(np.int64)[0]
+    hib = (np.atleast_1d(ci.range_max(u)) ^ bias).view(np.int64)[0]
+    la = (leaf_a ^ bias).view(np.int64)
+    lb = (leaf_b ^ bias).view(np.int64)
+    inside = ((la >= lob) & (la <= hib)) | ((lb >= lob) & (lb <= hib))
+    todo = ~inside
+    if not np.any(todo):
+        return inside
+    sa = a[todo]
+    sb = b[todo]
+    cv = cell.vertices
+    cross = np.zeros(len(sa), dtype=bool)
+    for k in range(4):
+        c = cv[k][None, :]
+        d = cv[(k + 1) & 3][None, :]
+        acb = predicates.sign_batch(sa, c, sb)
+        bda = predicates.sign_batch(sb, d, sa)
+        cbd = predicates.sign_batch(c, sb, d)
+        dac = predicates.sign_batch(d, sa, c)
+        proper = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+        touching = (acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)
+        cross |= proper | touching
+        if cross.all():
+            break
+    out = inside.copy()
+    out[todo] = cross
+    return out
+
+
+def build_shape_index(
+    loops: list[np.ndarray],
+    max_edges_per_cell: int = 10,
+    max_level: int = 20,
+) -> list[tuple[int, np.ndarray]]:
+    """Index one shape: list of (cell_id, edge_ids) with edges numbered
+    globally across loops in order. Cells are disjoint, every edge appears
+    in >= 1 cell, and cells with > max_edges_per_cell edges occur only at
+    max_level."""
+    va = np.concatenate([lp for lp in loops], axis=0)
+    vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
+    leaf_a = ci.xyz_to_cell_id(va[:, 0], va[:, 1], va[:, 2])
+    leaf_b = ci.xyz_to_cell_id(vb[:, 0], vb[:, 1], vb[:, 2])
+    all_ids = np.arange(len(va), dtype=np.int64)
+    out: list[tuple[int, np.ndarray]] = []
+    # six face cells (id = face << 61 | 1 << 60)
+    stack = [
+        (int((np.uint64(f) << np.uint64(61)) | (np.uint64(1) << np.uint64(60))), all_ids)
+        for f in range(6)
+    ]
+    while stack:
+        cid, cand = stack.pop()
+        cell = Cell(cid)
+        mask = _edges_intersect_cell(
+            cell, va[cand], vb[cand], leaf_a[cand], leaf_b[cand]
+        )
+        hits = cand[mask]
+        if len(hits) == 0:
+            continue
+        if len(hits) <= max_edges_per_cell or cell.level >= max_level:
+            out.append((cid, hits))
+            continue
+        u = np.uint64(cid)
+        for k in range(4):
+            stack.append((int(np.atleast_1d(ci.child(u, k))[0]), hits))
+    out.sort(key=lambda r: int(np.uint64(r[0]) ^ (np.uint64(1) << np.uint64(63))))
+    return out

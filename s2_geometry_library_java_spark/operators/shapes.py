@@ -1,0 +1,180 @@
+"""Executor-side shape prep: coverings and shape-index build as DataFrame
+transforms over a polygon TABLE (no driver loop, no per-polygon closure).
+
+This is the scale path SURVEY §2.D/§2.E planned: with 10^4-10^6 polygons
+the per-shape work (coverer priority queue, edge clipping) runs inside
+mapInPandas over the shapes table, and the geometry reaches the exact
+point-in-polygon filter as a COLUMN on the candidate rows (broadcast hash
+join on polygon_id), never as a driver-side Python object.
+
+Shapes are rows (shape_id string, text string) in the S2TextFormat polygon
+grammar ('lat:lng, ...; ...' — S2TextFormat.java:484-495), the engine's
+only string geometry format.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from ..functions import columns as cc
+from ..functions import udfs
+from ..kernel import cellid as s2
+
+
+@lru_cache(maxsize=4096)
+def _parse_polygon(text: str):
+    from ..kernel import region as rg
+
+    return rg.Polygon.from_text(text)
+
+
+_COVERING_SCHEMA = "shape_id string, cell_id long, is_interior boolean"
+
+
+def coverings_df(shapes: DataFrame, max_cells: int = 8,
+                 id_col: str = "shape_id", text_col: str = "text") -> DataFrame:
+    """(shape_id, cell_id, is_interior) covering rows, computed on the
+    executors — one coverer run per polygon row (D1 + interior flags)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import coverer as cov
+        from ..kernel import region as rg
+        from ..kernel.cell import Cell
+
+        coverer = cov.RegionCoverer(max_cells=max_cells)
+        for pdf in batches:
+            out_sid, out_cid, out_int = [], [], []
+            for sid, text in zip(pdf[id_col], pdf[text_col]):
+                poly = _parse_polygon(text)
+                contains_cell, _, _ = rg.region_cell_tests(poly)
+                for cid in coverer.get_covering(poly):
+                    out_sid.append(sid)
+                    out_cid.append(int(s2.to_signed(np.uint64(cid))[0]))
+                    out_int.append(bool(contains_cell(Cell(cid))))
+            yield pd.DataFrame(
+                {"shape_id": out_sid, "cell_id": out_cid, "is_interior": out_int}
+            )
+
+    return shapes.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        gen, _COVERING_SCHEMA
+    )
+
+
+_INDEX_SCHEMA = (
+    "shape_id string, cell_id long, edge_id int, "
+    "ax double, ay double, az double, bx double, by double, bz double"
+)
+
+
+def shape_index_df(shapes: DataFrame, max_edges_per_cell: int = 10,
+                   max_level: int = 20, id_col: str = "shape_id",
+                   text_col: str = "text") -> DataFrame:
+    """E2 build: (shape_id, cell_id, edge_id, edge endpoints) rows — the
+    DataFrame form of S2ShapeIndex (an index IS a sorted table). Sort or
+    bucket by biased cell id downstream for range-scan joins."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import shapeindex as si
+
+        for pdf in batches:
+            rows = {k: [] for k in ("shape_id", "cell_id", "edge_id",
+                                    "ax", "ay", "az", "bx", "by", "bz")}
+            for sid, text in zip(pdf[id_col], pdf[text_col]):
+                poly = _parse_polygon(text)
+                loops = [lp.vertices for lp in poly.loops]
+                va = np.concatenate(loops, axis=0)
+                vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
+                for cid, edge_ids in si.build_shape_index(
+                    loops, max_edges_per_cell=max_edges_per_cell, max_level=max_level
+                ):
+                    for e in edge_ids:
+                        rows["shape_id"].append(sid)
+                        rows["cell_id"].append(int(s2.to_signed(np.uint64(cid))[0]))
+                        rows["edge_id"].append(int(e))
+                        rows["ax"].append(float(va[e, 0]))
+                        rows["ay"].append(float(va[e, 1]))
+                        rows["az"].append(float(va[e, 2]))
+                        rows["bx"].append(float(vb[e, 0]))
+                        rows["by"].append(float(vb[e, 1]))
+                        rows["bz"].append(float(vb[e, 2]))
+            yield pd.DataFrame(rows)
+
+    return shapes.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, _INDEX_SCHEMA)
+
+
+@pandas_udf(BooleanType())
+def _pip_contains_text(text: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+    """Exact crossing-parity containment with the polygon geometry arriving
+    as a column (parsed once per distinct polygon per batch)."""
+    lat_r = np.radians(lat.to_numpy(np.float64))
+    lng_r = np.radians(lng.to_numpy(np.float64))
+    x, y, z = s2.latlng_to_xyz(lat_r, lng_r)
+    pts = np.stack([x, y, z], axis=1)
+    out = np.zeros(len(pts), dtype=bool)
+    for t in pd.unique(text):
+        mask = (text == t).to_numpy()
+        poly = _parse_polygon(t)
+        sub = pts[mask]
+        out[mask] = poly.contains_points(sub[:, 0], sub[:, 1], sub[:, 2])
+    return pd.Series(out)
+
+
+def pip_join_indexed(
+    spark,
+    points: DataFrame,
+    shapes: DataFrame,
+    point_id: str = "id",
+    lat: str = "lat",
+    lng: str = "lng",
+    max_cells: int = 8,
+    leaf_col: str | None = None,
+) -> DataFrame:
+    """(point_id, polygon_id) PIP join with EXECUTOR-side polygon prep.
+
+    Same physical plan as pip.pip_join (ancestor-level broadcast hash join,
+    interior fast-accept, exact kernel on boundary candidates) but the
+    covering table is computed distributed from the shapes table and the
+    exact filter reads geometry from a joined column — no driver loop, no
+    closure capture; scales to millions of polygons.
+    """
+    cov_rows = coverings_df(shapes, max_cells=max_cells)
+    # distinct covering levels: tiny aggregate, one job
+    levels = [
+        int(r["lvl"])
+        for r in cov_rows.select(cc.level("cell_id").alias("lvl")).distinct().collect()
+    ]
+    cov_b = F.broadcast(
+        cov_rows.withColumnRenamed("shape_id", "polygon_id")
+    )
+    geom_b = F.broadcast(
+        shapes.select(F.col("shape_id").alias("polygon_id"), F.col("text"))
+    )
+    if leaf_col is not None:
+        leaf = F.col(leaf_col)
+    else:
+        leaf = udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30)
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(lat).alias("lat"),
+        F.col(lng).alias("lng"),
+        leaf.alias("leaf"),
+    )
+    cand = pts.select(
+        "point_id",
+        "lat",
+        "lng",
+        F.explode(F.array(*[cc.parent("leaf", lv) for lv in levels])).alias("cell_id"),
+    ).join(cov_b, "cell_id")
+    boundary = cand.where(~F.col("is_interior")).join(geom_b, "polygon_id")
+    hits_boundary = boundary.where(
+        _pip_contains_text(F.col("text"), F.col("lat"), F.col("lng"))
+    ).select("point_id", "polygon_id")
+    hits_interior = cand.where(F.col("is_interior")).select("point_id", "polygon_id")
+    return hits_interior.unionByName(hits_boundary)

@@ -322,6 +322,33 @@ def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quad_text(clat: float, clng: float, h: float) -> str:
+    """PIP quad as S2TextFormat loop text (repr floats round-trip exactly)."""
+    pts = [
+        (clat - h, clng - h),
+        (clat - h, clng + h),
+        (clat + h, clng + h),
+        (clat + h, clng - h),
+    ]
+    return ", ".join(f"{la!r}:{ln!r}" for la, ln in pts)
+
+
+def q_pip_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/E2 scale path: polygons as a TABLE; coverings computed executor-
+    side (mapInPandas), exact filter reads geometry from a joined column —
+    no driver loop. Same oracle as pip_contains."""
+    from .operators import shapes as shape_ops
+
+    shapes = spark.createDataFrame(
+        [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+        "shape_id string, text string",
+    )
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return shape_ops.pip_join_indexed(spark, pts, shapes, point_id="k").withColumnsRenamed(
+        {"point_id": "k"}
+    )
+
+
 def q_pip_contains_oracle() -> str:
     return f"""
     WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
@@ -886,6 +913,7 @@ def all_queries():
         "rect_contains": q_rect_contains,
         "pip_contains": q_pip_contains,
         "pip_convex": q_pip_convex,
+        "pip_indexed": q_pip_indexed,
         "knn_brute": q_knn_brute,
         "knn_cell": q_knn_cell,
         "tolerant_pairs": q_tolerant_pairs,
@@ -920,6 +948,7 @@ def all_oracles():
         "rect_contains": q_rect_contains_oracle(),
         "pip_contains": q_pip_contains_oracle(),
         "pip_convex": q_pip_contains_oracle(),
+        "pip_indexed": q_pip_contains_oracle(),
         "knn_brute": _knn_oracle(),
         "knn_cell": _knn_oracle(),
         "tolerant_pairs": q_tolerant_pairs_oracle(),
