@@ -23,7 +23,7 @@ these operators exist for global cell sets too big for one machine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import columns as cc
 
@@ -36,19 +36,57 @@ def _with_ranges(df: DataFrame) -> DataFrame:
     )
 
 
-def drop_contained_df(df: DataFrame) -> DataFrame:
-    """Remove cells contained in another cell: sort by biased range_min; a
-    row is contained iff its range_max <= the running max of prior rows."""
-    w = (
-        Window.orderBy(F.asc("rmin_b"), F.desc("rmax_b"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+def drop_contained_df(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Remove cells contained in another cell: in (range_min asc, range_max
+    desc) order a row is contained iff its range_max <= the running max of
+    prior rows' range_max.
+
+    Scale shape (no single-task global sort): repartitionByRange on the
+    biased range_min + per-partition sort, a TINY per-partition max
+    aggregate collected to the driver (one row per partition) whose prefix
+    max becomes each partition's carry-in, then a streaming per-partition
+    cummax filter (Arrow batches, numpy accumulate) — the two-pass
+    distributed cummax. Equal range_min keys land in one partition, so the
+    carry-in is exact.
+    """
     ranged = _with_ranges(df)
-    return (
-        ranged.withColumn("prev_max", F.max("rmax_b").over(w))
-        .where(F.col("prev_max").isNull() | (F.col("rmax_b") > F.col("prev_max")))
-        .select("cell_id")
+    n = num_partitions or ranged.sparkSession.sparkContext.defaultParallelism
+    part = (
+        ranged.repartitionByRange(n, F.asc("rmin_b"))
+        .sortWithinPartitions(F.asc("rmin_b"), F.desc("rmax_b"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin partition ids across the 2 passes
     )
+    stats = part.groupBy("pid").agg(F.max("rmax_b").alias("pmax")).collect()
+    carry: dict[int, int] = {}
+    run: int | None = None
+    for r in sorted(stats, key=lambda r: r["pid"]):
+        if run is not None:
+            carry[int(r["pid"])] = run
+        run = int(r["pmax"]) if run is None else max(run, int(r["pmax"]))
+    int64_min = -(2**63)
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        prev: int | None = None
+        first = True
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if first:
+                prev = carry.get(int(pdf["pid"].iloc[0]), int64_min)
+                first = False
+            rmax = pdf["rmax_b"].to_numpy(_np.int64)
+            full = _np.maximum.accumulate(
+                _np.concatenate(([_np.int64(prev)], rmax))
+            )
+            keep = rmax > full[:-1]
+            prev = int(full[-1])
+            yield _pd.DataFrame({"cell_id": pdf["cell_id"].to_numpy(_np.int64)[keep]})
+
+    return part.mapInPandas(gen, "cell_id long")
 
 
 def collapse_siblings_df(df: DataFrame, rounds: int = 4) -> DataFrame:

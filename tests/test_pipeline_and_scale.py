@@ -172,3 +172,81 @@ def test_cellunion_difference_df(spark):
     ua_ids = np.array(cov.get_covering(cap_a), dtype=np.uint64)
     ub_ids = np.array(cov.get_covering(cap_b), dtype=np.uint64)
     assert np.array_equal(member(ids), member(ua_ids) & ~member(ub_ids))
+
+
+def test_drop_contained_df_distributed(spark):
+    """Range-partitioned two-pass cummax == kernel union_normalize's
+    drop-contained step, across many partitions and cross-partition
+    containment (a face cell swallowing later partitions' cells)."""
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import coverer as cv
+    from s2_geometry_library_java_spark.operators import cellunion
+
+    rng = np.random.RandomState(7)
+    lat = np.radians(rng.uniform(-80, 80, 4000))
+    lng = np.radians(rng.uniform(-179, 179, 4000))
+    lvls = rng.randint(2, 14, 4000)
+    ids = ci.parent(ci.latlng_to_cell_id(lat, lng), lvls)
+    # plus a face cell that contains a big slab of them
+    face4 = (np.uint64(4) << np.uint64(61)) | (np.uint64(1) << np.uint64(60))
+    ids = np.concatenate([ids, [face4]])
+    df = spark.createDataFrame(
+        [(int(np.int64(u)),) for u in ids], "cell_id long"
+    )
+    got = sorted(
+        int(np.uint64(np.int64(r["cell_id"])))
+        for r in cellunion.drop_contained_df(df, num_partitions=16).collect()
+    )
+    # oracle: scalar drop-contained (sort by biased rmin, keep rmax > cummax)
+    b = (ids ^ (np.uint64(1) << np.uint64(63))).view(np.int64)
+    rminb = (ci.range_min(ids) ^ (np.uint64(1) << np.uint64(63))).view(np.int64)
+    rmaxb = (ci.range_max(ids) ^ (np.uint64(1) << np.uint64(63))).view(np.int64)
+    order = np.lexsort((-rmaxb, rminb))
+    keep = []
+    run = None
+    for k in order:
+        if run is None or rmaxb[k] > run:
+            keep.append(int(ids[k]))
+            run = rmaxb[k] if run is None else max(run, rmaxb[k])
+        else:
+            run = max(run, rmaxb[k])
+    assert got == sorted(keep)
+
+
+def test_drop_contained_df_no_global_sort(spark):
+    """The plan must not contain a single-partition exchange (the round-1
+    global Window.orderBy anti-pattern)."""
+    from s2_geometry_library_java_spark.operators import cellunion
+
+    df = spark.range(100).selectExpr("cast(shiftleft(id, 32) + 1 as long) as cell_id")
+    plan = cellunion.drop_contained_df(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_difference_df_deep_refinement(spark):
+    """ADVICE regression: face cell minus one leaf-level cell must reach
+    the full 30-level refinement depth without dropping the last frontier."""
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.operators import cellunion
+
+    face0 = (np.uint64(0) << np.uint64(61)) | (np.uint64(1) << np.uint64(60))
+    leaf = ci.latlng_to_cell_id(np.array([0.1]), np.array([0.1]))[0]
+    ua = spark.createDataFrame([(int(np.int64(face0)),)], "cell_id long")
+    ub = spark.createDataFrame([(int(np.int64(leaf)),)], "cell_id long")
+    out = np.array(
+        [
+            np.uint64(np.int64(r["cell_id"]))
+            for r in cellunion.difference_df(ua, ub).collect()
+        ],
+        dtype=np.uint64,
+    )
+    # exact difference of a level-0 cell minus one leaf: 4 cells per level
+    # 1..30 minus the shared path = 30 levels x 3 siblings = 90 cells
+    assert len(out) == 90
+    assert bool(np.all(ci.is_valid(out)))
+    # the removed leaf is NOT covered; its 3 siblings are
+    lb = int(leaf)
+    rmin = ci.range_min(out).astype(np.uint64)
+    rmax = ci.range_max(out).astype(np.uint64)
+    covered = bool(((np.uint64(lb) >= rmin) & (np.uint64(lb) <= rmax)).any())
+    assert not covered
