@@ -153,8 +153,8 @@ def count_crossings(
 
     points: (n,3); loop_vertices: (m,3) closed implicitly (last->first).
     Uses the four-sign minor-arc crossing test (robustCrossing semantics,
-    S2EdgeUtil.java:1806-1849, interior crossings; shared-vertex tiebreaks
-    are phase-2 — synthetic points never coincide with vertices).
+    S2EdgeUtil.java:1806-1849) with the shared-vertex wedge tiebreak
+    applied to the (rare) zero-sign pairs, matching edgeOrVertexCrossing.
     All m edges x n points evaluated as one broadcast batch.
     """
     o = np.asarray(origin, dtype=np.float64)
@@ -172,6 +172,17 @@ def count_crossings(
     cbd = sign_batch(c, pn, d)
     dac = sign_batch(d, on, c)
     crossing = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+    # B7 batch tiebreak: a zero sign means shared/duplicated points (SoS
+    # leaves only duplicates at 0) — i.e. the query point coincides with an
+    # edge endpoint. Those rare (point, edge) pairs escalate to the exact
+    # scalar vertexCrossing wedge rule (S2EdgeUtil.edgeOrVertexCrossing,
+    # S2EdgeUtil.java:1806-1924) so on-vertex points are exact in the
+    # vectorized path too.
+    zeros = (acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)
+    if np.any(zeros):
+        dv = np.roll(v, -1, axis=0)
+        for i, j in zip(*np.nonzero(zeros)):
+            crossing[i, j] = edge_or_vertex_crossing(o, p[i], v[j], dv[j])
     return crossing.sum(axis=1).astype(np.int64)
 
 

@@ -360,6 +360,89 @@ def q_pip_contains_oracle() -> str:
     """
 
 
+# General (non-convex) PIP gate geometry: a concave L-shape, a quad with a
+# hole (XOR loops), and a triangle — all vertices nudged off the 0.01-degree
+# synthetic grid. These exercise the crossing-parity kernel's general path,
+# which the convex-quad det oracle cannot.
+def general_polygons() -> dict[str, rg.Polygon]:
+    la, lo = 8.0043, 44.0021
+    l_shape = rg.Loop.from_latlng_degrees(
+        [
+            (la, lo),
+            (la, lo + 12),
+            (la + 5, lo + 12),
+            (la + 5, lo + 5),
+            (la + 12, lo + 5),
+            (la + 12, lo),
+        ]
+    )
+    outer = rg.Loop.from_latlng_degrees(
+        [(-28.0043, -68.0021), (-28.0043, -52.0021), (-12.0043, -52.0021), (-12.0043, -68.0021)]
+    )
+    hole = rg.Loop.from_latlng_degrees(
+        [(-23.0043, -63.0021), (-23.0043, -57.0021), (-17.0043, -57.0021), (-17.0043, -63.0021)]
+    )
+    tri = rg.Loop.from_latlng_degrees(
+        [(48.0043, -152.0021), (54.0043, -146.0021), (57.0043, -155.0021)]
+    )
+    return {
+        "g0": rg.Polygon([l_shape]),
+        "g1": rg.Polygon([outer, hole]),
+        "g2": rg.Polygon([tri]),
+    }
+
+
+def q_pip_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 general path over CONCAVE / HOLED polygons — the crossing-parity
+    kernel's full semantics, oracle-checked via SQL crossing parity."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return pip.pip_join(spark, pts, general_polygons(), point_id="k").withColumnsRenamed(
+        {"point_id": "k"}
+    )
+
+
+def q_pip_general_oracle() -> str:
+    """Crossing-parity in SQL: for each loop edge (c,d) and query point p,
+    the geodesic ORIGIN->p crosses iff the four orientation signs agree
+    and are nonzero; sign coefficient vectors (origin x c), (d x origin),
+    (d x c) and the all-literal fourth sign are precomputed in Python.
+    inside(loop) = origin_inside XOR parity; inside(polygon) = XOR loops."""
+    o = rg.Loop.ORIGIN
+    rows = []
+    for pid, poly in general_polygons().items():
+        for lid, lp in enumerate(poly.loops):
+            v = lp.vertices
+            oi = 1 if lp.origin_inside else 0
+            for kk in range(len(v)):
+                c = v[kk]
+                d = v[(kk + 1) % len(v)]
+                k1 = np.cross(o, c)  # det(o,c,p) = (o x c) . p
+                k2 = np.cross(d, o)  # det(p,d,o) = (d x o) . p
+                k3 = np.cross(d, c)  # det(c,p,d) = (d x c) . p
+                s4 = int(np.sign(np.dot(np.cross(d, o), c)))  # det(d,o,c)
+                rows.append(
+                    f"('{pid}',{lid},{oi},"
+                    f"{k1[0]!r},{k1[1]!r},{k1[2]!r},"
+                    f"{k2[0]!r},{k2[1]!r},{k2[2]!r},"
+                    f"{k3[0]!r},{k3[1]!r},{k3[2]!r},{s4})"
+                )
+    values = ",".join(rows)
+    s1 = "sign(k1x*x + k1y*y + k1z*z)"
+    s2 = "sign(k2x*x + k2y*y + k2z*z)"
+    s3 = "sign(k3x*x + k3y*y + k3z*z)"
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    e(pid, lid, oi, k1x, k1y, k1z, k2x, k2y, k2z, k3x, k3y, k3z, s4)
+        AS (VALUES {values}),
+    cr AS (SELECT p.k, e.pid, e.lid, e.oi,
+        SUM(CASE WHEN {s1} = {s2} AND {s1} = {s3} AND {s1} = e.s4
+                 AND {s1} <> 0 THEN 1 ELSE 0 END) AS ncross
+        FROM p CROSS JOIN e GROUP BY p.k, e.pid, e.lid, e.oi),
+    li AS (SELECT k, pid, (oi + ncross) % 2 AS inside_l FROM cr)
+    SELECT k, pid AS polygon_id FROM li GROUP BY k, pid HAVING SUM(inside_l) % 2 = 1
+    """
+
+
 # F2 gate geometry: radii nudged off round numbers so no synthetic point
 # sits within FP noise of the decision boundary.
 TOLERANT_RADIUS_RAD = 1000.37e3 / sphere.EARTH_RADIUS_METERS  # ~1000 km
@@ -914,6 +997,7 @@ def all_queries():
         "pip_contains": q_pip_contains,
         "pip_convex": q_pip_convex,
         "pip_indexed": q_pip_indexed,
+        "pip_general": q_pip_general,
         "knn_brute": q_knn_brute,
         "knn_cell": q_knn_cell,
         "tolerant_pairs": q_tolerant_pairs,
@@ -949,6 +1033,7 @@ def all_oracles():
         "pip_contains": q_pip_contains_oracle(),
         "pip_convex": q_pip_contains_oracle(),
         "pip_indexed": q_pip_contains_oracle(),
+        "pip_general": q_pip_general_oracle(),
         "knn_brute": _knn_oracle(),
         "knn_cell": _knn_oracle(),
         "tolerant_pairs": q_tolerant_pairs_oracle(),

@@ -94,3 +94,48 @@ def test_rotation_stability():
     for r in range(4):
         rotated = pts[r:] + pts[:r]
         assert contains(rg.Loop.from_latlng_degrees(rotated), p)
+
+
+def test_batch_vertex_tiebreak_matches_scalar():
+    """B7: points that ARE loop vertices get the exact vertexCrossing wedge
+    verdict in the batch path (count_crossings), matching the scalar
+    edge_or_vertex_crossing parity used at loop init."""
+    from s2_geometry_library_java_spark.kernel import predicates
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    loops = [
+        rg.Loop.from_latlng_degrees([(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]),
+        # SKINNY_CHEVRON (S2LoopTest.java:86): nearly-degenerate CCW chevron
+        rg.Loop.from_latlng_degrees(
+            [(0.0, 0.0), (-1e-80, 80.0), (0.0, 1e-80), (1e-80, 80.0)]
+        ),
+    ]
+    for loop in loops:
+        v = loop.vertices
+        batch = loop.contains_points(v[:, 0], v[:, 1], v[:, 2])
+        for i in range(len(v)):
+            scalar = predicates.loop_contains_point_scalar(
+                v, loop.ORIGIN, loop.origin_inside, v[i]
+            )
+            assert bool(batch[i]) == bool(scalar), (i, batch[i], scalar)
+
+
+def test_holed_polygon_xor_containment():
+    """XOR-loops polygon: inside outer minus hole."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    outer = rg.Loop.from_latlng_degrees(
+        [(-10.0, -10.0), (-10.0, 10.0), (10.0, 10.0), (10.0, -10.0)]
+    )
+    hole = rg.Loop.from_latlng_degrees(
+        [(-3.0, -3.0), (-3.0, 3.0), (3.0, 3.0), (3.0, -3.0)]
+    )
+    poly = rg.Polygon([outer, hole])
+    lat = np.radians(np.array([0.0, 5.0, 20.0, -2.9, 9.9]))
+    lng = np.radians(np.array([0.0, 5.0, 0.0, 2.9, -9.9]))
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    got = poly.contains_points(x, y, z)
+    assert got.tolist() == [False, True, False, False, True]
