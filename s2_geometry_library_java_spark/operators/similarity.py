@@ -13,6 +13,8 @@ per-bucket refiner.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, Window
 
 
@@ -86,10 +88,88 @@ def lsh_bucket(vec, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
+def make_band_keys_udf(n_tables: int, planes_per_table: int, dim: int):
+    """pandas UDF embedding -> array of n_tables band keys.
+
+    Each table t hashes the vector with planes p = t*P..t*P+P-1
+    (hyperplane_weight) and packs the sign bits; key = (t << P) | bits.
+    The per-plane projection accumulates STRICTLY in dimension order so the
+    result is bit-identical to a sequential SQL list_reduce / Column
+    aggregate — band keys must match the oracle exactly."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def band_keys(emb: pd.Series) -> pd.Series:
+        E = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        n = len(E)
+        keys = np.zeros((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = np.zeros(n, dtype=np.int64)
+            for i in range(planes_per_table):
+                p = t * planes_per_table + i
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):  # sequential order == SQL list_reduce
+                    acc = acc + E[:, d] * hyperplane_weight(p, d)
+                bits |= (acc >= 0).astype(np.int64) << i
+            keys[:, t] = (t << planes_per_table) | bits
+        return pd.Series(list(keys))
+
+    return band_keys
+
+
+def lsh_banded_pairs(
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_tables: int = 4,
+    planes_per_table: int = 16,
+    dim: int = 64,
+    min_cosine: float | None = None,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """(a, b) candidate pairs sharing any of n_tables LSH bands, optionally
+    refined by exact cosine >= min_cosine — the ANN SCALE path.
+
+    Multi-table banding fixes the single-table quadratic failure: with one
+    8-plane table the self-join degenerates to ~all-pairs/256 on large
+    inputs; 4x16 planes gives 2^16 buckets per table (tiny buckets, high
+    recall via 4 independent chances). The skew guard drops bands larger
+    than max_bucket from the join (a hot bucket means the planes failed to
+    split a dense cluster; callers refine those separately), bounding the
+    worst-case fanout to max_bucket^2 per band."""
+    bk = make_band_keys_udf(n_tables, planes_per_table, dim)
+    b = index.select(
+        _c(id_col).alias("id"),
+        _c(vec_col).alias("v"),
+        F.explode(bk(_c(vec_col))).alias("band"),
+    )
+    counts = b.groupBy("band").agg(F.count("*").alias("n"))
+    kept = b.join(counts.where(F.col("n") <= max_bucket), "band")
+    pairs = (
+        kept.alias("l")
+        .join(
+            kept.alias("r"),
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    if min_cosine is not None:
+        pairs = pairs.where(cosine("va", "vb") >= F.lit(min_cosine))
+    return pairs.select("a", "b")
+
+
 def lsh_bucketed_neighbors(
     index: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64
 ) -> DataFrame:
-    """(a, b, sim) for pairs sharing an LSH bucket — the ANN scale path."""
+    """(a, b, sim) for pairs sharing an LSH bucket — the small-scale form
+    (single table; see lsh_banded_pairs for the 100 TB parameterization)."""
     b = index.select(
         _c(id_col).alias("id"),
         _c(vec_col).alias("v"),

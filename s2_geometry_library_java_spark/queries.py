@@ -749,6 +749,87 @@ def q_ann_topk_oracle() -> str:
     """
 
 
+ANN_MIN_COSINE = 0.9501  # off-round threshold for the banded-LSH gate
+
+
+def _embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectors as array<double> plus near-duplicate twins (first component
+    shifted by +0.05) so the ANN pair-finding path has true positives."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    orig = emb.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.05).otherwise(
+                x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    return orig.unionByName(twins)
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: multi-table banded hyperplane LSH (4 x 16 planes)
+    candidate pairs + exact cosine refine — replaces the single-table
+    8-plane bucketing whose self-join degenerates quadratically."""
+    d = _embeddings_with_twins(spark, sf_dir)
+    return similarity.lsh_banded_pairs(
+        d, "vec_id", "v", n_tables=4, planes_per_table=16, dim=64,
+        min_cosine=ANN_MIN_COSINE,
+    )
+
+
+def q_ann_lsh_pairs_oracle() -> str:
+    def proj(p: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(0, 64), "
+            f"d -> v[CAST(d + 1 AS INTEGER)]"
+            f" * ((d * 11 + {p * 37}) % 21 - 10) / 10.0)), (x, y) -> x + y)"
+        )
+
+    band_selects = []
+    for t in range(4):
+        bits = " + ".join(
+            f"(CASE WHEN {proj(t * 16 + i)} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+            for i in range(16)
+        )
+        band_selects.append(
+            f"SELECT vec_id, v, CAST({t << 16} AS BIGINT) + {bits} AS band FROM vv"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH vv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+            list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
+                         list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS v
+        FROM embeddings),
+    bands AS ({bands}),
+    kept AS (SELECT * FROM bands WHERE band IN
+        (SELECT band FROM bands GROUP BY band HAVING COUNT(*) <= 10000)),
+    pairs AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, l.v AS lv, r.v AS rv
+              FROM kept l JOIN kept r ON l.band = r.band AND l.vec_id < r.vec_id)
+    SELECT a, b FROM (
+      SELECT a, b,
+        {dot.format(a='lv', b='rv')} /
+        sqrt({dot.format(a='lv', b='lv')} * {dot.format(a='rv', b='rv')}) AS sim
+      FROM pairs)
+    WHERE sim >= {ANN_MIN_COSINE!r}
+    """
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -1008,6 +1089,7 @@ def all_queries():
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
         "lsh_buckets": q_lsh_buckets,
         "span_invariant": q_span_invariant,
         "media_tiles": q_media_tiles,
@@ -1044,6 +1126,7 @@ def all_oracles():
         "simhash": q_simhash_oracle(),
         "doc_stats": q_doc_stats_oracle(),
         "ann_topk": q_ann_topk_oracle(),
+        "ann_lsh_pairs": q_ann_lsh_pairs_oracle(),
         "lsh_buckets": q_lsh_buckets_oracle(),
         "span_invariant": q_span_invariant_oracle(),
         "media_tiles": q_media_tiles_oracle(),
