@@ -68,11 +68,14 @@ def build_shape_index(
     loops: list[np.ndarray],
     max_edges_per_cell: int = 10,
     max_level: int = 20,
+    min_level: int = 0,
 ) -> list[tuple[int, np.ndarray]]:
     """Index one shape: list of (cell_id, edge_ids) with edges numbered
     globally across loops in order. Cells are disjoint, every edge appears
     in >= 1 cell, and cells with > max_edges_per_cell edges occur only at
-    max_level."""
+    max_level. min_level forces subdivision down to a uniform floor so a
+    consumer can equi-join on parent(cell, min_level) (the closest-edge
+    ring probe)."""
     va = np.concatenate([lp for lp in loops], axis=0)
     vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
     leaf_a = ci.xyz_to_cell_id(va[:, 0], va[:, 1], va[:, 2])
@@ -93,7 +96,9 @@ def build_shape_index(
         hits = cand[mask]
         if len(hits) == 0:
             continue
-        if len(hits) <= max_edges_per_cell or cell.level >= max_level:
+        if (
+            len(hits) <= max_edges_per_cell and cell.level >= min_level
+        ) or cell.level >= max_level:
             out.append((cid, hits))
             continue
         u = np.uint64(cid)

@@ -1,0 +1,178 @@
+"""F5: closest-edge queries — nearest shape boundaries to each query point.
+
+Semantics follow S2ClosestEdgeQuery (S2ClosestEdgeQuery.java:158 over
+S2BestEdgesQueryBase): results ordered by S1ChordAngle length2, here over
+the DataFrame shape index (operators/shapes.shape_index_df) instead of a
+per-query priority queue:
+
+1. the index is built with a uniform min_level floor and keyed by
+   parent(cell, L);
+2. each query probes its level-L cell plus the 8 ring neighbors (A13) and
+   equi-joins the index key — candidates are every edge indexed within one
+   cell of the query;
+3. the exact point-edge chord distance runs as PURE JVM Column arithmetic
+   (edge_min_chord2_cols below — the same op order as the numpy A21 kernel
+   kernel/edges.min_chord2_to_edges, so the two paths agree bit-for-bit),
+   inside whole-stage codegen, no Python;
+4. per-query top-k by (chord2, shape_id, edge_id) window; completeness is
+   proved by the ring bound (k-th distance <= MIN_WIDTH(L) means nothing
+   outside the 3x3 ring can beat it); unfinished queries fall back to a
+   brute broadcast pass over the (distinct) edge set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import columns as cc
+from ..functions import udfs
+from ..kernel import sphere
+
+_EPS = float(np.finfo(np.float64).eps)
+
+
+def edge_min_chord2_cols(px, py, pz, ax, ay, az, bx, by, bz) -> Column:
+    """Min squared-chord distance from point P to edge AB as a Column
+    expression — op-for-op the numpy kernel (kernel/edges.py
+    min_chord2_to_edges, itself maybeUpdateMinInteriorDistance from
+    S2EdgeUtil.java:2214-2302): planar acute-angle test, wedge sign test
+    against C = (B+A) x (B-A), interior distance XQ^2 + QR^2, endpoint min
+    otherwise. Stays inside whole-stage codegen."""
+    xa2 = (px - ax) ** 2 + (py - ay) ** 2 + (pz - az) ** 2
+    xb2 = (px - bx) ** 2 + (py - by) ** 2 + (pz - bz) ** 2
+    ab2 = (ax - bx) ** 2 + (ay - by) ** 2 + (az - bz) ** 2
+    endpoint = F.least(xa2, xb2)
+    max_error = F.lit(4.75 * _EPS) * (xa2 + xb2 + ab2) + F.lit(8.0 * _EPS * _EPS)
+    planar = F.abs(xa2 - xb2) < ab2 + max_error
+    # c = (b+a) x (b-a) — the stable robustCrossProd form (2 * a x b)
+    sx, sy, sz = bx + ax, by + ay, bz + az
+    dx, dy, dz = bx - ax, by - ay, bz - az
+    c0 = sy * dz - sz * dy
+    c1 = sz * dx - sx * dz
+    c2_ = sx * dy - sy * dx
+    cnorm2 = c0 * c0 + c1 * c1 + c2_ * c2_
+    xdc = px * c0 + py * c1 + pz * c2_
+    # cx = c x p
+    u0 = c1 * pz - c2_ * py
+    u1 = c2_ * px - c0 * pz
+    u2 = c0 * py - c1 * px
+    wedge = (
+        ((ax - px) * u0 + (ay - py) * u1 + (az - pz) * u2 < 0)
+        & ((bx - px) * u0 + (by - py) * u1 + (bz - pz) * u2 > 0)
+    )
+    qr = F.lit(1.0) - F.sqrt((u0 * u0 + u1 * u1 + u2 * u2) / cnorm2)
+    dint = (xdc * xdc) / cnorm2 + qr * qr
+    interior = planar & wedge & (cnorm2 > 0)
+    return F.least(
+        F.when(interior, F.least(dint, endpoint)).otherwise(endpoint), F.lit(4.0)
+    )
+
+
+def _probe(queries: DataFrame, query_id: str, lat: str, lng: str, level) -> DataFrame:
+    qs = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(lat).alias("lat"),
+        F.col(lng).alias("lng"),
+        udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30).alias("qleaf"),
+    )
+    p = udfs.latlng_deg_to_xyz(F.col("lat"), F.col("lng"))
+    qs = (
+        qs.withColumn("_p", p)
+        .select(
+            "query_id",
+            F.col("_p.x").alias("px"),
+            F.col("_p.y").alias("py"),
+            F.col("_p.z").alias("pz"),
+            cc.parent("qleaf", level).alias("qcell"),
+        )
+    )
+    return qs.select(
+        "query_id",
+        "px",
+        "py",
+        "pz",
+        F.explode(
+            F.array_union(F.array(F.col("qcell")), udfs.all_neighbors(F.col("qcell")))
+        ).alias("cell_key"),
+    )
+
+
+def closest_edges(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    level: int = 8,
+    query_id: str = "query_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """(query_id, rank, shape_id, edge_id, chord2) top-k nearest indexed
+    edges per query. ``index`` is shape_index_df output built with
+    min_level >= ``level`` so parent(cell_id, level) is a valid key."""
+    idx = index.select(
+        "shape_id",
+        "edge_id",
+        "ax", "ay", "az", "bx", "by", "bz",
+        cc.parent("cell_id", level).alias("cell_key"),
+    ).dropDuplicates(["shape_id", "edge_id", "cell_key"])
+    probe = _probe(queries, query_id, lat, lng, level)
+    cand = (
+        probe.join(idx, "cell_key")
+        .dropDuplicates(["query_id", "shape_id", "edge_id"])
+        .select(
+            "query_id",
+            "shape_id",
+            "edge_id",
+            edge_min_chord2_cols(
+                F.col("px"), F.col("py"), F.col("pz"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ).alias("chord2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("chord2"), F.asc("shape_id"), F.asc("edge_id")
+    )
+    topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # Completeness: anything outside the 3x3 ring at `level` is at least
+    # MIN_WIDTH(level) away (the knn_cell bound). Queries whose k-th
+    # distance fails the bound (or that found < k edges) re-run brute
+    # against the full edge set — exact, and tiny when `level` fits.
+    bound = float(
+        sphere.chord2_from_angle(sphere.metric_value(sphere.MIN_WIDTH_DERIV, level))
+    )
+    verdict = topk.groupBy("query_id").agg(
+        F.count("*").alias("found"), F.max("chord2").alias("kth")
+    )
+    finished = verdict.where(
+        (F.col("found") == k) & (F.col("kth") < F.lit(bound))
+    ).select("query_id")
+    done = topk.join(finished, "query_id").select(
+        "query_id", "rank", "shape_id", "edge_id", "chord2"
+    )
+    qs_all = _probe(queries, query_id, lat, lng, level).select(
+        "query_id", "px", "py", "pz"
+    ).dropDuplicates(["query_id"])
+    remaining = qs_all.join(finished, "query_id", "left_anti")
+    edges_all = index.dropDuplicates(["shape_id", "edge_id"]).select(
+        "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"
+    )
+    brute = (
+        F.broadcast(remaining)
+        .crossJoin(edges_all)
+        .select(
+            "query_id",
+            "shape_id",
+            "edge_id",
+            edge_min_chord2_cols(
+                F.col("px"), F.col("py"), F.col("pz"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ).alias("chord2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "shape_id", "edge_id", "chord2")
+    )
+    return done.unionByName(brute)

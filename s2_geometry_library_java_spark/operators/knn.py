@@ -111,8 +111,6 @@ def knn_cell_join(
     guaranteed min chord2 (lower bound above), mirroring the reference's
     shrinking maxDistanceLimit (S2ClosestPointQuery.java:121-136).
     """
-    if level is None:
-        level = choose_level(index.count(), k)
     idx = _with_xyz(index, lat, lng, "i").select(
         F.col(index_id).alias("neighbor_id"), "ix", "iy", "iz",
         udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30).alias("leaf"),
@@ -125,6 +123,19 @@ def knn_cell_join(
 
     idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     qs = qs.persist(StorageLevel.MEMORY_AND_DISK)
+    if level is None:
+        # Seed level from the density rollup over the PERSISTED index (the
+        # pass doubles as the cache warm-up the joins reuse — no separate
+        # count job over unencoded input). The histogram is the same
+        # artifact plans/density.py builds for partitioning.
+        from ..functions import columns as cc
+
+        hist = (
+            idx.groupBy(cc.parent("leaf", 8).alias("cell"))
+            .agg(F.count("*").alias("w"))
+            .collect()
+        )
+        level = choose_level(sum(r["w"] for r in hist), k)
     results = None
     remaining = qs
     lvl = level

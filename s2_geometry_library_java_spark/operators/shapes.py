@@ -74,8 +74,8 @@ _INDEX_SCHEMA = (
 
 
 def shape_index_df(shapes: DataFrame, max_edges_per_cell: int = 10,
-                   max_level: int = 20, id_col: str = "shape_id",
-                   text_col: str = "text") -> DataFrame:
+                   max_level: int = 20, min_level: int = 0,
+                   id_col: str = "shape_id", text_col: str = "text") -> DataFrame:
     """E2 build: (shape_id, cell_id, edge_id, edge endpoints) rows — the
     DataFrame form of S2ShapeIndex (an index IS a sorted table). Sort or
     bucket by biased cell id downstream for range-scan joins."""
@@ -92,7 +92,8 @@ def shape_index_df(shapes: DataFrame, max_edges_per_cell: int = 10,
                 va = np.concatenate(loops, axis=0)
                 vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
                 for cid, edge_ids in si.build_shape_index(
-                    loops, max_edges_per_cell=max_edges_per_cell, max_level=max_level
+                    loops, max_edges_per_cell=max_edges_per_cell,
+                    max_level=max_level, min_level=min_level
                 ):
                     for e in edge_ids:
                         rows["shape_id"].append(sid)

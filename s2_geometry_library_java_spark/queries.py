@@ -553,6 +553,41 @@ def q_near_polygon_oracle() -> str:
     """
 
 
+def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: nearest query-quad boundary per supplier point — shape-index
+    ring probe + pure-JVM edge chord distance + ring-bound completeness
+    (brute fallback for far queries), reduced to (point, nearest shape)."""
+    from .operators import closestedge
+    from .operators import shapes as shape_ops
+
+    shapes = spark.createDataFrame(
+        [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+        "shape_id string, text string",
+    )
+    idx = shape_ops.shape_index_df(shapes, min_level=4)
+    supp = tables.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        geo.lat_col("s_suppkey").alias("lat"),
+        geo.lng_col("s_suppkey").alias("lng"),
+    )
+    out = closestedge.closest_edges(idx, supp, k=1, level=4, query_id="k")
+    return out.select(F.col("query_id").alias("k"), F.col("shape_id").alias("polygon_id"))
+
+
+def q_closest_edge_oracle() -> str:
+    dist_rows = " UNION ALL ".join(
+        f"SELECT k, '{pid}' AS pid, ({expr}) AS dist FROM p"
+        for pid, expr in _edge_distance_sql("x", "y", "z")
+    )
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('supplier', 's_suppkey')})),
+    d AS ({dist_rows}),
+    ranked AS (SELECT k, pid,
+        row_number() OVER (PARTITION BY k ORDER BY dist, pid) AS rn FROM d)
+    SELECT k, pid AS polygon_id FROM ranked WHERE rn = 1
+    """
+
+
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 baseline: exact kNN, supplier queries vs customer index."""
     cust = tables.load_table(spark, sf_dir, "customer")
@@ -1083,6 +1118,7 @@ def all_queries():
         "knn_cell": q_knn_cell,
         "tolerant_pairs": q_tolerant_pairs,
         "near_polygon": q_near_polygon,
+        "closest_edge": q_closest_edge,
         "covering_tokens": q_covering_tokens,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1120,6 +1156,7 @@ def all_oracles():
         "knn_cell": _knn_oracle(),
         "tolerant_pairs": q_tolerant_pairs_oracle(),
         "near_polygon": q_near_polygon_oracle(),
+        "closest_edge": q_closest_edge_oracle(),
         # covering_tokens: rows-only (a covering is not SQL-expressible)
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),

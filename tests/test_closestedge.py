@@ -1,0 +1,100 @@
+"""F5 closest-edge query: ring-probe + JVM edge distance == numpy brute
+force (the knn_brute/knn_cell pairing pattern for edges)."""
+
+import numpy as np
+
+from s2_geometry_library_java_spark.kernel import cellid as s2
+from s2_geometry_library_java_spark.kernel import edges as ek
+from s2_geometry_library_java_spark.operators import closestedge
+from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+
+def test_closest_edges_matches_bruteforce(spark):
+    rng = np.random.default_rng(31)
+    texts = []
+    geoms = {}
+    for s in range(6):
+        clat = float(rng.uniform(-50, 50))
+        clng = float(rng.uniform(-160, 160))
+        h = float(rng.uniform(3, 7))
+        pts = [
+            (clat - h, clng - h),
+            (clat - h, clng + h),
+            (clat + h, clng + h),
+            (clat + h, clng - h),
+        ]
+        text = ", ".join(f"{la!r}:{ln!r}" for la, ln in pts)
+        texts.append((f"s{s}", text))
+        from s2_geometry_library_java_spark.kernel import region as rg
+
+        geoms[f"s{s}"] = rg.Polygon.from_text(text).loops[0].vertices
+    shapes = spark.createDataFrame(texts, "shape_id string, text string")
+    idx = shape_ops.shape_index_df(shapes, min_level=4)
+
+    nq = 60
+    v = rng.normal(size=(nq, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    lat, lng = s2.xyz_to_latlng(v[:, 0], v[:, 1], v[:, 2])
+    qdf = spark.createDataFrame(
+        [(i, float(np.degrees(lat[i])), float(np.degrees(lng[i]))) for i in range(nq)],
+        "query_id long, lat double, lng double",
+    )
+    got = {}
+    for r in closestedge.closest_edges(idx, qdf, k=3, level=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["shape_id"], r["edge_id"], r["chord2"])
+        )
+    # brute force with the numpy kernel over every (shape, edge)
+    all_edges = []
+    for sid, verts in geoms.items():
+        vb = np.roll(verts, -1, axis=0)
+        for e in range(len(verts)):
+            all_edges.append((sid, e, verts[e], vb[e]))
+    for i in range(nq):
+        d = [
+            (
+                float(ek.min_chord2_to_edges(v[i][None], a[None], b[None])[0]),
+                sid,
+                e,
+            )
+            for sid, e, a, b in all_edges
+        ]
+        d.sort()
+        want = [(rk + 1, sid, e) for rk, (_, sid, e) in enumerate(d[:3])]
+        have = sorted(got[i])
+        assert [(r, s, e) for r, s, e, _ in have] == want, (i, have, want)
+        # distances agree to FP noise (the query xyz round-trips through
+        # lat/lng degrees on the Spark side; bit parity on identical xyz is
+        # asserted separately below)
+        for (rk, sid, e, c2), (dd, _, _) in zip(have, d[:3]):
+            assert abs(c2 - dd) < 1e-14, (c2, dd)
+
+
+def test_edge_chord2_column_bit_matches_kernel(spark):
+    """edge_min_chord2_cols (JVM) == kernel/edges.min_chord2_to_edges
+    (numpy) bit-for-bit on identical xyz inputs."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(120, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    p, a, b = v[:40], v[40:80], v[80:]
+    rows = [
+        tuple(float(x) for x in np.concatenate([p[i], a[i], b[i]]))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "px double, py double, pz double, ax double, ay double, az double, bx double, by double, bz double"
+    )
+    got = [
+        r["c2"]
+        for r in df.select(
+            closestedge.edge_min_chord2_cols(
+                F.col("px"), F.col("py"), F.col("pz"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ).alias("c2")
+        ).collect()
+    ]
+    want = ek.min_chord2_to_edges(p, a, b)
+    assert got == list(want), (got[:3], want[:3])
