@@ -103,6 +103,13 @@ def intersects(a, b) -> Column:
     )
 
 
+def leaf_cells_covered(cell_id) -> Column:
+    """D11 S2CellUnion.leafCellsCovered per cell: 4^(30-level) leaves
+    (S2CellUnion.java:812-819) — SUM it for the union measure. Pure JVM."""
+    inv = F.lit(MAX_LEVEL).cast("int") - level(cell_id)
+    return F.call_function("shiftleft", F.lit(1).cast("long"), (inv * 2).cast("int"))
+
+
 def token(cell_id) -> Column:
     """Hex token: 16-digit zero-padded lowercase hex, trailing zeros stripped
     (S2CellId.java:981-996). Pure Spark string functions."""

@@ -117,3 +117,53 @@ class Cell:
         from . import sphere
 
         return float(sphere.metric_value(sphere.AVG_AREA_DERIV, self.level, dim=2))
+
+    def approx_area(self) -> float:
+        """Flat-quad area corrected as a spherical cap — within 3% always,
+        0.1% for level >= 5 (S2Cell.approxArea, S2Cell.java:394-413)."""
+        if self.level < 2:
+            return self.average_area()
+        v = self.vertices
+        d = np.cross(v[2] - v[0], v[3] - v[1])
+        flat = 0.5 * float(np.sqrt(d @ d))
+        return flat * 2.0 / (1.0 + np.sqrt(1.0 - min(flat / np.pi, 1.0)))
+
+    def exact_area(self) -> float:
+        """Two-triangle l'Huilier split, 6 digits even at leaf level
+        (S2Cell.exactArea, S2Cell.java:420-426)."""
+        from . import sphere
+
+        v = self.vertices
+        return float(
+            sphere.triangle_area(v[0][None], v[1][None], v[2][None])[0]
+            + sphere.triangle_area(v[0][None], v[2][None], v[3][None])[0]
+        )
+
+    def boundary_loop_vertices(self, level: int) -> np.ndarray:
+        """D12 S2CellId.toLoop(level) (S2CellId.java:360-384): the cell
+        boundary as a loop with 4*2^(level-cell_level) vertices on the
+        given level's st grid, CCW."""
+        depth = level - self.level
+        if depth < 0:
+            raise ValueError("level must be >= cell level")
+        u_lo, u_hi, v_lo, v_hi = self.uv_bounds
+        s_lo, s_hi = float(ci.uv_to_st(u_lo)), float(ci.uv_to_st(u_hi))
+        t_lo, t_hi = float(ci.uv_to_st(v_lo)), float(ci.uv_to_st(v_hi))
+        corners = [(s_lo, t_lo), (s_hi, t_lo), (s_hi, t_hi), (s_lo, t_hi)]
+        step = 2.0 ** -depth
+        ss, ts = [], []
+        b = corners[3]
+        for corner in range(4):
+            a, b = b, corners[corner]
+            ss.append(a[0])
+            ts.append(a[1])
+            d = step
+            while d < 1:
+                ss.append((1 - d) * a[0] + d * b[0])
+                ts.append((1 - d) * a[1] + d * b[1])
+                d += step
+        u = ci.st_to_uv(np.array(ss))
+        v = ci.st_to_uv(np.array(ts))
+        x, y, z = ci.face_uv_to_xyz(np.full(len(ss), self.face), u, v)
+        p = np.stack([x, y, z], axis=1)
+        return p / np.sqrt((p * p).sum(axis=1, keepdims=True))

@@ -81,6 +81,32 @@ def union_denormalize(ids: list[int], min_level: int, level_mod: int) -> list[in
     return out
 
 
+def union_leaf_cells_covered(ids: list[int]) -> int:
+    """D11 S2CellUnion.leafCellsCovered (S2CellUnion.java:812-819)."""
+    total = 0
+    for cid in ids:
+        inverted = ci.MAX_LEVEL - int(ci.level(np.uint64(cid)))
+        total += 1 << (inverted << 1)
+    return total
+
+
+def union_average_based_area(ids: list[int]) -> float:
+    """D11 averageBasedArea: leaves covered x avg leaf area (:833-835)."""
+    return float(
+        sphere.metric_value(sphere.AVG_AREA_DERIV, ci.MAX_LEVEL, dim=2)
+    ) * union_leaf_cells_covered(ids)
+
+
+def union_approx_area(ids: list[int]) -> float:
+    """D11 approxArea: sum of per-cell cap-corrected flat areas (:843-849)."""
+    return sum(Cell(cid).approx_area() for cid in ids)
+
+
+def union_exact_area(ids: list[int]) -> float:
+    """D11 exactArea: sum of per-cell two-triangle areas (:857-863)."""
+    return sum(Cell(cid).exact_area() for cid in ids)
+
+
 def _lsb(cid: int) -> int:
     return cid & (~cid + 1) & 0xFFFFFFFFFFFFFFFF
 
@@ -160,6 +186,57 @@ class RegionCoverer:
 
     def get_covering_tokens(self, region) -> list[str]:
         return [str(t) for t in ci.to_token(np.array(self.get_covering(region), dtype=np.uint64))]
+
+    def normalize_covering(self, ids: list[int]) -> list[int]:
+        """D5 S2RegionCoverer.normalizeCovering (:448-497): clamp levels to
+        max_level/level_mod, normalize, then repeatedly merge the adjacent
+        pair with the DEEPEST common ancestor until <= max_cells."""
+        out = []
+        for cid in ids:
+            lvl = int(ci.level(np.uint64(cid)))
+            new_level = self._adjust_level(min(lvl, self.max_level))
+            out.append(
+                int(ci.parent(np.uint64(cid), new_level)) if new_level != lvl else cid
+            )
+        out = union_normalize(out)
+        while len(out) > self.max_cells:
+            best_index, best_level = -1, -1
+            for i in range(len(out) - 1):
+                level = int(
+                    ci.common_ancestor_level(np.uint64(out[i]), np.uint64(out[i + 1]))[0]
+                )
+                level = self._adjust_level(level)
+                if level > best_level:
+                    best_level, best_index = level, i
+            if best_level < self.min_level:
+                break
+            out[best_index] = int(ci.parent(np.uint64(out[best_index]), best_level))
+            out = union_normalize(out)
+        if self.min_level > 0 or self.level_mod > 1:
+            out = union_denormalize(out, self.min_level, self.level_mod)
+        return out
+
+    def get_fast_covering(self, cap: rg.Cap) -> list[int]:
+        """D4 S2RegionCoverer.getFastCovering (:409-442): the 4 vertex-
+        neighbor cells of the cap center at the cap-width level (6 faces
+        for huge caps), then normalize_covering. Cheap pre-filter covering
+        — may be larger/looser than get_covering."""
+        level = sphere.metric_max_level(
+            sphere.MIN_WIDTH_DERIV, 2.0 * cap.bound_angle()
+        )
+        level = min(level, ci.MAX_LEVEL - 1)
+        if level == 0:
+            covering = [
+                int((np.uint64(f) << np.uint64(61)) | (np.uint64(1) << np.uint64(60)))
+                for f in range(6)
+            ]
+        else:
+            cx, cy, cz = cap.center
+            leaf = int(
+                ci.xyz_to_cell_id(np.array([cx]), np.array([cy]), np.array([cz]))[0]
+            )
+            covering = _vertex_neighbors(leaf, level)
+        return self.normalize_covering(covering)
 
     # -- internals (S2RegionCoverer.ActiveCovering) ----------------------
 

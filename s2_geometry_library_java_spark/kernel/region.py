@@ -324,10 +324,73 @@ def polygon_may_intersect_cell(poly: Polygon, cell) -> bool:
     return False
 
 
+@dataclass
+class RegionIntersection:
+    """C6 S2RegionIntersection: AND of sub-regions. contains(cell) = all
+    contain (exact); may_intersect = all may-intersect (conservative —
+    may false-positive, never false-negative, keeping coverings sound)."""
+
+    regions: list
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        out = np.ones(np.shape(np.atleast_1d(x)), dtype=bool)
+        for r in self.regions:
+            out &= r.contains_points(x, y, z)
+        return out
+
+
+@dataclass
+class RegionUnion:
+    """C6 S2RegionUnion: OR of sub-regions. contains(cell) = any contains
+    (conservative false-negative is fine: the coverer just refines);
+    may_intersect = any may-intersect (exact-ish)."""
+
+    regions: list
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        out = np.zeros(np.shape(np.atleast_1d(x)), dtype=bool)
+        for r in self.regions:
+            out |= r.contains_points(x, y, z)
+        return out
+
+
 def region_cell_tests(region):
     """(contains_cell, may_intersect_cell, cap_bound) dispatch for a region."""
     from . import sphere
 
+    if isinstance(region, RegionIntersection):
+        subs = [region_cell_tests(r) for r in region.regions]
+        # tightest sub-cap bounds the intersection
+        cap = min((s[2] for s in subs), key=lambda c: c.radius2)
+        return (
+            lambda cell: all(s[0](cell) for s in subs),
+            lambda cell: all(s[1](cell) for s in subs),
+            cap,
+        )
+    if isinstance(region, RegionUnion):
+        subs = [region_cell_tests(r) for r in region.regions]
+        # bounding cap: grow the first sub-cap to cover every other one
+        caps = [s[2] for s in subs]
+        axis = np.zeros(3)
+        for c in caps:
+            axis += np.array(c.center)
+        n = float(np.sqrt(axis @ axis))
+        if n < 1e-12:
+            cap = Cap((1.0, 0.0, 0.0), 4.0)
+        else:
+            axis /= n
+            ang = 0.0
+            for c in caps:
+                d = sphere.angle_between(
+                    axis[0], axis[1], axis[2], c.center[0], c.center[1], c.center[2]
+                )
+                ang = max(ang, float(d) + c.bound_angle())
+            cap = Cap(tuple(axis), min(4.0, float(sphere.chord2_from_angle(ang)) * (1 + 1e-12)))
+        return (
+            lambda cell: any(s[0](cell) for s in subs),
+            lambda cell: any(s[1](cell) for s in subs),
+            cap,
+        )
     if isinstance(region, Cap):
         return (
             lambda cell: cap_contains_cell(region, cell),

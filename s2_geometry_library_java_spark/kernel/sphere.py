@@ -135,6 +135,68 @@ def triangle_area(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return 4.0 * np.arctan(np.sqrt(np.maximum(t, 0.0)))
 
 
+def edge_true_centroid(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """True centroid of edge AB times its length (S2.trueCentroid
+    S2.java:481-493), vectorized (...,3)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    v_diff = a - b
+    v_sum = a + b
+    sin2 = (v_diff * v_diff).sum(axis=-1)
+    cos2 = (v_sum * v_sum).sum(axis=-1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.sqrt(sin2 / cos2)
+    scale = np.where(cos2 == 0, 0.0, scale)  # antipodal edges -> zero
+    return v_sum * scale[..., None]
+
+
+def triangle_true_centroid(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """True centroid of spherical triangle ABC times its SIGNED area
+    (S2.trueCentroid S2.java:501-537) — the summable quantity for loop /
+    union centroids. Vectorized (...,3)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+
+    def ang(u, v):
+        return angle_between(
+            u[..., 0], u[..., 1], u[..., 2], v[..., 0], v[..., 1], v[..., 2]
+        )
+
+    a_angle = ang(b, c)
+    b_angle = ang(c, a)
+    c_angle = ang(a, b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ra = np.where(a_angle == 0, 1.0, a_angle / np.sin(a_angle))
+        rb = np.where(b_angle == 0, 1.0, b_angle / np.sin(b_angle))
+        rc = np.where(c_angle == 0, 1.0, c_angle / np.sin(c_angle))
+    # rows (A; B-A; C-A) per axis, solved by Cramer's rule
+    x = np.stack([a[..., 0], b[..., 0] - a[..., 0], c[..., 0] - a[..., 0]], axis=-1)
+    y = np.stack([a[..., 1], b[..., 1] - a[..., 1], c[..., 1] - a[..., 1]], axis=-1)
+    z = np.stack([a[..., 2], b[..., 2] - a[..., 2], c[..., 2] - a[..., 2]], axis=-1)
+    r = np.stack([ra, rb - ra, rc - ra], axis=-1)
+
+    def triple(u, v, w):
+        return (u * np.cross(v, w)).sum(axis=-1)
+
+    return 0.5 * np.stack(
+        [triple(r, y, z), triple(r, z, x), triple(r, x, y)], axis=-1
+    )
+
+
+def loop_centroid(vertices: np.ndarray) -> np.ndarray:
+    """Area-weighted true centroid of a loop (sum of fan-triangle
+    centroids from vertex 0) — NOT normalized; callers normalize or sum
+    across loops first (S2ShapeMeasures semantics)."""
+    v = np.asarray(vertices, dtype=np.float64)
+    if len(v) < 3:
+        return np.zeros(3)
+    a = np.broadcast_to(v[0], (len(v) - 2, 3))
+    b = v[1:-1]
+    c = v[2:]
+    return triangle_true_centroid(a, b, c).sum(axis=0)
+
+
 def signed_loop_area(vertices: np.ndarray) -> float:
     """Signed area of a loop: sum of signed triangle areas from an origin
     vertex (S2Loop.getArea semantics: CCW interior -> positive, in

@@ -144,6 +144,54 @@ def _rect_contains_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
     )
 
 
+# C6 composite-region gate geometry: cap AND (non-wrapping) rect.
+_RECT2 = rg.LatLngRect.from_degrees(10.0, 50.0, 20.0, 60.0)
+
+
+@pandas_udf(BooleanType())
+def _composite_contains_udf(lat: pd.Series, lng: pd.Series) -> pd.Series:
+    lat_r = np.radians(lat.to_numpy(np.float64))
+    lng_r = np.radians(lng.to_numpy(np.float64))
+    x, y, z = s2.latlng_to_xyz(lat_r, lng_r)
+    comp = rg.RegionIntersection([_CAP, _RECT2])
+    return pd.Series(comp.contains_points(x, y, z))
+
+
+def q_composite_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: points inside cap AND rect — the COMPOSITE region drives the
+    coverer (covering soundness end-to-end), the exact predicate refines."""
+    from .operators import cellunion
+
+    region = rg.RegionIntersection([_CAP, _RECT2])
+    coverer = cov.RegionCoverer(max_cells=12)
+    ids = coverer.get_covering(region)
+    union = spark.createDataFrame(
+        [(int(np.int64(np.uint64(c))),) for c in ids], "cell_id long"
+    )
+    pts = tables.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    pts = pts.withColumn(
+        "leaf", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30)
+    )
+    cand = cellunion.contains_points_df(union, pts, "leaf")
+    return cand.where(_composite_contains_udf(F.col("lat"), F.col("lng"))).select("k")
+
+
+def q_composite_region_oracle() -> str:
+    cx, cy, cz = _CAP.center
+    return f"""
+    WITH ll AS ({_latlng_sql('customer', 'c_custkey')}),
+    p AS (SELECT k, lat, lng, {_XYZ_SQL} FROM ll)
+    SELECT k FROM p
+    WHERE least(4.0, (x-({cx!r}))*(x-({cx!r})) + (y-({cy!r}))*(y-({cy!r}))
+        + (z-({cz!r}))*(z-({cz!r}))) <= {_CAP.radius2!r}
+      AND lat >= 10.0 AND lat <= 50.0 AND lng >= 20.0 AND lng <= 60.0
+    """
+
+
 # ===========================================================================
 # S2 kernel queries (integer-exact oracles via the SQL Hilbert encoder)
 # ===========================================================================
@@ -212,6 +260,39 @@ def q_cell_algebra_oracle() -> str:
         f"{oracle.token_sql('cell_id')} AS token "
         f"FROM ({leveled})"
     )
+
+
+def q_cell_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 as a gated aggregate: per face over mixed-level cells, the
+    number of cells and total leaf cells covered (integer-exact measures;
+    area = leaves x AVG_AREA(30), kept integer here). Pure Column math."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    lvl = (F.col("k") % 26 + 3).cast("int")
+    enc = pts.select(
+        cc.parent(udfs.cell_id_from_face_ij("face", "i", "j"), lvl).alias("cell_id")
+    )
+    return (
+        enc.groupBy(cc.face("cell_id").alias("face"))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(cc.leaf_cells_covered("cell_id")).alias("leaves"),
+        )
+    )
+
+
+def q_cell_measures_oracle() -> str:
+    enc = oracle.hilbert_encode_sql(_pts_sql("orders", "o_orderkey"), ["k"])
+    leveled = (
+        f"SELECT k, {oracle.parent_sql('cell_id', '(k % 26 + 3)')} AS cell_id "
+        f"FROM ({enc})"
+    )
+    lvl = oracle.level_sql("cell_id")
+    return f"""
+    SELECT CAST((cell_id >> 61) & 7 AS INTEGER) AS face,
+      COUNT(*) AS n_cells,
+      CAST(SUM(CAST(1 AS BIGINT) << (2 * (30 - {lvl}))) AS BIGINT) AS leaves
+    FROM ({leveled}) GROUP BY 1
+    """
 
 
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1106,10 +1187,12 @@ def all_queries():
         "cellid_encode": q_cellid_encode,
         "cellid_roundtrip": q_cellid_roundtrip,
         "cell_algebra": q_cell_algebra,
+        "cell_measures": q_cell_measures,
         "tile_counts": q_tile_counts,
         "face_counts": q_face_counts,
         "cap_contains": q_cap_contains,
         "rect_contains": q_rect_contains,
+        "composite_region": q_composite_region,
         "pip_contains": q_pip_contains,
         "pip_convex": q_pip_convex,
         "pip_indexed": q_pip_indexed,
@@ -1144,10 +1227,12 @@ def all_oracles():
         "cellid_encode": q_cellid_encode_oracle(),
         "cellid_roundtrip": q_cellid_roundtrip_oracle(),
         "cell_algebra": q_cell_algebra_oracle(),
+        "cell_measures": q_cell_measures_oracle(),
         "tile_counts": q_tile_counts_oracle(),
         "face_counts": q_face_counts_oracle(),
         "cap_contains": q_cap_contains_oracle(),
         "rect_contains": q_rect_contains_oracle(),
+        "composite_region": q_composite_region_oracle(),
         "pip_contains": q_pip_contains_oracle(),
         "pip_convex": q_pip_contains_oracle(),
         "pip_indexed": q_pip_contains_oracle(),
