@@ -139,6 +139,28 @@ class Cell:
             + sphere.triangle_area(v[0][None], v[2][None], v[3][None])[0]
         )
 
+    def expanded_by_distance_uv(self, distance_rad: float) -> tuple[float, float, float, float]:
+        """A15 S2CellId.expandedByDistanceUV (S2CellId.java:1377-1447):
+        (u,v) bounds buffered so every point within ``distance_rad`` of the
+        cell lies inside — the buffered-tile join predicate. Negative
+        distance shrinks (conservatively). Returns (u0,u1,v0,v1); a fully
+        shrunk rect collapses to the first corner."""
+        u0, u1, v0, v1 = self.uv_bounds
+        max_u = max(abs(u0), abs(u1))
+        max_v = max(abs(v0), abs(v1))
+        sin_dist = float(np.sin(distance_rad))
+
+        def expand(u, maxv, sd):
+            sin_shift = sd * np.sqrt((1 + u * u + maxv * maxv) / (1 + u * u))
+            cos_shift = np.sqrt(1 - sin_shift * sin_shift)
+            return (cos_shift * u + sin_shift) / (cos_shift - sin_shift * u)
+
+        x_lo, x_hi = expand(u0, max_v, -sin_dist), expand(u1, max_v, sin_dist)
+        y_lo, y_hi = expand(v0, max_u, -sin_dist), expand(v1, max_u, sin_dist)
+        if x_lo > x_hi or y_lo > y_hi:
+            return (u0, u0, v0, v0)
+        return (float(x_lo), float(x_hi), float(y_lo), float(y_hi))
+
     def boundary_loop_vertices(self, level: int) -> np.ndarray:
         """D12 S2CellId.toLoop(level) (S2CellId.java:360-384): the cell
         boundary as a loop with 4*2^(level-cell_level) vertices on the

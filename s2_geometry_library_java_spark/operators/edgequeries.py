@@ -1,0 +1,248 @@
+"""F6/F7/F8: crossing-edge pairs, directed Hausdorff, chain interpolation.
+
+All three run as pure JVM Column arithmetic over edge tables (no Python in
+any hot path):
+
+* ``crossing_edge_pairs`` — S2CrossingEdgesQuery semantics: all (edgeA,
+  edgeB) pairs between two shape indexes that properly cross. Candidates
+  come from the shape-index cell equi-join (both indexes built with the
+  same min_level); the exact test is the four-determinant minor-arc
+  crossing condition in Columns (triage tier — adversarial exactly-
+  degenerate data escalates via the kernel path, documented).
+* ``directed_hausdorff`` — S2HausdorffDistanceQuery (directed, point-set →
+  shape boundary): max over points of min edge distance, as two
+  aggregations over the edge-distance Column.
+* ``chain_interpolate`` — S2ChainInterpolationQuery: point at fraction t
+  of a vertex chain's total length via window cumulative edge lengths and
+  the getPointOnLine rotation, entirely in Columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import udfs
+from .closestedge import edge_min_chord2_cols
+
+
+def _det(px, py, pz, qx, qy, qz, rx, ry, rz) -> Column:
+    return (
+        px * (qy * rz - qz * ry) + py * (qz * rx - qx * rz) + pz * (qx * ry - qy * rx)
+    )
+
+
+def edges_cross_cols(ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz) -> Column:
+    """Proper minor-arc crossing of edges AB, CD (robustCrossing > 0,
+    S2EdgeUtil.java:1806-1849): the four orientation signs agree and are
+    nonzero. Triage tier: double-precision signs, matching the SQL oracle;
+    exactly-degenerate inputs belong to the kernel escalation path."""
+    acb = F.signum(_det(ax, ay, az, cx, cy, cz, bx, by, bz))
+    bda = F.signum(_det(bx, by, bz, dx, dy, dz, ax, ay, az))
+    cbd = F.signum(_det(cx, cy, cz, bx, by, bz, dx, dy, dz))
+    dac = F.signum(_det(dx, dy, dz, ax, ay, az, cx, cy, cz))
+    return (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+
+
+def crossing_edge_pairs(
+    index_a: DataFrame, index_b: DataFrame, level: int = 8
+) -> DataFrame:
+    """(a_shape, a_edge, b_shape, b_edge) for every properly-crossing edge
+    pair between two shape indexes (F6). Candidates = edges indexed into
+    the same level-`level` cell; crossing edges always share an index cell
+    at any level that covers the crossing point, and both indexes cover
+    their edges' full extent, so the equi-join misses nothing."""
+    from ..functions import columns as cc
+
+    a = index_a.select(
+        F.col("shape_id").alias("a_shape"),
+        F.col("edge_id").alias("a_edge"),
+        F.col("ax"), F.col("ay"), F.col("az"),
+        F.col("bx"), F.col("by"), F.col("bz"),
+        cc.parent("cell_id", level).alias("cell_key"),
+    ).dropDuplicates(["a_shape", "a_edge", "cell_key"])
+    b = index_b.select(
+        F.col("shape_id").alias("b_shape"),
+        F.col("edge_id").alias("b_edge"),
+        F.col("ax").alias("cx"), F.col("ay").alias("cy"), F.col("az").alias("cz"),
+        F.col("bx").alias("dx"), F.col("by").alias("dy"), F.col("bz").alias("dz"),
+        cc.parent("cell_id", level).alias("cell_key"),
+    ).dropDuplicates(["b_shape", "b_edge", "cell_key"])
+    cand = a.join(b, "cell_key").dropDuplicates(
+        ["a_shape", "a_edge", "b_shape", "b_edge"]
+    )
+    return cand.where(
+        edges_cross_cols(
+            F.col("ax"), F.col("ay"), F.col("az"),
+            F.col("bx"), F.col("by"), F.col("bz"),
+            F.col("cx"), F.col("cy"), F.col("cz"),
+            F.col("dx"), F.col("dy"), F.col("dz"),
+        )
+    ).select("a_shape", "a_edge", "b_shape", "b_edge")
+
+
+def directed_hausdorff(
+    points: DataFrame,
+    edges: DataFrame,
+    point_id: str = "id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """(shape_id, worst_point_id, chord2): per shape, the point whose
+    minimum boundary distance is LARGEST (the directed discrete Hausdorff
+    witness from the point set to each shape's boundary, F7). ``edges`` is
+    shape_index_df output or any (shape_id, edge_id, ax..bz) table; shapes
+    are few, so the edge set broadcasts and the point table never
+    shuffles until the tiny per-shape aggregate."""
+    p = udfs.latlng_deg_to_xyz(F.col(lat), F.col(lng))
+    pts = (
+        points.withColumn("_p", p)
+        .select(
+            F.col(point_id).alias("point_id"),
+            F.col("_p.x").alias("px"),
+            F.col("_p.y").alias("py"),
+            F.col("_p.z").alias("pz"),
+        )
+    )
+    e = F.broadcast(
+        edges.dropDuplicates(["shape_id", "edge_id"]).select(
+            "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"
+        )
+    )
+    d = pts.crossJoin(e).select(
+        "point_id",
+        "shape_id",
+        edge_min_chord2_cols(
+            F.col("px"), F.col("py"), F.col("pz"),
+            F.col("ax"), F.col("ay"), F.col("az"),
+            F.col("bx"), F.col("by"), F.col("bz"),
+        ).alias("chord2"),
+    )
+    per_point = d.groupBy("shape_id", "point_id").agg(F.min("chord2").alias("dmin"))
+    w = Window.partitionBy("shape_id").orderBy(F.desc("dmin"), F.asc("point_id"))
+    return (
+        per_point.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("shape_id", F.col("point_id").alias("worst_point_id"), F.col("dmin").alias("chord2"))
+    )
+
+
+def chain_interpolate(
+    chains: DataFrame,
+    fractions: list[float],
+    chain_id: str = "chain_id",
+    seq: str = "seq",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """(chain_id, frac_pct, x, y, z) point at each fraction of each
+    chain's total geodesic length (F8, S2ChainInterpolationQuery /
+    S2Polyline.interpolate). Entirely JVM: window lead() builds edges,
+    chord->angle lengths accumulate per chain, the containing segment is
+    picked by range + row_number, and the point comes from the
+    getPointOnLine rotation. Fractions must lie in [0, 1)."""
+    p = udfs.latlng_deg_to_xyz(F.col(lat), F.col(lng))
+    pts = chains.withColumn("_p", p).select(
+        F.col(chain_id).alias("chain_id"),
+        F.col(seq).alias("seq"),
+        F.col("_p.x").alias("ax"),
+        F.col("_p.y").alias("ay"),
+        F.col("_p.z").alias("az"),
+    )
+    w = Window.partitionBy("chain_id").orderBy("seq")
+    e = pts.select(
+        "chain_id",
+        "seq",
+        "ax", "ay", "az",
+        F.lead("ax").over(w).alias("bx"),
+        F.lead("ay").over(w).alias("by"),
+        F.lead("az").over(w).alias("bz"),
+    ).where(F.col("bx").isNotNull())
+    chord2 = (
+        (F.col("ax") - F.col("bx")) ** 2
+        + (F.col("ay") - F.col("by")) ** 2
+        + (F.col("az") - F.col("bz")) ** 2
+    )
+    e = e.withColumn("elen", F.lit(2.0) * F.asin(F.lit(0.5) * F.sqrt(chord2)))
+    we = Window.partitionBy("chain_id").orderBy("seq")
+    e = e.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("elen").over(we.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)
+        ),
+    ).withColumn("total", F.sum("elen").over(we.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    fr = chains.sparkSession.createDataFrame(
+        [(int(round(f * 100)), float(f)) for f in fractions], "frac_pct int, frac double"
+    )
+    cand = e.crossJoin(F.broadcast(fr)).where(
+        (F.col("cum_before") <= F.col("frac") * F.col("total"))
+        & (F.col("frac") * F.col("total") < F.col("cum_before") + F.col("elen"))
+    )
+    # a target can satisfy the range on one edge only; row_number guards ties
+    wsel = Window.partitionBy("chain_id", "frac_pct").orderBy("seq")
+    cand = cand.withColumn("rn", F.row_number().over(wsel)).where(F.col("rn") == 1)
+    r = F.col("frac") * F.col("total") - F.col("cum_before")
+    # getPointOnLine: n = (b+a) x (b-a); d = normalize(n x a); out = cos(r)a + sin(r)d
+    sx, sy, sz = F.col("bx") + F.col("ax"), F.col("by") + F.col("ay"), F.col("bz") + F.col("az")
+    ddx, ddy, ddz = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay"), F.col("bz") - F.col("az")
+    n0 = sy * ddz - sz * ddy
+    n1 = sz * ddx - sx * ddz
+    n2 = sx * ddy - sy * ddx
+    d0 = n1 * F.col("az") - n2 * F.col("ay")
+    d1 = n2 * F.col("ax") - n0 * F.col("az")
+    d2 = n0 * F.col("ay") - n1 * F.col("ax")
+    dn = F.sqrt(d0 * d0 + d1 * d1 + d2 * d2)
+    ox = F.cos(r) * F.col("ax") + F.sin(r) * d0 / dn
+    oy = F.cos(r) * F.col("ay") + F.sin(r) * d1 / dn
+    oz = F.cos(r) * F.col("az") + F.sin(r) * d2 / dn
+    on = F.sqrt(ox * ox + oy * oy + oz * oz)
+    return cand.select(
+        "chain_id",
+        "frac_pct",
+        (ox / on).alias("x"),
+        (oy / on).alias("y"),
+        (oz / on).alias("z"),
+    )
+
+
+def convex_hull_per_group(
+    df: DataFrame,
+    group_col: str = "group_id",
+    id_col: str = "id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """G5 as a per-group kernel after grouping: the convex hull of each
+    group's points, emitted as (group_id, seq, point_id) hull-vertex rows
+    in CCW loop order (hull vertices ARE input points, so ids are exact
+    integers — no FP in the output). Groups spanning a hemisphere yield
+    no rows (no convex hull exists; the reference returns the full loop)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..kernel import cellid as s2
+    from ..kernel import convexhull as ch
+
+    def per_group(key, pdf):
+        lat_r = np.radians(pdf[lat].to_numpy(np.float64))
+        lng_r = np.radians(pdf[lng].to_numpy(np.float64))
+        x, y, z = s2.latlng_to_xyz(lat_r, lng_r)
+        pts = np.stack([x, y, z], axis=1)
+        hull = ch.convex_hull(pts)
+        if hull is None or len(hull) == 0:
+            return pd.DataFrame({"group_id": [], "seq": [], "point_id": []}).astype(
+                {"group_id": "int64", "seq": "int32", "point_id": "int64"}
+            )
+        ids = pdf[id_col].to_numpy(np.int64)
+        lookup = {tuple(p): int(i) for p, i in zip(pts, ids)}
+        hull_ids = [lookup[tuple(p)] for p in hull]
+        return pd.DataFrame(
+            {
+                "group_id": np.full(len(hull_ids), key[0], dtype=np.int64),
+                "seq": np.arange(len(hull_ids), dtype=np.int32),
+                "point_id": np.array(hull_ids, dtype=np.int64),
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(
+        per_group, "group_id long, seq int, point_id long"
+    )

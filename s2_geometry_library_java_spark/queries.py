@@ -669,6 +669,194 @@ def q_closest_edge_oracle() -> str:
     """
 
 
+CROSS_SHIFT = (3.0017, 3.0029)  # off-grid shift for the crossing-pairs B set
+
+
+def _shifted_quad_text(clat: float, clng: float, h: float) -> str:
+    return _quad_text(clat + CROSS_SHIFT[0], clng + CROSS_SHIFT[1], h)
+
+
+def q_crossing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: all properly-crossing edge pairs between the query quads and a
+    shifted copy — shape-index cell join + four-determinant Column test."""
+    from .operators import edgequeries
+    from .operators import shapes as shape_ops
+
+    shapes_a = spark.createDataFrame(
+        [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+        "shape_id string, text string",
+    )
+    shapes_b = spark.createDataFrame(
+        [(pid + "s", _shifted_quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+        "shape_id string, text string",
+    )
+    idx_a = shape_ops.shape_index_df(shapes_a, min_level=6)
+    idx_b = shape_ops.shape_index_df(shapes_b, min_level=6)
+    return edgequeries.crossing_edge_pairs(idx_a, idx_b, level=6)
+
+
+def q_crossing_pairs_oracle() -> str:
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    rows_a = []
+    for pid, poly in pip_polygons().items():
+        v = poly.loops[0].vertices
+        for k in range(len(v)):
+            a, b = v[k], v[(k + 1) % len(v)]
+            rows_a.append(
+                f"('{pid}',{k},{d(a[0])},{d(a[1])},{d(a[2])},{d(b[0])},{d(b[1])},{d(b[2])})"
+            )
+    rows_b = []
+    for pid, spec in PIP_QUADS.items():
+        poly = _quad_polygon(spec[0] + CROSS_SHIFT[0], spec[1] + CROSS_SHIFT[1], spec[2])
+        v = poly.loops[0].vertices
+        for k in range(len(v)):
+            a, b = v[k], v[(k + 1) % len(v)]
+            rows_b.append(
+                f"('{pid}s',{k},{d(a[0])},{d(a[1])},{d(a[2])},{d(b[0])},{d(b[1])},{d(b[2])})"
+            )
+    det = (
+        "({px}*(({qy})*({rz}) - ({qz})*({ry})) + {py}*(({qz})*({rx}) - ({qx})*({rz}))"
+        " + {pz}*(({qx})*({ry}) - ({qy})*({rx})))"
+    )
+
+    def s(p, q, r):
+        return "sign(" + det.format(
+            px=f"{p}x", py=f"{p}y", pz=f"{p}z",
+            qx=f"{q}x", qy=f"{q}y", qz=f"{q}z",
+            rx=f"{r}x", ry=f"{r}y", rz=f"{r}z",
+        ) + ")"
+
+    acb, bda, cbd, dac = s("a", "c", "b"), s("b", "d", "a"), s("c", "b", "d"), s("d", "a", "c")
+    return f"""
+    WITH ea(a_shape, a_edge, ax, ay, az, bx, by, bz) AS (VALUES {",".join(rows_a)}),
+    eb(b_shape, b_edge, cx, cy, cz, dx, dy, dz) AS (VALUES {",".join(rows_b)})
+    SELECT a_shape, CAST(a_edge AS INTEGER) AS a_edge,
+           b_shape, CAST(b_edge AS INTEGER) AS b_edge
+    FROM ea CROSS JOIN eb
+    WHERE {acb} = {bda} AND {acb} = {cbd} AND {acb} = {dac} AND {acb} <> 0
+    """
+
+
+def q_hausdorff_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: directed discrete Hausdorff witness — per query quad, the
+    supplier point FARTHEST from the quad boundary (argmax of min edge
+    distance; integer output keeps the gate FP-robust)."""
+    from .operators import edgequeries
+    from .operators import shapes as shape_ops
+
+    shapes = spark.createDataFrame(
+        [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+        "shape_id string, text string",
+    )
+    idx = shape_ops.shape_index_df(shapes)
+    supp = tables.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        geo.lat_col("s_suppkey").alias("lat"),
+        geo.lng_col("s_suppkey").alias("lng"),
+    )
+    out = edgequeries.directed_hausdorff(supp, idx, point_id="k")
+    return out.select("shape_id", "worst_point_id")
+
+
+def q_hausdorff_witness_oracle() -> str:
+    dist_rows = " UNION ALL ".join(
+        f"SELECT k, '{pid}' AS shape_id, ({expr}) AS dist FROM p"
+        for pid, expr in _edge_distance_sql("x", "y", "z")
+    )
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('supplier', 's_suppkey')})),
+    d AS ({dist_rows}),
+    ranked AS (SELECT shape_id, k,
+        row_number() OVER (PARTITION BY shape_id ORDER BY dist DESC, k) AS rn FROM d)
+    SELECT shape_id, k AS worst_point_id FROM ranked WHERE rn = 1
+    """
+
+
+def q_chain_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: per-nation customer chains interpolated at 25/50/75% of their
+    geodesic length — window cumulative lengths + getPointOnLine rotation,
+    all JVM; output xyz quantized to 1e-6 (FP-robust)."""
+    from .operators import edgequeries
+
+    chains = tables.load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("chain_id"),
+        F.col("c_custkey").alias("seq"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    out = edgequeries.chain_interpolate(chains, [0.25, 0.5, 0.75])
+    q = lambda c: F.round(c * 1000000).cast("long")  # noqa: E731
+    return out.select(
+        "chain_id",
+        "frac_pct",
+        q(F.col("x")).alias("xq"),
+        q(F.col("y")).alias("yq"),
+        q(F.col("z")).alias("zq"),
+    )
+
+
+def q_chain_interp_oracle() -> str:
+    return f"""
+    WITH ll AS (SELECT c_nationkey AS chain_id, c_custkey AS seq,
+                       {geo.lat_sql('c_custkey')} AS lat, {geo.lng_sql('c_custkey')} AS lng
+                FROM customer),
+    p AS (SELECT chain_id, seq, {_XYZ_SQL} FROM ll),
+    e0 AS (SELECT chain_id, seq, x AS ax, y AS ay, z AS az,
+        lead(x) OVER (PARTITION BY chain_id ORDER BY seq) AS bx,
+        lead(y) OVER (PARTITION BY chain_id ORDER BY seq) AS by,
+        lead(z) OVER (PARTITION BY chain_id ORDER BY seq) AS bz
+        FROM p),
+    e1 AS (SELECT *, 2.0 * asin(0.5 * sqrt((ax-bx)*(ax-bx) + (ay-by)*(ay-by)
+                                           + (az-bz)*(az-bz))) AS elen
+           FROM e0 WHERE bx IS NOT NULL),
+    e2 AS (SELECT *,
+        COALESCE(SUM(elen) OVER (PARTITION BY chain_id ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before,
+        SUM(elen) OVER (PARTITION BY chain_id) AS total
+        FROM e1),
+    fr(frac_pct, frac) AS (VALUES (25, 0.25), (50, 0.5), (75, 0.75)),
+    cand AS (SELECT e2.*, fr.frac_pct, fr.frac,
+        row_number() OVER (PARTITION BY chain_id, frac_pct ORDER BY seq) AS rn
+        FROM e2 CROSS JOIN fr
+        WHERE cum_before <= frac * total AND frac * total < cum_before + elen),
+    sel AS (SELECT *, frac * total - cum_before AS r,
+        (by+ay)*(bz-az) - (bz+az)*(by-ay) AS n0,
+        (bz+az)*(bx-ax) - (bx+ax)*(bz-az) AS n1,
+        (bx+ax)*(by-ay) - (by+ay)*(bx-ax) AS n2
+        FROM cand WHERE rn = 1),
+    dvec AS (SELECT chain_id, frac_pct, r, ax, ay, az,
+        n1*az - n2*ay AS d0, n2*ax - n0*az AS d1, n0*ay - n1*ax AS d2
+        FROM sel),
+    pt AS (SELECT chain_id, frac_pct,
+        cos(r)*ax + sin(r)*d0/sqrt(d0*d0 + d1*d1 + d2*d2) AS ox,
+        cos(r)*ay + sin(r)*d1/sqrt(d0*d0 + d1*d1 + d2*d2) AS oy,
+        cos(r)*az + sin(r)*d2/sqrt(d0*d0 + d1*d1 + d2*d2) AS oz
+        FROM dvec)
+    SELECT chain_id, frac_pct,
+      CAST(round(1000000 * ox / sqrt(ox*ox + oy*oy + oz*oz)) AS BIGINT) AS xq,
+      CAST(round(1000000 * oy / sqrt(ox*ox + oy*oy + oz*oz)) AS BIGINT) AS yq,
+      CAST(round(1000000 * oz / sqrt(ox*ox + oy*oy + oz*oz)) AS BIGINT) AS zq
+    FROM pt
+    """
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: convex hull of each nation's customer points (hull vertices are
+    input point ids in CCW order). Rows-only gate: a spherical convex hull
+    is not SQL-expressible; geometric invariants are pytest-verified."""
+    from .operators import edgequeries
+
+    pts = tables.load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("group_id"),
+        F.col("c_custkey").alias("id"),
+        geo.lat_col("c_custkey").alias("lat"),
+        geo.lng_col("c_custkey").alias("lng"),
+    )
+    return edgequeries.convex_hull_per_group(pts)
+
+
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 baseline: exact kNN, supplier queries vs customer index."""
     cust = tables.load_table(spark, sf_dir, "customer")
@@ -1202,6 +1390,10 @@ def all_queries():
         "tolerant_pairs": q_tolerant_pairs,
         "near_polygon": q_near_polygon,
         "closest_edge": q_closest_edge,
+        "crossing_pairs": q_crossing_pairs,
+        "hausdorff_witness": q_hausdorff_witness,
+        "chain_interp": q_chain_interp,
+        "convex_hull": q_convex_hull,
         "covering_tokens": q_covering_tokens,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1242,6 +1434,9 @@ def all_oracles():
         "tolerant_pairs": q_tolerant_pairs_oracle(),
         "near_polygon": q_near_polygon_oracle(),
         "closest_edge": q_closest_edge_oracle(),
+        "crossing_pairs": q_crossing_pairs_oracle(),
+        "hausdorff_witness": q_hausdorff_witness_oracle(),
+        "chain_interp": q_chain_interp_oracle(),
         # covering_tokens: rows-only (a covering is not SQL-expressible)
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),

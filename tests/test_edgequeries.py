@@ -1,0 +1,146 @@
+"""F6 crossing pairs, F7 Hausdorff, F8 interpolation, G5 convex hull."""
+
+import numpy as np
+
+from s2_geometry_library_java_spark.kernel import cellid as s2
+from s2_geometry_library_java_spark.kernel import convexhull as ch
+from s2_geometry_library_java_spark.kernel import edges as ek
+from s2_geometry_library_java_spark.kernel import predicates
+from s2_geometry_library_java_spark.kernel import region as rg
+
+
+def test_convex_hull_properties():
+    rng = np.random.default_rng(9)
+    for trial in range(5):
+        # points clustered in a cap (convex hull exists)
+        center = rng.normal(size=3)
+        center /= np.linalg.norm(center)
+        o1 = np.cross(center, [0.0, 0.0, 1.0])
+        o1 /= np.linalg.norm(o1)
+        o2 = np.cross(center, o1)
+        ang = rng.uniform(0, 0.3, 40)
+        th = rng.uniform(0, 2 * np.pi, 40)
+        pts = (
+            np.cos(ang)[:, None] * center[None, :]
+            + np.sin(ang)[:, None]
+            * (np.cos(th)[:, None] * o1[None, :] + np.sin(th)[:, None] * o2[None, :])
+        )
+        hull = ch.convex_hull(pts)
+        assert hull is not None and len(hull) >= 3
+        # 1. hull vertices are input points
+        in_set = {tuple(p) for p in pts}
+        for v in hull:
+            assert tuple(v) in in_set
+        # 2. hull is convex CCW: every consecutive turn is left
+        m = len(hull)
+        for i in range(m):
+            a, b, c = hull[i], hull[(i + 1) % m], hull[(i + 2) % m]
+            assert predicates._sign1(a, b, c) > 0
+        # 3. every input point is inside or on the hull loop
+        loop = rg.Loop(hull)
+        inside = loop.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+        # boundary vertices may test either way; interior points must be in
+        hull_set = {tuple(p) for p in hull}
+        for p, isin in zip(pts, inside):
+            if tuple(p) not in hull_set:
+                assert isin, p
+
+
+def test_convex_hull_hemisphere_none():
+    pts = np.array([[1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0], [0, -1.0, 0]])
+    assert ch.convex_hull(pts) is None
+
+
+def test_crossing_pairs_matches_kernel(spark):
+    from s2_geometry_library_java_spark.operators import edgequeries
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    def quad_text(clat, clng, h):
+        pts = [(clat - h, clng - h), (clat - h, clng + h), (clat + h, clng + h), (clat + h, clng - h)]
+        return ", ".join(f"{la!r}:{ln!r}" for la, ln in pts)
+
+    a_specs = {"a0": (10.0, 10.0, 4.0), "a1": (-20.0, 100.0, 5.0)}
+    b_specs = {"b0": (12.0, 12.0, 4.0), "b1": (60.0, -60.0, 3.0)}
+    sa = spark.createDataFrame(
+        [(k, quad_text(*v)) for k, v in a_specs.items()], "shape_id string, text string"
+    )
+    sb = spark.createDataFrame(
+        [(k, quad_text(*v)) for k, v in b_specs.items()], "shape_id string, text string"
+    )
+    ia = shape_ops.shape_index_df(sa, min_level=5)
+    ib = shape_ops.shape_index_df(sb, min_level=5)
+    got = {
+        (r["a_shape"], r["a_edge"], r["b_shape"], r["b_edge"])
+        for r in edgequeries.crossing_edge_pairs(ia, ib, level=5).collect()
+    }
+    # kernel brute force over all edge pairs
+    want = set()
+    for ka, va in a_specs.items():
+        pa = rg.Polygon.from_text(quad_text(*va)).loops[0].vertices
+        for kb, vb in b_specs.items():
+            pb = rg.Polygon.from_text(quad_text(*vb)).loops[0].vertices
+            for i in range(4):
+                for j in range(4):
+                    if predicates._arcs_cross_scalar(
+                        pa[i], pa[(i + 1) % 4], pb[j], pb[(j + 1) % 4]
+                    ):
+                        want.add((ka, i, kb, j))
+    assert got == want and len(want) > 0
+
+
+def test_chain_interpolate_matches_kernel(spark):
+    from s2_geometry_library_java_spark.operators import edgequeries
+
+    rng = np.random.default_rng(17)
+    rows = []
+    chains = {}
+    for cid in range(3):
+        lat0, lng0 = rng.uniform(-40, 40), rng.uniform(-150, 150)
+        pts = [(lat0 + k * rng.uniform(0.5, 2), lng0 + k * rng.uniform(0.5, 2)) for k in range(6)]
+        chains[cid] = pts
+        rows.extend((cid, k, float(pts[k][0]), float(pts[k][1])) for k in range(6))
+    df = spark.createDataFrame(rows, "chain_id long, seq int, lat double, lng double")
+    got = {
+        (r["chain_id"], r["frac_pct"]): np.array([r["x"], r["y"], r["z"]])
+        for r in edgequeries.chain_interpolate(df, [0.25, 0.5, 0.75]).collect()
+    }
+    for cid, pts in chains.items():
+        lat = np.radians([p[0] for p in pts])
+        lng = np.radians([p[1] for p in pts])
+        x, y, z = s2.latlng_to_xyz(lat, lng)
+        v = np.stack([x, y, z], axis=1)
+        from s2_geometry_library_java_spark.kernel import sphere
+
+        elen = sphere.angle_between(
+            v[:-1, 0], v[:-1, 1], v[:-1, 2], v[1:, 0], v[1:, 1], v[1:, 2]
+        )
+        # NOTE kernel edge length via chord formula to match operator
+        chord2 = ((v[:-1] - v[1:]) ** 2).sum(axis=1)
+        elen = 2.0 * np.arcsin(0.5 * np.sqrt(chord2))
+        cum = np.concatenate([[0.0], np.cumsum(elen)])
+        total = cum[-1]
+        for frac in (0.25, 0.5, 0.75):
+            target = frac * total
+            k = int(np.searchsorted(cum, target, side="right") - 1)
+            k = min(k, len(elen) - 1)
+            r = target - cum[k]
+            want = ek.interpolate_at_distance(np.array([r]), v[k][None], v[k + 1][None])[0]
+            have = got[(cid, int(frac * 100))]
+            assert np.linalg.norm(have - want) < 1e-12, (cid, frac)
+
+
+def test_directed_hausdorff_witness(spark):
+    from s2_geometry_library_java_spark.operators import edgequeries
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    shapes = spark.createDataFrame(
+        [("s0", "0.0:0.0, 0.0:10.0, 10.0:10.0, 10.0:0.0")],
+        "shape_id string, text string",
+    )
+    idx = shape_ops.shape_index_df(shapes)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 5.0, 11.0), (3, 40.0, 40.0)],
+        "id long, lat double, lng double",
+    )
+    out = edgequeries.directed_hausdorff(pts, idx).collect()
+    assert len(out) == 1 and out[0]["worst_point_id"] == 3
