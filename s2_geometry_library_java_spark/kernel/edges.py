@@ -250,6 +250,20 @@ def interpolate(a: np.ndarray, b: np.ndarray, t) -> np.ndarray:
     return np.where(one[..., None], np.broadcast_to(b, out.shape), out)
 
 
+def project_to_chain(points: np.ndarray, va: np.ndarray, vb: np.ndarray):
+    """G8 S2Polyline.project/uninterpolate: closest point on the chain of
+    edges (va[k], vb[k]) for each query point. Returns (projected (n,3),
+    segment index (n,), chord2 (n,))."""
+    p = np.asarray(points, dtype=np.float64)
+    a = np.asarray(va, dtype=np.float64)
+    b = np.asarray(vb, dtype=np.float64)
+    c = robust_cross_prod(a, b)
+    d = min_chord2_to_edges(p[:, None, :], a[None, :, :], b[None, :, :], c[None, :, :])
+    seg = d.argmin(axis=1)
+    proj = project_to_edges(p, a[seg], b[seg])
+    return proj, seg.astype(np.int64), d.min(axis=1)
+
+
 def edge_intersection(a: np.ndarray, b: np.ndarray, c: np.ndarray,
                       d: np.ndarray) -> np.ndarray:
     """Intersection point of crossing edges AB and CD (S2EdgeUtil

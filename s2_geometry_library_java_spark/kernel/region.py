@@ -354,10 +354,127 @@ class RegionUnion:
         return out
 
 
+class ShapeIndexRegion:
+    """C7 S2ShapeIndexRegion: region view whose cell tests come from the
+    shape INDEX instead of scanning every edge — the covering accelerator
+    for large geometry. may_intersect(cell) = the cell's leaf range
+    overlaps an index cell (boundary nearby, conservative) else decided
+    exactly by the center parity; contains(cell) = no boundary overlap and
+    center inside."""
+
+    def __init__(self, polygon: "Polygon", max_edges_per_cell: int = 10,
+                 max_level: int = 16):
+        from . import shapeindex as si
+
+        self.polygon = polygon
+        rows = si.build_shape_index(
+            [lp.vertices for lp in polygon.loops],
+            max_edges_per_cell=max_edges_per_cell,
+            max_level=max_level,
+        )
+        ids = np.array([r[0] for r in rows], dtype=np.uint64)
+        bias = np.uint64(1) << np.uint64(63)
+        self._lo = np.sort((ci.range_min(ids) ^ bias).view(np.int64))
+        self._hi = np.sort((ci.range_max(ids) ^ bias).view(np.int64))
+
+    def _boundary_overlaps(self, cell) -> bool:
+        bias = np.uint64(1) << np.uint64(63)
+        u = np.uint64(cell.id)
+        lo = int((np.atleast_1d(ci.range_min(u)) ^ bias).view(np.int64)[0])
+        hi = int((np.atleast_1d(ci.range_max(u)) ^ bias).view(np.int64)[0])
+        # overlap iff some index range [lo_k, hi_k] intersects [lo, hi]:
+        # first index cell with hi_k >= lo must start at lo_k <= hi.
+        # ranges are disjoint and sorted, so lo and hi arrays sort together.
+        k = int(np.searchsorted(self._hi, lo))
+        return k < len(self._lo) and self._lo[k] <= hi
+
+    def _center_inside(self, cell) -> bool:
+        v = cell.vertices.mean(axis=0)
+        v = v / np.sqrt(v @ v)
+        return bool(self.polygon.contains_points(v[0:1], v[1:2], v[2:3])[0])
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        return self.polygon.contains_points(x, y, z)
+
+    def contains_cell(self, cell) -> bool:
+        return not self._boundary_overlaps(cell) and self._center_inside(cell)
+
+    def may_intersect_cell(self, cell) -> bool:
+        return self._boundary_overlaps(cell) or self._center_inside(cell)
+
+
+@dataclass
+class BufferedRegion:
+    """C8 S2ShapeIndexBufferedRegion: all points within ``radius_rad`` of
+    a base polygon (interior included). Cell tests use the center-distance
+    +/- circumradius triangle inequality — sound for coverings (contains
+    may false-negative, may_intersect may false-positive, never the
+    reverse)."""
+
+    base: "Polygon"
+    radius_rad: float
+
+    def _center_dist(self, cell) -> tuple[float, float]:
+        """(angle from cell center to region, cell circumradius angle)."""
+        from . import edges as ek
+        from . import sphere
+
+        c = cell.vertices.mean(axis=0)
+        c = c / np.sqrt(c @ c)
+        if bool(self.base.contains_points(c[0:1], c[1:2], c[2:3])[0]):
+            d = 0.0
+        else:
+            best = 4.0
+            for lp in self.base.loops:
+                va = lp.vertices
+                vb = np.roll(va, -1, axis=0)
+                best = min(best, float(ek.min_chord2_points_to_chain(c[None], va, vb)[0]))
+            d = float(sphere.angle_from_chord2(best))
+        v = cell.vertices
+        circ2 = float(
+            sphere.chord2_between(v[:, 0], v[:, 1], v[:, 2], c[0], c[1], c[2]).max()
+        )
+        return d, float(sphere.angle_from_chord2(circ2))
+
+    def contains_points(self, x, y, z) -> np.ndarray:
+        from . import edges as ek
+        from . import sphere
+
+        pts = np.stack([np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1)
+        inside = self.base.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+        best = np.full(len(pts), 4.0)
+        for lp in self.base.loops:
+            va = lp.vertices
+            vb = np.roll(va, -1, axis=0)
+            best = np.minimum(best, ek.min_chord2_points_to_chain(pts, va, vb))
+        thresh = float(sphere.chord2_from_angle(self.radius_rad))
+        return inside | (best <= thresh)
+
+    def contains_cell(self, cell) -> bool:
+        d, circ = self._center_dist(cell)
+        return d + circ <= self.radius_rad
+
+    def may_intersect_cell(self, cell) -> bool:
+        d, circ = self._center_dist(cell)
+        return d - circ <= self.radius_rad
+
+
 def region_cell_tests(region):
     """(contains_cell, may_intersect_cell, cap_bound) dispatch for a region."""
     from . import sphere
 
+    if isinstance(region, (ShapeIndexRegion, BufferedRegion)):
+        base = region.polygon if isinstance(region, ShapeIndexRegion) else region.base
+        _, _, base_cap = region_cell_tests(base)
+        if isinstance(region, BufferedRegion):
+            ang = base_cap.bound_angle() + region.radius_rad
+            cap = Cap(
+                base_cap.center,
+                min(4.0, float(sphere.chord2_from_angle(ang)) * (1 + 1e-12)),
+            )
+        else:
+            cap = base_cap
+        return (region.contains_cell, region.may_intersect_cell, cap)
     if isinstance(region, RegionIntersection):
         subs = [region_cell_tests(r) for r in region.regions]
         # tightest sub-cap bounds the intersection

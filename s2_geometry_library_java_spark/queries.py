@@ -842,6 +842,46 @@ def q_chain_interp_oracle() -> str:
     """
 
 
+def q_buffered_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: orders points inside the BUFFERED first query quad — the
+    coverer runs over the BufferedRegion view (triangle-inequality cell
+    tests), membership joins the covering, the exact buffered contains
+    refines. Same exact semantics as inside-or-within-radius."""
+    from .operators import cellunion
+
+    poly = _quad_polygon(*PIP_QUADS["p0"])
+    reg = rg.BufferedRegion(poly, NEAR_POLY_RADIUS_RAD)
+    ids = cov.RegionCoverer(max_cells=16).get_covering(reg)
+    union = spark.createDataFrame(
+        [(int(np.int64(np.uint64(c))),) for c in ids], "cell_id long"
+    )
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    pts = pts.withColumn(
+        "leaf", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30)
+    )
+    cand = cellunion.contains_points_df(union, pts, "leaf")
+    dist = tolerant.make_polygon_distance_udf({"p0": poly})
+    threshold = float(sphere.chord2_from_angle(NEAR_POLY_RADIUS_RAD))
+    return cand.where(
+        dist(F.lit("p0"), F.col("lat"), F.col("lng")) <= F.lit(threshold)
+    ).select("k")
+
+
+def q_buffered_region_oracle() -> str:
+    threshold = float(sphere.chord2_from_angle(NEAR_POLY_RADIUS_RAD))
+    p0_expr = dict(_edge_distance_sql("x", "y", "z"))["p0"]
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    e(pid, ax, ay, az, bx, by, bz) AS (VALUES {_quad_edges_sql_values()}),
+    dets AS (SELECT p.k,
+        (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+        FROM p CROSS JOIN e WHERE e.pid = 'p0'),
+    inside AS (SELECT k FROM dets GROUP BY k HAVING bool_and(det > 0)),
+    near AS (SELECT k FROM p WHERE ({p0_expr}) <= {threshold!r})
+    SELECT k FROM inside UNION SELECT k FROM near
+    """
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: convex hull of each nation's customer points (hull vertices are
     input point ids in CCW order). Rows-only gate: a spherical convex hull
@@ -1394,6 +1434,7 @@ def all_queries():
         "hausdorff_witness": q_hausdorff_witness,
         "chain_interp": q_chain_interp,
         "convex_hull": q_convex_hull,
+        "buffered_region": q_buffered_region,
         "covering_tokens": q_covering_tokens,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1437,6 +1478,7 @@ def all_oracles():
         "crossing_pairs": q_crossing_pairs_oracle(),
         "hausdorff_witness": q_hausdorff_witness_oracle(),
         "chain_interp": q_chain_interp_oracle(),
+        "buffered_region": q_buffered_region_oracle(),
         # covering_tokens: rows-only (a covering is not SQL-expressible)
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),

@@ -1,0 +1,91 @@
+"""C7 ShapeIndexRegion, C8 BufferedRegion, G8 polyline project."""
+
+import numpy as np
+
+from s2_geometry_library_java_spark.kernel import cellid as ci
+from s2_geometry_library_java_spark.kernel import coverer as cov
+from s2_geometry_library_java_spark.kernel import edges as ek
+from s2_geometry_library_java_spark.kernel import region as rg
+from s2_geometry_library_java_spark.kernel import sphere
+from s2_geometry_library_java_spark.kernel.cell import Cell
+
+
+def _poly():
+    return rg.Polygon(
+        [rg.Loop.from_latlng_degrees([(0.0, 0.0), (0.0, 12.0), (12.0, 12.0), (12.0, 0.0)])]
+    )
+
+
+def test_shape_index_region_cell_tests_sound():
+    poly = _poly()
+    reg = rg.ShapeIndexRegion(poly)
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-10, 22, 200)
+    lng = rng.uniform(-10, 22, 200)
+    lvls = rng.integers(4, 10, 200)
+    for k in range(200):
+        cid = int(ci.parent(ci.latlng_degrees_to_cell_id(lat[k], lng[k]), int(lvls[k])))
+        cell = Cell(cid)
+        exact_contains = rg.polygon_contains_cell(poly, cell)
+        exact_may = rg.polygon_may_intersect_cell(poly, cell)
+        # soundness: contains never over-claims; may_intersect never under-claims
+        if reg.contains_cell(cell):
+            assert exact_contains or not rg._edges_cross_cell(poly.loops[0], cell)
+            assert exact_may  # contained cells certainly intersect
+        if exact_may:
+            assert reg.may_intersect_cell(cell)
+
+
+def test_shape_index_region_covering_valid():
+    poly = _poly()
+    reg = rg.ShapeIndexRegion(poly)
+    ids = cov.RegionCoverer(max_cells=12).get_covering(reg)
+    assert 1 <= len(ids) <= 12
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(0.2, 11.8, 400)
+    lng = rng.uniform(0.2, 11.8, 400)
+    leaf = ci.latlng_to_cell_id(np.radians(lat), np.radians(lng))
+    u = np.array(ids, dtype=np.uint64)
+    lo, hi = ci.range_min(u), ci.range_max(u)
+    covered = ((leaf[:, None] >= lo[None, :]) & (leaf[:, None] <= hi[None, :])).any(axis=1)
+    assert covered.all()
+
+
+def test_buffered_region_covering_covers_ring():
+    poly = _poly()
+    r = np.radians(2.0)
+    reg = rg.BufferedRegion(poly, float(r))
+    ids = cov.RegionCoverer(max_cells=16).get_covering(reg)
+    # points just inside the buffer: along the lng=12 edge pushed outward
+    lat = np.radians(np.linspace(1.0, 11.0, 100))
+    lng = np.radians(12.0) + 0.95 * r / np.cos(lat)
+    # contains_points agrees they are in the buffered region
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    inside = reg.contains_points(x, y, z)
+    assert inside.all()
+    leaf = ci.latlng_to_cell_id(lat, lng)
+    u = np.array(ids, dtype=np.uint64)
+    lo, hi = ci.range_min(u), ci.range_max(u)
+    covered = ((leaf[:, None] >= lo[None, :]) & (leaf[:, None] <= hi[None, :])).any(axis=1)
+    assert covered.all()
+    # and points far outside are not in the region
+    far_x, far_y, far_z = ci.latlng_to_xyz(np.radians(np.array([40.0])), np.radians(np.array([40.0])))
+    assert not reg.contains_points(far_x, far_y, far_z)[0]
+
+
+def test_project_to_chain():
+    rng = np.random.default_rng(8)
+    verts = rng.normal(size=(7, 3))
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    va, vb = verts[:-1], verts[1:]
+    pts = rng.normal(size=(30, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    proj, seg, d2 = ek.project_to_chain(pts, va, vb)
+    # the projected point realizes the chain min distance
+    d_proj = sphere.chord2_between(
+        pts[:, 0], pts[:, 1], pts[:, 2], proj[:, 0], proj[:, 1], proj[:, 2]
+    )
+    np.testing.assert_allclose(d_proj, d2, atol=1e-14)
+    want = ek.min_chord2_points_to_chain(pts, va, vb)
+    np.testing.assert_allclose(d2, want, atol=0)
+    assert ((seg >= 0) & (seg < len(va))).all()
