@@ -27,12 +27,17 @@ HEADLINE = [
     "cellid_encode",
     "tile_counts",
     "pip_contains",
+    "pip_indexed",
     "knn_cell",
+    "tolerant_pairs",
+    "near_polygon",
+    "closest_edge",
     "media_tiles",
     "span_invariant",
     "minhash_signatures",
     "simhash",
     "ann_topk",
+    "ann_lsh_pairs",
     "lsh_buckets",
     "doc_stats",
     "pricing_summary",

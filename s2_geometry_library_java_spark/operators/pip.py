@@ -215,12 +215,19 @@ def pip_join_convex(
             "polygon_id string, cell_id long, range_min_b long, range_max_b long, is_interior boolean",
         ).select("polygon_id", "cell_id", "is_interior")
     )
-    pts = points.select(
+    base = points.select(
         F.col(point_id).alias("point_id"),
         F.col(lat).alias("lat"),
         F.col(lng).alias("lng"),
-        (F.col(leaf_col) if leaf_col else encode_cols.cell_id_col(lat, lng)).alias("leaf"),
+        *([F.col(leaf_col).alias("leaf")] if leaf_col else []),
     )
+    if leaf_col is None:
+        # staged encoder (with_cell_id), NOT the monolithic cell_id_col: the
+        # single-expression form duplicates the projection tree ~2^8 times
+        # through the chained Hilbert steps, which can overflow the codegen
+        # stack on a hot session and is ~10x slower to evaluate.
+        base = encode_cols.with_cell_id(base, "lat", "lng", out="leaf")
+    pts = base
     x, y, z = encode_cols.xyz_cols(F.col("lat"), F.col("lng"))
     cand = (
         pts.withColumns({"_px": x, "_py": y, "_pz": z})

@@ -145,8 +145,9 @@ def pip_join_indexed(
     exact filter reads geometry from a joined column — no driver loop, no
     closure capture; scales to millions of polygons.
     """
-    cov_rows = coverings_df(shapes, max_cells=max_cells)
-    # distinct covering levels: tiny aggregate, one job
+    # persist the covering rows: the distinct-levels probe and the
+    # broadcast materialization would otherwise run the coverer twice
+    cov_rows = coverings_df(shapes, max_cells=max_cells).persist()
     levels = [
         int(r["lvl"])
         for r in cov_rows.select(cc.level("cell_id").alias("lvl")).distinct().collect()

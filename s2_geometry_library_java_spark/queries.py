@@ -423,7 +423,7 @@ def q_pip_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes = spark.createDataFrame(
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
-    )
+    ).coalesce(1)
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
     return shape_ops.pip_join_indexed(spark, pts, shapes, point_id="k").withColumnsRenamed(
         {"point_id": "k"}
@@ -644,7 +644,7 @@ def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes = spark.createDataFrame(
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
-    )
+    ).coalesce(1)
     idx = shape_ops.shape_index_df(shapes, min_level=4)
     supp = tables.load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("k"),
@@ -685,11 +685,11 @@ def q_crossing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes_a = spark.createDataFrame(
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
-    )
+    ).coalesce(1)
     shapes_b = spark.createDataFrame(
         [(pid + "s", _shifted_quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
-    )
+    ).coalesce(1)
     idx_a = shape_ops.shape_index_df(shapes_a, min_level=6)
     idx_b = shape_ops.shape_index_df(shapes_b, min_level=6)
     return edgequeries.crossing_edge_pairs(idx_a, idx_b, level=6)
@@ -749,7 +749,7 @@ def q_hausdorff_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     shapes = spark.createDataFrame(
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
-    )
+    ).coalesce(1)
     idx = shape_ops.shape_index_df(shapes)
     supp = tables.load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("k"),
