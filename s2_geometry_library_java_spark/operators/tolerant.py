@@ -76,23 +76,26 @@ def tolerant_pairs(
     if level is None:
         level = level_for_radius(radius_rad)
     threshold = float(sphere.chord2_from_angle(radius_rad))
+    # coalesce makes the join key non-nullable: otherwise the join's pushed
+    # isnotnull filter re-evaluates the Arrow encode kernel a second time
+    # over the big side (visible as two ArrowEvalPython nodes in the plan)
+    key = lambda: F.coalesce(  # noqa: E731
+        cc.parent(udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30), level),
+        F.lit(0).cast("long"),
+    )
     aa = _xyz(a, lat, lng, "a").select(
         F.col(a_id).alias("a_id"),
         "ax",
         "ay",
         "az",
-        cc.parent(udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30), level).alias(
-            "cell"
-        ),
+        key().alias("cell"),
     )
     bb = _xyz(b, lat, lng, "b").select(
         F.col(b_id).alias("b_id"),
         "bx",
         "by",
         "bz",
-        cc.parent(udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30), level).alias(
-            "bcell"
-        ),
+        key().alias("bcell"),
     )
     probe = bb.select(
         "b_id",
