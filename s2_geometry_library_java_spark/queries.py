@@ -882,6 +882,65 @@ def q_buffered_region_oracle() -> str:
     """
 
 
+# G1 boolean-op gate geometry: two overlapping off-grid quads.
+BOOL_A = (20.0043, 30.0021, 6.0)
+BOOL_B = (24.0043, 34.0021, 6.0)
+
+
+def _poly_edges_values(poly: rg.Polygon, pid: str) -> str:
+    rows = []
+    for lp in poly.loops:
+        v = lp.vertices
+        for k in range(len(v)):
+            a, b = v[k], v[(k + 1) % len(v)]
+            rows.append(
+                f"('{pid}',CAST({a[0]!r} AS DOUBLE),CAST({a[1]!r} AS DOUBLE),"
+                f"CAST({a[2]!r} AS DOUBLE),CAST({b[0]!r} AS DOUBLE),"
+                f"CAST({b[1]!r} AS DOUBLE),CAST({b[2]!r} AS DOUBLE))"
+            )
+    return ",".join(rows)
+
+
+def _q_boolean(spark: SparkSession, sf_dir: str, op: str) -> DataFrame:
+    """The boolean-op polygon is CONSTRUCTED by the G1 kernel, then points
+    are tested against the RESULT via the standard PIP join — membership
+    must equal the SQL combination of the two input memberships."""
+    from .kernel import booleanop as bo
+
+    result = bo.boolean_op(_quad_polygon(*BOOL_A), _quad_polygon(*BOOL_B), op)
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return (
+        pip.pip_join(spark, pts, {op: result}, point_id="k")
+        .select(F.col("point_id").alias("k"))
+    )
+
+
+def q_boolean_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_boolean(spark, sf_dir, "intersection")
+
+
+def q_boolean_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_boolean(spark, sf_dir, "difference")
+
+
+def _q_boolean_oracle(op: str) -> str:
+    ea = _poly_edges_values(_quad_polygon(*BOOL_A), "a")
+    eb = _poly_edges_values(_quad_polygon(*BOOL_B), "b")
+    combine = "INTERSECT" if op == "intersection" else "EXCEPT"
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    ea(pid, ax, ay, az, bx, by, bz) AS (VALUES {ea}),
+    eb(pid, ax, ay, az, bx, by, bz) AS (VALUES {eb}),
+    ia AS (SELECT k FROM (SELECT p.k,
+            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+            FROM p CROSS JOIN ea) GROUP BY k HAVING bool_and(det > 0)),
+    ib AS (SELECT k FROM (SELECT p.k,
+            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+            FROM p CROSS JOIN eb) GROUP BY k HAVING bool_and(det > 0))
+    SELECT k FROM ia {combine} SELECT k FROM ib
+    """
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: convex hull of each nation's customer points (hull vertices are
     input point ids in CCW order). Rows-only gate: a spherical convex hull
@@ -1435,6 +1494,8 @@ def all_queries():
         "chain_interp": q_chain_interp,
         "convex_hull": q_convex_hull,
         "buffered_region": q_buffered_region,
+        "boolean_intersection": q_boolean_intersection,
+        "boolean_difference": q_boolean_difference,
         "covering_tokens": q_covering_tokens,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1479,6 +1540,8 @@ def all_oracles():
         "hausdorff_witness": q_hausdorff_witness_oracle(),
         "chain_interp": q_chain_interp_oracle(),
         "buffered_region": q_buffered_region_oracle(),
+        "boolean_intersection": _q_boolean_oracle("intersection"),
+        "boolean_difference": _q_boolean_oracle("difference"),
         # covering_tokens: rows-only (a covering is not SQL-expressible)
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),

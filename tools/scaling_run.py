@@ -47,7 +47,7 @@ def synth_documents(spark, n_docs: int):
     return spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
 
 
-def run_once(cpus: int, n_docs: int) -> dict:
+def run_once(cpus: int, n_docs: int, engine: str = "jvm") -> dict:
     from pyspark.sql import SparkSession, functions as F
 
     spark = (
@@ -81,8 +81,9 @@ def run_once(cpus: int, n_docs: int) -> dict:
     t0 = time.time()
     d = docsrc.with_spans(documents)
     spans = docsrc.geotagged_media_spans(d)
-    tiled = tiling.tile_points(spans, level=12, engine="jvm")
-    hits = pip.pip_join_convex(
+    tiled = tiling.tile_points(spans, level=12, engine=engine)
+    pip_fn = pip.pip_join_convex if engine == "jvm" else pip.pip_join
+    hits = pip_fn(
         spark,
         tiled.select(
             F.concat_ws("_", "doc_id", "offset").alias("span_key"), "lat", "lng", "leaf"
@@ -103,6 +104,7 @@ def run_once(cpus: int, n_docs: int) -> dict:
     return {
         "cpus": cpus,
         "n_docs": n_docs,
+        "engine": engine,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
         "out_rows": n_out,
@@ -111,7 +113,8 @@ def run_once(cpus: int, n_docs: int) -> dict:
 
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--once":
-        print(json.dumps(run_once(int(sys.argv[2]), int(sys.argv[3]))))
+        eng = sys.argv[4] if len(sys.argv) > 4 else "jvm"
+        print(json.dumps(run_once(int(sys.argv[2]), int(sys.argv[3]), eng)))
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
     base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "1"))
