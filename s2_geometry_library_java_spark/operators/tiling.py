@@ -10,6 +10,7 @@ check for coarse covering cells.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import columns as cc
@@ -66,3 +67,37 @@ def density_rollup(tiled: DataFrame, levels: list[int], weight_col=None) -> Data
         )
         out = cur if out is None else out.unionByName(cur)
     return out.select("level", "cell_id", "weight")
+
+
+def mercator_tile_cols(lat_deg, lng_deg, zoom: int):
+    """Web-mercator XYZ tile (tx, ty) Columns for a zoom level — the
+    raster-tile bridge (the Projection tier of S2EdgeTessellator /
+    Projection.java: geodesic data joined against projected raster tiles).
+    Standard slippy-map math: tx = floor((lng+180)/360 * 2^z),
+    ty = floor((1 - asinh(tan(lat))/pi)/2 * 2^z), lat clamped to the
+    mercator domain. Pure JVM Columns."""
+    lat = F.col(lat_deg) if isinstance(lat_deg, str) else lat_deg
+    lng = F.col(lng_deg) if isinstance(lng_deg, str) else lng_deg
+    n = float(1 << zoom)
+    lat_c = F.greatest(F.lit(-85.05112877980659), F.least(F.lit(85.05112877980659), lat))
+    lat_r = F.radians(lat_c)
+    tx = F.floor((lng + 180.0) / 360.0 * n).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(float(np.pi))) / 2.0 * n
+    ).cast("long")
+    # the dateline edge (lng == 180) wraps into the last tile
+    tx = F.least(tx, F.lit(int(n) - 1)).cast("long")
+    return tx, ty
+
+
+def raster_vector_join(points: DataFrame, zoom: int, lat: str = "lat",
+                       lng: str = "lng", s2_level: int = 12) -> DataFrame:
+    """raster<->vector bridge rows: each point keyed BOTH by its web-
+    mercator XYZ tile (raster side) and its S2 cell (vector side), so
+    raster tiles join geodesic coverings through a plain equi-join on
+    either key. One pass, no shuffle."""
+    tx, ty = mercator_tile_cols(lat, lng, zoom)
+    out = tile_points(points, lat, lng, level=s2_level)
+    return out.withColumns(
+        {"tile_x": tx, "tile_y": ty, "zoom": F.lit(zoom).cast("int")}
+    )

@@ -314,6 +314,32 @@ def q_tile_counts_oracle() -> str:
     )
 
 
+def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 raster bridge: per web-mercator XYZ tile (zoom 8) point counts —
+    the projected-raster side of raster<->vector joins. Pure JVM Columns."""
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    tx, ty = tiling.mercator_tile_cols("lat", "lng", 8)
+    return (
+        pts.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_mercator_tiles_oracle() -> str:
+    return f"""
+    WITH ll AS ({_latlng_sql('orders', 'o_orderkey')}),
+    c AS (SELECT greatest(-85.05112877980659, least(85.05112877980659, lat)) AS latc,
+                 lng FROM ll),
+    t AS (SELECT
+        least(CAST(floor((lng + 180.0) / 360.0 * 256.0) AS BIGINT), 255) AS tx,
+        CAST(floor((1.0 - ln(tan(radians(latc)) + 1.0/cos(radians(latc))) / pi())
+             / 2.0 * 256.0) AS BIGINT) AS ty
+        FROM c)
+    SELECT tx, ty, COUNT(*) AS n FROM t GROUP BY 1, 2
+    """
+
+
 def q_face_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/xyzToFace over trig-derived lat/lng; grouped so 1-ulp libm
     differences cannot flip the output."""
@@ -1476,6 +1502,7 @@ def all_queries():
         "cell_algebra": q_cell_algebra,
         "cell_measures": q_cell_measures,
         "tile_counts": q_tile_counts,
+        "mercator_tiles": q_mercator_tiles,
         "face_counts": q_face_counts,
         "cap_contains": q_cap_contains,
         "rect_contains": q_rect_contains,
@@ -1523,6 +1550,7 @@ def all_oracles():
         "cell_algebra": q_cell_algebra_oracle(),
         "cell_measures": q_cell_measures_oracle(),
         "tile_counts": q_tile_counts_oracle(),
+        "mercator_tiles": q_mercator_tiles_oracle(),
         "face_counts": q_face_counts_oracle(),
         "cap_contains": q_cap_contains_oracle(),
         "rect_contains": q_rect_contains_oracle(),
