@@ -69,7 +69,9 @@ def edge_min_chord2_cols(px, py, pz, ax, ay, az, bx, by, bz) -> Column:
     )
 
 
-def _probe(queries: DataFrame, query_id: str, lat: str, lng: str, level) -> DataFrame:
+def _query_points(queries: DataFrame, query_id: str, lat: str, lng: str, level) -> DataFrame:
+    """(query_id, px, py, pz, qcell) — ONE Arrow pass over the queries,
+    shared by the ring probe and the brute fallback."""
     qs = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(lat).alias("lat"),
@@ -77,7 +79,7 @@ def _probe(queries: DataFrame, query_id: str, lat: str, lng: str, level) -> Data
         udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30).alias("qleaf"),
     )
     p = udfs.latlng_deg_to_xyz(F.col("lat"), F.col("lng"))
-    qs = (
+    return (
         qs.withColumn("_p", p)
         .select(
             "query_id",
@@ -87,7 +89,10 @@ def _probe(queries: DataFrame, query_id: str, lat: str, lng: str, level) -> Data
             cc.parent("qleaf", level).alias("qcell"),
         )
     )
-    return qs.select(
+
+
+def _probe(qpts: DataFrame) -> DataFrame:
+    return qpts.select(
         "query_id",
         "px",
         "py",
@@ -116,7 +121,8 @@ def closest_edges(
         "ax", "ay", "az", "bx", "by", "bz",
         cc.parent("cell_id", level).alias("cell_key"),
     ).dropDuplicates(["shape_id", "edge_id", "cell_key"])
-    probe = _probe(queries, query_id, lat, lng, level)
+    qpts = _query_points(queries, query_id, lat, lng, level).localCheckpoint(eager=False)
+    probe = _probe(qpts)
     cand = (
         probe.join(idx, "cell_key")
         .dropDuplicates(["query_id", "shape_id", "edge_id"])
@@ -151,9 +157,7 @@ def closest_edges(
     done = topk.join(finished, "query_id").select(
         "query_id", "rank", "shape_id", "edge_id", "chord2"
     )
-    qs_all = _probe(queries, query_id, lat, lng, level).select(
-        "query_id", "px", "py", "pz"
-    ).dropDuplicates(["query_id"])
+    qs_all = qpts.select("query_id", "px", "py", "pz")
     remaining = qs_all.join(finished, "query_id", "left_anti")
     edges_all = index.dropDuplicates(["shape_id", "edge_id"]).select(
         "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"
