@@ -250,3 +250,50 @@ def test_difference_df_deep_refinement(spark):
     rmax = ci.range_max(out).astype(np.uint64)
     covered = bool(((np.uint64(lb) >= rmin) & (np.uint64(lb) <= rmax)).any())
     assert not covered
+
+
+def test_spatial_layout_partition_pruning(spark, tmp_path):
+    """Iceberg-style layout: part_cell partition column + covering IN
+    filter -> the scan's PartitionFilters prune files; results equal the
+    unpruned range filter."""
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import coverer as cv
+    from s2_geometry_library_java_spark.kernel import region as rg
+    from s2_geometry_library_java_spark.sources import spatial_layout as sl
+
+    rng = np.random.RandomState(4)
+    lat = rng.uniform(-80, 80, 5000)
+    lng = rng.uniform(-179, 179, 5000)
+    leaf = ci.latlng_to_cell_id(np.radians(lat), np.radians(lng))
+    df = spark.createDataFrame(
+        [(int(i), int(np.int64(leaf[i]))) for i in range(5000)], "id long, leaf long"
+    )
+    path = str(tmp_path / "pts")
+    sl.write_spatial_table(df, path, part_level=2)
+
+    cap = rg.Cap.from_latlng_deg(20.0, 30.0, 9.0)
+    ids = cv.RegionCoverer(max_cells=8).get_covering(cap)
+    pruned = sl.pruned_scan(spark, path, ids, part_level=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part_cell" in plan
+
+    # correctness: pruned scan + range membership == brute membership
+    lob = [int(np.int64(np.uint64(ci.range_min(np.uint64(c))))) for c in ids]
+    hib = [int(np.int64(np.uint64(ci.range_max(np.uint64(c))))) for c in ids]
+    from pyspark.sql import functions as F
+    from s2_geometry_library_java_spark.functions import columns as cc
+
+    cond = None
+    for lo, hi in zip(lob, hib):
+        b = cc.biased("leaf")
+        lo_b, hi_b = lo ^ -(2**63), hi ^ -(2**63)
+        c = (b >= F.lit(lo_b)) & (b <= F.lit(hi_b))
+        cond = c if cond is None else (cond | c)
+    got = {r["id"] for r in pruned.where(cond).collect()}
+    want = {r["id"] for r in spark.read.parquet(path).where(cond).collect()}
+    assert got == want and len(want) > 0
+
+    # the pruned scan reads strictly fewer partitions than exist
+    n_parts_all = spark.read.parquet(path).select("part_cell").distinct().count()
+    n_parts_pruned = pruned.select("part_cell").distinct().count()
+    assert n_parts_pruned < n_parts_all
