@@ -186,6 +186,37 @@ def count_crossings(
     return crossing.sum(axis=1).astype(np.int64)
 
 
+def winding_numbers(
+    origin: np.ndarray,
+    points: np.ndarray,
+    loop_vertices: np.ndarray,
+    origin_winding: int = 0,
+) -> np.ndarray:
+    """G4 primitive (S2WindingOperation semantics, query form): signed
+    winding number of each point w.r.t. one directed (possibly self-
+    intersecting) loop, given the winding number at a reference point.
+
+    Each proper crossing of the geodesic origin->p with a loop edge (c,d)
+    changes the winding by the shared orientation sign of the crossing
+    (the EdgeCrosser four-sign value: +1 when the edge crosses the path
+    CCW-wise). Batch over points x edges like count_crossings.
+    """
+    o = np.asarray(origin, dtype=np.float64)
+    p = np.asarray(points, dtype=np.float64)
+    v = np.asarray(loop_vertices, dtype=np.float64)
+    c = v[None, :, :]
+    d = np.roll(v, -1, axis=0)[None, :, :]
+    on = o[None, None, :]
+    pn = p[:, None, :]
+    acb = sign_batch(on, c, pn)
+    bda = sign_batch(pn, d, on)
+    cbd = sign_batch(c, pn, d)
+    dac = sign_batch(d, on, c)
+    crossing = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+    signed = np.where(crossing, acb, 0)
+    return origin_winding + signed.sum(axis=1).astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Scalar wedge predicates for loop initialization (S2.ortho S2.java:306-320,
 # orderedCCW S2Predicates.java:508-526, angleContainsVertex :555-565,
