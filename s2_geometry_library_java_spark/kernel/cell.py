@@ -139,6 +139,44 @@ class Cell:
             + sphere.triangle_area(v[0][None], v[2][None], v[3][None])[0]
         )
 
+    def distance_chord2(self, points: np.ndarray) -> np.ndarray:
+        """A19 S2Cell.getDistance (S2Cell.java:665-760) batch: squared-
+        chord distance from each point to the cell — 0 inside, else the
+        min distance to the 4 boundary edges."""
+        from . import edges as ek
+
+        pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        v = self.vertices
+        vb = np.roll(v, -1, axis=0)
+        d = ek.min_chord2_points_to_chain(pts, v, vb)
+        inside = np.array([self.contains_point(p) for p in pts])
+        return np.where(inside, 0.0, d)
+
+    def max_distance_chord2(self, points: np.ndarray) -> np.ndarray:
+        """A19 S2Cell.getMaxDistance: max chord2 from each point to any
+        point of the cell (antipode trick, S2Cell.java:848-948)."""
+        from . import edges as ek
+        from . import sphere
+
+        pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+        v = self.vertices
+        # max over the 4 vertices is exact for convex cells unless the
+        # antipode intersects the cell, in which case it's STRAIGHT - min
+        d = np.zeros(len(pts))
+        for k in range(4):
+            d = np.maximum(
+                d,
+                sphere.chord2_between(
+                    pts[:, 0], pts[:, 1], pts[:, 2], v[k, 0], v[k, 1], v[k, 2]
+                ),
+            )
+        far = d > 2.0
+        if np.any(far):
+            dmin = self.distance_chord2(-pts[far])
+            ang = np.pi - sphere.angle_from_chord2(dmin)
+            d[far] = np.maximum(d[far], sphere.chord2_from_angle(ang))
+        return np.minimum(d, 4.0)
+
     def expanded_by_distance_uv(self, distance_rad: float) -> tuple[float, float, float, float]:
         """A15 S2CellId.expandedByDistanceUV (S2CellId.java:1377-1447):
         (u,v) bounds buffered so every point within ``distance_rad`` of the

@@ -112,3 +112,35 @@ def test_boundary_loop_vertices():
     for v in c.vertices:
         d = np.abs(pts - v[None, :]).sum(axis=1).min()
         assert d < 1e-12
+
+
+def test_cell_distance_chord2():
+    """A19 exact cell<->point distance vs dense boundary sampling."""
+    from s2_geometry_library_java_spark.kernel import edges as ek
+
+    cid = int(ci.parent(ci.latlng_degrees_to_cell_id(15.0, 25.0), 6))
+    c = Cell(cid)
+    rng = np.random.default_rng(12)
+    lat = np.radians(rng.uniform(5, 25, 100))
+    lng = np.radians(rng.uniform(15, 35, 100))
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    pts = np.stack([x, y, z], axis=1)
+    got = c.distance_chord2(pts)
+    # dense sample of the cell boundary (interpolated edge points)
+    v = c.vertices
+    vb = np.roll(v, -1, axis=0)
+    samples = []
+    for k in range(4):
+        for t in np.linspace(0, 1, 200):
+            samples.append(ek.interpolate(v[k][None], vb[k][None], np.array([t]))[0])
+    s = np.array(samples)
+    brute = np.min(
+        ((pts[:, None, :] - s[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    inside = np.array([c.contains_point(p) for p in pts])
+    # outside points: boundary sampling approximates the true min
+    np.testing.assert_allclose(got[~inside], brute[~inside], atol=1e-6)
+    assert (got[inside] == 0.0).all()
+    # max distance >= min distance and bounded by 4
+    gmax = c.max_distance_chord2(pts)
+    assert (gmax >= got).all() and (gmax <= 4.0).all()
