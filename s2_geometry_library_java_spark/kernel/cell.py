@@ -177,12 +177,16 @@ class Cell:
             d[far] = np.maximum(d[far], sphere.chord2_from_angle(ang))
         return np.minimum(d, 4.0)
 
-    def expanded_by_distance_uv(self, distance_rad: float) -> tuple[float, float, float, float]:
+    def expanded_by_distance_uv(
+        self, distance_rad: float
+    ) -> tuple[float, float, float, float] | None:
         """A15 S2CellId.expandedByDistanceUV (S2CellId.java:1377-1447):
         (u,v) bounds buffered so every point within ``distance_rad`` of the
         cell lies inside — the buffered-tile join predicate. Negative
-        distance shrinks (conservatively). Returns (u0,u1,v0,v1); a fully
-        shrunk rect collapses to the first corner."""
+        distance shrinks (conservatively). Returns (u0,u1,v0,v1), or None
+        when a negative distance fully collapses the bounds (the empty
+        R2Rect of the reference) — callers intersecting against the result
+        must treat None as empty, never as a degenerate point."""
         u0, u1, v0, v1 = self.uv_bounds
         max_u = max(abs(u0), abs(u1))
         max_v = max(abs(v0), abs(v1))
@@ -196,7 +200,7 @@ class Cell:
         x_lo, x_hi = expand(u0, max_v, -sin_dist), expand(u1, max_v, sin_dist)
         y_lo, y_hi = expand(v0, max_u, -sin_dist), expand(v1, max_u, sin_dist)
         if x_lo > x_hi or y_lo > y_hi:
-            return (u0, u0, v0, v0)
+            return None
         return (float(x_lo), float(x_hi), float(y_lo), float(y_hi))
 
     def boundary_loop_vertices(self, level: int) -> np.ndarray:

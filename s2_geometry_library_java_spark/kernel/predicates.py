@@ -197,9 +197,13 @@ def winding_numbers(
     intersecting) loop, given the winding number at a reference point.
 
     Each proper crossing of the geodesic origin->p with a loop edge (c,d)
-    changes the winding by the shared orientation sign of the crossing
-    (the EdgeCrosser four-sign value: +1 when the edge crosses the path
-    CCW-wise). Batch over points x edges like count_crossings.
+    changes the winding by the orientation of the crossing: +1 when the
+    directed edge crosses the path left-to-right (so a CCW loop gives +1
+    for interior points — matching the tangent-plane angle-sum reference
+    region._winding_number). Batch over points x edges like
+    count_crossings. The crossing delta is -acb: acb = sign(origin, c, p)
+    is negative exactly when c lies LEFT of the path, i.e. the edge c->d
+    crosses it CCW-wise.
     """
     o = np.asarray(origin, dtype=np.float64)
     p = np.asarray(points, dtype=np.float64)
@@ -213,7 +217,7 @@ def winding_numbers(
     cbd = sign_batch(c, pn, d)
     dac = sign_batch(d, on, c)
     crossing = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
-    signed = np.where(crossing, acb, 0)
+    signed = np.where(crossing, -acb, 0)
     return origin_winding + signed.sum(axis=1).astype(np.int64)
 
 

@@ -69,9 +69,9 @@ def edge_min_chord2_cols(px, py, pz, ax, ay, az, bx, by, bz) -> Column:
     )
 
 
-def _query_points(queries: DataFrame, query_id: str, lat: str, lng: str, level) -> DataFrame:
-    """(query_id, px, py, pz, qcell) — ONE Arrow pass over the queries,
-    shared by the ring probe and the brute fallback."""
+def _query_points(queries: DataFrame, query_id: str, lat: str, lng: str) -> DataFrame:
+    """(query_id, px, py, pz, qleaf) — ONE Arrow pass over the queries,
+    shared by every ring-probe round and the brute remnant."""
     qs = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(lat).alias("lat"),
@@ -86,20 +86,8 @@ def _query_points(queries: DataFrame, query_id: str, lat: str, lng: str, level) 
             F.col("_p.x").alias("px"),
             F.col("_p.y").alias("py"),
             F.col("_p.z").alias("pz"),
-            cc.parent("qleaf", level).alias("qcell"),
+            "qleaf",
         )
-    )
-
-
-def _probe(qpts: DataFrame) -> DataFrame:
-    return qpts.select(
-        "query_id",
-        "px",
-        "py",
-        "pz",
-        F.explode(
-            F.array_union(F.array(F.col("qcell")), udfs.all_neighbors(F.col("qcell")))
-        ).alias("cell_key"),
     )
 
 
@@ -111,59 +99,106 @@ def closest_edges(
     query_id: str = "query_id",
     lat: str = "lat",
     lng: str = "lng",
+    fallback_level_step: int = 3,
+    max_rounds: int = 3,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k nearest indexed
     edges per query. ``index`` is shape_index_df output built with
-    min_level >= ``level`` so parent(cell_id, level) is a valid key."""
-    idx = index.select(
-        "shape_id",
-        "edge_id",
-        "ax", "ay", "az", "bx", "by", "bz",
-        cc.parent("cell_id", level).alias("cell_key"),
-    ).dropDuplicates(["shape_id", "edge_id", "cell_key"])
-    qpts = _query_points(queries, query_id, lat, lng, level).localCheckpoint(eager=False)
-    probe = _probe(qpts)
-    cand = (
-        probe.join(idx, "cell_key")
-        .dropDuplicates(["query_id", "shape_id", "edge_id"])
-        .select(
-            "query_id",
-            "shape_id",
-            "edge_id",
-            edge_min_chord2_cols(
-                F.col("px"), F.col("py"), F.col("pz"),
-                F.col("ax"), F.col("ay"), F.col("az"),
-                F.col("bx"), F.col("by"), F.col("bz"),
-            ).alias("chord2"),
-        )
+    min_level >= ``level`` so parent(cell_id, level) is a valid key.
+
+    The index is persisted here: its mapInPandas build runs once and every
+    ring round + the brute remnant read the cached rows. Unfinished
+    queries (k-th distance not provably final inside the 3x3 ring) retry
+    at a coarser level — the bounded-loop form knn_cell_join uses
+    (S2ClosestEdgeQuery.java:158 / S2BestEdgesQueryBase's growing search
+    region) — so the full-edge brute pass sees only the (tiny) remnant
+    still unfinished at level 0, never a whole far-from-boundary region.
+    """
+    from pyspark import StorageLevel
+
+    index = index.persist(StorageLevel.MEMORY_AND_DISK)
+    qpts = _query_points(queries, query_id, lat, lng).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("chord2"), F.asc("shape_id"), F.asc("edge_id")
     )
-    topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
-    # Completeness: anything outside the 3x3 ring at `level` is at least
-    # MIN_WIDTH(level) away (the knn_cell bound). Queries whose k-th
-    # distance fails the bound (or that found < k edges) re-run brute
-    # against the full edge set — exact, and tiny when `level` fits.
-    bound = float(
-        sphere.chord2_from_angle(sphere.metric_value(sphere.MIN_WIDTH_DERIV, level))
-    )
-    verdict = topk.groupBy("query_id").agg(
-        F.count("*").alias("found"), F.max("chord2").alias("kth")
-    )
-    finished = verdict.where(
-        (F.col("found") == k) & (F.col("kth") < F.lit(bound))
-    ).select("query_id")
-    done = topk.join(finished, "query_id").select(
-        "query_id", "rank", "shape_id", "edge_id", "chord2"
-    )
-    qs_all = qpts.select("query_id", "px", "py", "pz")
-    remaining = qs_all.join(finished, "query_id", "left_anti")
+    results = None
+    remaining = qpts
+    lvl = level
+    for round_no in range(max_rounds):
+        if round_no > 0 and remaining.isEmpty():
+            return results
+        idx_l = index.select(
+            "shape_id",
+            "edge_id",
+            "ax", "ay", "az", "bx", "by", "bz",
+            cc.parent("cell_id", lvl).alias("cell_key"),
+        ).dropDuplicates(["shape_id", "edge_id", "cell_key"])
+        probe = remaining.select(
+            "query_id",
+            "px",
+            "py",
+            "pz",
+            F.explode(
+                F.array_union(
+                    F.array(cc.parent("qleaf", lvl)),
+                    udfs.all_neighbors(cc.parent("qleaf", lvl)),
+                )
+            ).alias("cell_key"),
+        )
+        cand = (
+            probe.join(idx_l, "cell_key")
+            .dropDuplicates(["query_id", "shape_id", "edge_id"])
+            .select(
+                "query_id",
+                "shape_id",
+                "edge_id",
+                edge_min_chord2_cols(
+                    F.col("px"), F.col("py"), F.col("pz"),
+                    F.col("ax"), F.col("ay"), F.col("az"),
+                    F.col("bx"), F.col("by"), F.col("bz"),
+                ).alias("chord2"),
+            )
+        )
+        # persisted: the verdict aggregation, the finished-query filter and
+        # the final result all read this round's top-k — without the cache
+        # the candidate join would re-execute once per consumer
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # Completeness: an edge with NO index cell inside the 3x3 ring at
+        # lvl lies entirely outside it, hence >= MIN_WIDTH(lvl) away.
+        bound = float(
+            sphere.chord2_from_angle(
+                sphere.metric_value(sphere.MIN_WIDTH_DERIV, lvl)
+            )
+        )
+        verdict = topk.groupBy("query_id").agg(
+            F.count("*").alias("found"), F.max("chord2").alias("kth")
+        )
+        finished = verdict.where(
+            (F.col("found") == k) & (F.col("kth") < F.lit(bound))
+        ).select("query_id")
+        done = topk.join(finished, "query_id").select(
+            "query_id", "rank", "shape_id", "edge_id", "chord2"
+        )
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(finished, "query_id", "left_anti")
+        lvl = max(0, lvl - fallback_level_step)
+        if lvl == 0:
+            break
+    # exact brute remnant — only queries still unfinished at the coarsest
+    # ring (expected ~none); reads the SAME persisted index
+    if remaining.isEmpty():
+        return results
     edges_all = index.dropDuplicates(["shape_id", "edge_id"]).select(
         "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"
     )
     brute = (
-        F.broadcast(remaining)
+        F.broadcast(remaining.select("query_id", "px", "py", "pz"))
         .crossJoin(edges_all)
         .select(
             "query_id",
@@ -179,4 +214,4 @@ def closest_edges(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "shape_id", "edge_id", "chord2")
     )
-    return done.unionByName(brute)
+    return results.unionByName(brute) if results is not None else brute

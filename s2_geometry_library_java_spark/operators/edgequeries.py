@@ -19,6 +19,8 @@ any hot path):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import udfs
@@ -35,12 +37,64 @@ def edges_cross_cols(ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz) -> Column:
     """Proper minor-arc crossing of edges AB, CD (robustCrossing > 0,
     S2EdgeUtil.java:1806-1849): the four orientation signs agree and are
     nonzero. Triage tier: double-precision signs, matching the SQL oracle;
-    exactly-degenerate inputs belong to the kernel escalation path."""
+    rows flagged by edges_cross_uncertain_cols escalate to the exact
+    kernel cascade in crossing_edge_pairs."""
     acb = F.signum(_det(ax, ay, az, cx, cy, cz, bx, by, bz))
     bda = F.signum(_det(bx, by, bz, dx, dy, dz, ax, ay, az))
     cbd = F.signum(_det(cx, cy, cz, bx, by, bz, dx, dy, dz))
     dac = F.signum(_det(dx, dy, dz, ax, ay, az, cx, cy, cz))
     return (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+
+
+def edges_cross_uncertain_cols(
+    ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz
+) -> Column:
+    """True when any of the four orientation determinants falls within the
+    triage error bound for unit-vector triples (S2Predicates.java:116-194,
+    1.8274*eps) — i.e. the double-precision sign is NOT certified and the
+    row must go through the kernel's stable/exact cascade."""
+    from ..kernel.predicates import TRIAGE_ERROR
+
+    bound = F.lit(TRIAGE_ERROR)
+    return (
+        (F.abs(_det(ax, ay, az, cx, cy, cz, bx, by, bz)) <= bound)
+        | (F.abs(_det(bx, by, bz, dx, dy, dz, ax, ay, az)) <= bound)
+        | (F.abs(_det(cx, cy, cz, bx, by, bz, dx, dy, dz)) <= bound)
+        | (F.abs(_det(dx, dy, dz, ax, ay, az, cx, cy, cz)) <= bound)
+    )
+
+
+def _edges_cross_exact_udf():
+    """Pandas UDF: robust proper-crossing verdict through the kernel's full
+    triage -> stable -> exact(+SoS) cascade (vectorized; exact arithmetic
+    touches only the genuinely degenerate residue). Shared or duplicate
+    vertices yield sign 0 -> not a PROPER crossing, matching
+    robustCrossing > 0."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def exact_cross(
+        ax: pd.Series, ay: pd.Series, az: pd.Series,
+        bx: pd.Series, by: pd.Series, bz: pd.Series,
+        cx: pd.Series, cy: pd.Series, cz: pd.Series,
+        dx: pd.Series, dy: pd.Series, dz: pd.Series,
+    ) -> pd.Series:
+        from ..kernel import predicates
+
+        cols = (ax, ay, az, bx, by, bz, cx, cy, cz, dx, dy, dz)
+        a, b, c, d = (
+            np.stack([cols[k].to_numpy(np.float64) for k in range(i, i + 3)], axis=1)
+            for i in (0, 3, 6, 9)
+        )
+        acb = predicates.sign_batch(a, c, b)
+        bda = predicates.sign_batch(b, d, a)
+        cbd = predicates.sign_batch(c, b, d)
+        dac = predicates.sign_batch(d, a, c)
+        cross = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+        return pd.Series(cross)
+
+    return exact_cross
 
 
 def crossing_edge_pairs(
@@ -70,14 +124,22 @@ def crossing_edge_pairs(
     cand = a.join(b, "cell_key").dropDuplicates(
         ["a_shape", "a_edge", "b_shape", "b_edge"]
     )
-    return cand.where(
-        edges_cross_cols(
-            F.col("ax"), F.col("ay"), F.col("az"),
-            F.col("bx"), F.col("by"), F.col("bz"),
-            F.col("cx"), F.col("cy"), F.col("cz"),
-            F.col("dx"), F.col("dy"), F.col("dz"),
-        )
-    ).select("a_shape", "a_edge", "b_shape", "b_edge")
+    args = [
+        F.col(n)
+        for n in ("ax", "ay", "az", "bx", "by", "bz",
+                  "cx", "cy", "cz", "dx", "dy", "dz")
+    ]
+    uncertain = edges_cross_uncertain_cols(*args)
+    # JVM triage tier decides every certified row inside whole-stage
+    # codegen; the (expected ~0) rows whose determinants fall inside the
+    # triage bound escalate to the kernel's exact cascade. The split is a
+    # filter pair over the same candidate subtree — the escalation branch
+    # scans it again but processes only the degenerate residue.
+    sure = cand.where(~uncertain).where(edges_cross_cols(*args))
+    escalated = cand.where(uncertain).where(_edges_cross_exact_udf()(*args))
+    return sure.unionByName(escalated).select(
+        "a_shape", "a_edge", "b_shape", "b_edge"
+    )
 
 
 def directed_hausdorff(

@@ -127,6 +127,33 @@ def _pip_contains_text(text: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Se
     return pd.Series(out)
 
 
+@pandas_udf(BooleanType())
+def _pip_interior_or_contains(
+    is_interior: pd.Series, text: pd.Series, lat: pd.Series, lng: pd.Series
+) -> pd.Series:
+    """Interior fast-accept fused INTO the kernel: interior-cell candidates
+    return True without touching the geometry; the crossing-parity kernel
+    runs only on the boundary residue. One UDF -> one ArrowEvalPython ->
+    one scan of the point table (the pip.py:153 pattern, in-UDF so interior
+    rows skip the kernel work too)."""
+    out = is_interior.to_numpy(dtype=bool).copy()
+    boundary = ~out
+    if boundary.any():
+        lat_b = np.radians(lat.to_numpy(np.float64)[boundary])
+        lng_b = np.radians(lng.to_numpy(np.float64)[boundary])
+        x, y, z = s2.latlng_to_xyz(lat_b, lng_b)
+        pts = np.stack([x, y, z], axis=1)
+        res = np.zeros(len(pts), dtype=bool)
+        text_b = text[boundary]
+        for t in pd.unique(text_b):
+            mask = (text_b == t).to_numpy()
+            poly = _parse_polygon(t)
+            sub = pts[mask]
+            res[mask] = poly.contains_points(sub[:, 0], sub[:, 1], sub[:, 2])
+        out[boundary] = res
+    return pd.Series(out)
+
+
 def pip_join_indexed(
     spark,
     points: DataFrame,
@@ -168,15 +195,26 @@ def pip_join_indexed(
         F.col(lng).alias("lng"),
         leaf.alias("leaf"),
     )
-    cand = pts.select(
-        "point_id",
-        "lat",
-        "lng",
-        F.explode(F.array(*[cc.parent("leaf", lv) for lv in levels])).alias("cell_id"),
-    ).join(cov_b, "cell_id")
-    boundary = cand.where(~F.col("is_interior")).join(geom_b, "polygon_id")
-    hits_boundary = boundary.where(
-        _pip_contains_text(F.col("text"), F.col("lat"), F.col("lng"))
+    # ONE candidate pass: the covering join attaches is_interior, the
+    # geometry join attaches the text column, and the fused UDF accepts
+    # interior candidates without running the kernel. The point table is
+    # scanned and Arrow-encoded exactly once (previously the interior and
+    # boundary branches were independent subtrees and paid the dominant
+    # scan+encode cost twice).
+    cand = (
+        pts.select(
+            "point_id",
+            "lat",
+            "lng",
+            F.explode(
+                F.array(*[cc.parent("leaf", lv) for lv in levels])
+            ).alias("cell_id"),
+        )
+        .join(cov_b, "cell_id")
+        .join(geom_b, "polygon_id")
+    )
+    return cand.where(
+        _pip_interior_or_contains(
+            F.col("is_interior"), F.col("text"), F.col("lat"), F.col("lng")
+        )
     ).select("point_id", "polygon_id")
-    hits_interior = cand.where(F.col("is_interior")).select("point_id", "polygon_id")
-    return hits_interior.unionByName(hits_boundary)

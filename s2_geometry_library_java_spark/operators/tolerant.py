@@ -42,9 +42,27 @@ from ..kernel import region as rg
 from ..kernel import sphere
 
 
+#: Max radius for which the level-0 (face) 3x3-ring adjacency guarantee
+#: holds: two NON-adjacent faces (opposite cube faces) are separated by at
+#: least acos(1/3) (the angle between adjacent cube corners, e.g.
+#: (1,1,1)/sqrt(3) and (-1,1,1)/sqrt(3)), so any pair within this radius is
+#: on the same or an adjacent face.
+MAX_TOLERANT_RADIUS = float(np.arccos(1.0 / 3.0))
+
+
 def level_for_radius(radius_rad: float) -> int:
     """Largest level whose MIN_WIDTH >= radius: at this level two points
-    within radius are in the same or edge/vertex-adjacent cells."""
+    within radius are in the same or edge/vertex-adjacent cells. Raises
+    for radii beyond the level-0 adjacency guarantee (acos(1/3)): points
+    that far apart can sit on OPPOSITE cube faces, which the ring probe
+    would silently miss — callers must use a brute cross join instead."""
+    if float(radius_rad) > MAX_TOLERANT_RADIUS:
+        raise ValueError(
+            f"radius {float(radius_rad):.4f} rad exceeds the level-0 cell "
+            f"adjacency guarantee ({MAX_TOLERANT_RADIUS:.4f} = acos(1/3)); "
+            "the ring equi-join cannot prove completeness — use a brute "
+            "cross join for near-hemispheric radii"
+        )
     return sphere.metric_max_level(sphere.MIN_WIDTH_DERIV, float(radius_rad))
 
 

@@ -144,3 +144,64 @@ def test_directed_hausdorff_witness(spark):
     )
     out = edgequeries.directed_hausdorff(pts, idx).collect()
     assert len(out) == 1 and out[0]["worst_point_id"] == 3
+
+
+def test_crossing_pairs_degenerate_escalation(spark):
+    """Adversarial near/exactly-degenerate edge pairs: determinants inside
+    the triage bound must route through the kernel's exact cascade and
+    match the scalar robust predicate (the F6 exact tier)."""
+    from s2_geometry_library_java_spark.kernel.predicates import TRIAGE_ERROR
+    from s2_geometry_library_java_spark.operators import edgequeries
+
+    def eq(lng_deg, z=0.0):
+        l = np.radians(lng_deg)
+        p = np.array([np.cos(l), np.sin(l), z])
+        return p / np.linalg.norm(p)
+
+    A, B = eq(0.0), eq(10.0)
+    cases = {
+        # collinear overlap on the same great circle: all four dets exactly 0
+        "overlap": (eq(5.0), eq(15.0)),
+        # crossing at a vanishing angle: dets ~1e-16, inside the triage bound
+        "shallow": (eq(5.0, z=1e-16), eq(5.3, z=-1e-16)),
+        # shared vertex: robustCrossing == 0, never a PROPER crossing
+        "vertex": (A.copy(), eq(5.0, z=0.5)),
+        # plain certified crossing for contrast
+        "plain": (eq(5.0, z=0.5), eq(5.0, z=-0.5)),
+    }
+    # sanity: the shallow case really is inside the triage bound
+    d = np.linalg.det(np.stack([A, cases["shallow"][0], B]))
+    assert abs(d) <= TRIAGE_ERROR
+
+    def leaf(p):
+        lat = np.arctan2(p[2], np.hypot(p[0], p[1]))
+        lng = np.arctan2(p[1], p[0])
+        cid = s2.latlng_to_cell_id(np.array([lat]), np.array([lng]), 30)
+        return int(s2.to_signed(cid)[0])
+
+    ia = spark.createDataFrame(
+        [("a0", leaf((A + B) / 2.0), 0) + tuple(map(float, A)) + tuple(map(float, B))],
+        "shape_id string, cell_id long, edge_id int, ax double, ay double, az double, bx double, by double, bz double",
+    )
+    ib = spark.createDataFrame(
+        [
+            (k, leaf((c + d_) / 2.0), 0) + tuple(map(float, c)) + tuple(map(float, d_))
+            for k, (c, d_) in cases.items()
+        ],
+        "shape_id string, cell_id long, edge_id int, ax double, ay double, az double, bx double, by double, bz double",
+    )
+    got = {
+        r["b_shape"]
+        for r in edgequeries.crossing_edge_pairs(ia, ib, level=0).collect()
+    }
+    want = {
+        k
+        for k, (c, d_) in cases.items()
+        if predicates._arcs_cross_scalar(A, B, c, d_)
+    }
+    # the contract: the Spark path agrees with the kernel cascade exactly
+    # (note: SoS perturbation classifies the collinear overlap as crossing —
+    # signs are never 0 for distinct points, matching robustCrossing)
+    assert got == want
+    assert "plain" in want and "shallow" in want
+    assert "vertex" not in want

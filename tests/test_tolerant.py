@@ -41,7 +41,7 @@ def test_tolerant_pairs_equals_bruteforce(spark, radius_rad):
 
 def test_level_for_radius_monotone():
     prev = 30
-    for r in [1e-6, 1e-4, 1e-2, 0.1, 0.5, 1.0, 3.0]:
+    for r in [1e-6, 1e-4, 1e-2, 0.1, 0.5, 1.0]:
         lvl = tolerant.level_for_radius(r)
         assert 0 <= lvl <= 30
         assert lvl <= prev
@@ -49,6 +49,13 @@ def test_level_for_radius_monotone():
         # the guarantee: MIN_WIDTH at the level is at least the radius
         if lvl < 30:
             assert sphere.metric_value(sphere.MIN_WIDTH_DERIV, lvl) >= r or lvl == 0
+    # beyond the level-0 face-adjacency guarantee (acos(1/3)) the ring
+    # probe can silently miss opposite-face pairs: must refuse, not clamp
+    import pytest
+
+    with pytest.raises(ValueError):
+        tolerant.level_for_radius(3.0)
+    tolerant.level_for_radius(tolerant.MAX_TOLERANT_RADIUS)  # boundary ok
 
 
 def test_union_expand_radius_covers_buffer():

@@ -23,11 +23,11 @@ def test_winding_simple_ccw_loop():
     x, y, z = ci.latlng_to_xyz(lat, lng)
     pts = np.stack([x, y, z], axis=1)
     got = predicates.winding_numbers(origin, pts, v, origin_winding=0)
-    # sign convention fixed by the reference implementation below
+    # exact sign equality with the tangent-plane reference: CCW loop,
+    # point inside -> +1 (the positive/nonzero winding-rule convention)
     want = np.array([rg._winding_number(p, v) for p in pts])
-    assert np.array_equal(np.abs(got), np.abs(want))
-    assert np.array_equal(got, want) or np.array_equal(got, -want), (got, want)
-    assert set(np.abs(got).tolist()) == {0, 1}
+    assert np.array_equal(got, want), (got, want)
+    assert set(got.tolist()) == {0, 1}
 
 
 def test_winding_doubly_wound():
@@ -42,9 +42,8 @@ def test_winding_doubly_wound():
     x, y, z = ci.latlng_to_xyz(np.radians(np.array([5.0])), np.radians(np.array([5.0])))
     pts = np.stack([x, y, z], axis=1)
     got = predicates.winding_numbers(origin, pts, v)
-    assert abs(int(got[0])) == 2
     want = rg._winding_number(pts[0], v)
-    assert abs(want) == 2
+    assert int(got[0]) == want == 2
 
 
 def test_winding_reference_point_offset():
