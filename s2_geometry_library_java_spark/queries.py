@@ -968,18 +968,59 @@ def _q_boolean_oracle(op: str) -> str:
 
 
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5: convex hull of each nation's customer points (hull vertices are
-    input point ids in CCW order). Rows-only gate: a spherical convex hull
-    is not SQL-expressible; geometric invariants are pytest-verified."""
+    """G5 with a VALUE oracle: per customer point, whether it is a vertex
+    of its nation's spherical convex hull. The hull comes from the
+    distributed Graham-scan kernel (convex_hull_per_group); the DuckDB
+    oracle characterizes hull vertices independently via supporting planes
+    (p is on the hull iff some great-circle plane through p and another
+    group point has the whole group on one side). Points are shrunk into a
+    sub-hemispheric cap (lat/4+20, lng/4) so every group has a hull."""
     from .operators import edgequeries
 
     pts = tables.load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("group_id"),
         F.col("c_custkey").alias("id"),
-        geo.lat_col("c_custkey").alias("lat"),
-        geo.lng_col("c_custkey").alias("lng"),
+        (geo.lat_col("c_custkey") / 4 + 20).alias("lat"),
+        (geo.lng_col("c_custkey") / 4).alias("lng"),
     )
-    return edgequeries.convex_hull_per_group(pts)
+    hull = edgequeries.convex_hull_per_group(pts)
+    flags = pts.select("group_id", F.col("id").alias("point_id")).join(
+        hull.select(
+            "group_id", "point_id", F.lit(True).alias("is_hull")
+        ).dropDuplicates(["group_id", "point_id"]),
+        ["group_id", "point_id"],
+        "left",
+    )
+    return flags.select(
+        "group_id",
+        "point_id",
+        F.coalesce(F.col("is_hull"), F.lit(False)).alias("is_hull"),
+    )
+
+
+def q_convex_hull_oracle() -> str:
+    det = (
+        "(a.x*(b.y*r.z-b.z*r.y) + a.y*(b.z*r.x-b.x*r.z) "
+        "+ a.z*(b.x*r.y-b.y*r.x))"
+    )
+    return f"""
+    WITH p0 AS (SELECT c_nationkey AS group_id, c_custkey AS k,
+            ({geo.lat_sql('c_custkey')}) / 4 + 20 AS lat,
+            ({geo.lng_sql('c_custkey')}) / 4 AS lng FROM customer),
+    p AS (SELECT group_id, k, {_XYZ_SQL} FROM p0),
+    support AS (
+        SELECT a.group_id, a.k AS pid, b.k AS qid,
+               bool_and({det} >= -1e-12) AS allp,
+               bool_and({det} <= 1e-12) AS alln
+        FROM p a
+        JOIN p b ON b.group_id = a.group_id AND b.k <> a.k
+        JOIN p r ON r.group_id = a.group_id
+        GROUP BY a.group_id, a.k, b.k),
+    verts AS (SELECT DISTINCT group_id, pid FROM support WHERE allp OR alln)
+    SELECT p.group_id AS group_id, p.k AS point_id,
+           (verts.pid IS NOT NULL) AS is_hull
+    FROM p LEFT JOIN verts ON verts.group_id = p.group_id AND verts.pid = p.k
+    """
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,15 +1080,79 @@ def q_knn_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (region_id, seq, token): the two polyline lists are the UPSTREAM
+# cross-implementation golden fixtures (S2RegionCovererTest:144-229,
+# Java == C++); the p0-p5 polygon lists are pinned snapshots of this
+# engine's coverer (regression guard; bit-validated by tests/test_coverer.py).
+_COVERING_GOLDEN = [
+    ('p0', 0, '10d'), ('p0', 1, '10f'), ('p0', 2, '111'), ('p0', 3, '113'), ('p0', 4, '16cc'),
+    ('p0', 5, '16d4'), ('p0', 6, '172c'), ('p0', 7, '1733'), ('p1', 0, '52c'),
+    ('p1', 1, '531c'), ('p1', 2, '533'), ('p1', 3, '870b'), ('p1', 4, '870d'),
+    ('p1', 5, '8713'), ('p1', 6, '877'), ('p1', 7, '87c'), ('p2', 0, '2aac'),
+    ('p2', 1, '2ab4'), ('p2', 2, '2acc'), ('p2', 3, '2ad4'), ('p2', 4, '2b2b'),
+    ('p2', 5, '6a5'), ('p2', 6, '6a7'), ('p2', 7, '6ac'), ('p3', 0, '654'), ('p3', 1, '7aac'),
+    ('p3', 2, '7ab4'), ('p3', 3, '7acc'), ('p3', 4, '7ad4'), ('p4', 0, 'b95'),
+    ('p4', 1, 'bb9'), ('p4', 2, 'bbd'), ('p4', 3, 'bbf'), ('p4', 4, 'bc1'), ('p4', 5, 'be9c'),
+    ('p4', 6, 'beb'), ('p4', 7, 'becc'), ('p5', 0, '4381'), ('p5', 1, '4458aac'),
+    ('p5', 2, '445f'), ('p5', 3, '447'), ('p5', 4, '4481'), ('p5', 5, '4487'),
+    ('p5', 6, '448c'), ('p5', 7, '44f'), ('line_eq', 0, '0555555555555555'),
+    ('line_eq', 1, '0fffffffffffffff'), ('line_eq', 2, '10001'), ('line_eq', 3, '10007'),
+    ('line_eq', 4, '10009'), ('line_eq', 5, '1000a4'), ('line_eq', 6, '1aaa09e01fffdf7f'),
+    ('line_eq', 7, '1aaaaaaaaaaaaaab'), ('line_syd', 0, '6b12ae36313d'),
+    ('line_syd', 1, '6b12ae36313f'), ('line_syd', 2, '6b12ae363141'),
+    ('line_syd', 3, '6b12ae363143'), ('line_syd', 4, '6b12ae363145'),
+    ('line_syd', 5, '6b12ae363159'), ('line_syd', 6, '6b12ae36315b'),
+    ('line_syd', 7, '6b12ae363343'), ('line_syd', 8, '6b12ae363345'),
+    ('line_syd', 9, '6b12ae36334d'), ('line_syd', 10, '6b12ae36334f'),
+    ('line_syd', 11, '6b12ae363369'), ('line_syd', 12, '6b12ae36336f'),
+    ('line_syd', 13, '6b12ae363371'), ('line_syd', 14, '6b12ae363377'),
+    ('line_syd', 15, '6b12ae363391'), ('line_syd', 16, '6b12ae363393'),
+    ('line_syd', 17, '6b12ae36339b'), ('line_syd', 18, '6b12ae36339d'),
+    ('line_syd', 19, '6b12ae3633e3'), ('line_syd', 20, '6b12ae3633e5'),
+    ('line_syd', 21, '6b12ae3633ed'), ('line_syd', 22, '6b12ae3633ef'),
+    ('line_syd', 23, '6b12ae37cc11'), ('line_syd', 24, '6b12ae37cc13'),
+    ('line_syd', 25, '6b12ae37cc1b'), ('line_syd', 26, '6b12ae37cc1d'),
+    ('line_syd', 27, '6b12ae37cc63'), ('line_syd', 28, '6b12ae37cc65'),
+    ('line_syd', 29, '6b12ae37cc6d'), ('line_syd', 30, '6b12ae37cc6f'),
+    ('line_syd', 31, '6b12ae37cc89'), ('line_syd', 32, '6b12ae37cc8f'),
+    ('line_syd', 33, '6b12ae37cc91'), ('line_syd', 34, '6b12ae37cc97'),
+    ('line_syd', 35, '6b12ae37ccb1'), ('line_syd', 36, '6b12ae37ccb3'),
+    ('line_syd', 37, '6b12ae37ccbb'), ('line_syd', 38, '6b12ae37ccbd'),
+    ('line_syd', 39, '6b12ae37cea5'), ('line_syd', 40, '6b12ae37cea7'),
+    ('line_syd', 41, '6b12ae37cebb'),
+]
+
+
 def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1: coverings of the 6 query polygons (rows-only check: no SQL
-    oracle can compute a covering; bit-level checks live in tests/)."""
+    """D1 with a VALUE oracle: coverings of the 6 query polygons plus the
+    two S2RegionCovererTest golden polylines, all computed by the coverer
+    at query time; the oracle is the _COVERING_GOLDEN literal list (the
+    polyline halves are upstream Java==C++ truth, the polygon halves a
+    pinned snapshot), so the driver hash-checks every token value."""
     rows = []
     coverer = cov.RegionCoverer(max_cells=8)
     for pid, poly in pip_polygons().items():
         for seq, tok in enumerate(coverer.get_covering_tokens(poly)):
             rows.append((pid, seq, tok))
-    return spark.createDataFrame(rows, "polygon_id string, seq int, token string")
+    line_eq = rg.Polyline.from_latlng_degrees([(0.0, 0.0), (0.0, 1.0)])
+    for seq, tok in enumerate(coverer.get_covering_tokens(line_eq)):
+        rows.append(("line_eq", seq, tok))
+    line_syd = rg.Polyline.from_latlng_degrees(
+        [(-33.8663457, 151.1960891), (-33.866094000000004, 151.19517439999998)]
+    )
+    syd_coverer = cov.RegionCoverer(min_level=0, max_level=22, max_cells=2**31 - 1)
+    for seq, tok in enumerate(syd_coverer.get_covering_tokens(line_syd)):
+        rows.append(("line_syd", seq, tok))
+    return spark.createDataFrame(rows, "region_id string, seq int, token string")
+
+
+def q_covering_tokens_oracle() -> str:
+    vals = ", ".join(f"('{r}', {s}, '{t}')" for r, s, t in _COVERING_GOLDEN)
+    return (
+        "SELECT region_id, seq, token FROM (VALUES "
+        + vals
+        + ") AS t(region_id, seq, token)"
+    )
 
 
 # ===========================================================================
@@ -1570,7 +1675,8 @@ def all_oracles():
         "buffered_region": q_buffered_region_oracle(),
         "boolean_intersection": _q_boolean_oracle("intersection"),
         "boolean_difference": _q_boolean_oracle("difference"),
-        # covering_tokens: rows-only (a covering is not SQL-expressible)
+        "convex_hull": q_convex_hull_oracle(),
+        "covering_tokens": q_covering_tokens_oracle(),
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),
         "simhash": q_simhash_oracle(),
