@@ -1,0 +1,395 @@
+"""G2: snap-rounding builder (S2Builder semantics, kernel tier).
+
+Re-expresses the reference's snap-rounding framework (S2Builder.java:20-80,
+S2BuilderSnapFunctions.java, S2BuilderGraph.java) as a vectorized-numpy
+kernel, scoped to what the engine's constructive ops need:
+
+* snap functions with the reference's guarantees — snap radius as an upper
+  bound on vertex movement, minimum vertex separation between output sites
+  (IdentitySnapFunction, S2CellIdSnapFunction, IntLatLngSnapFunction);
+* "snap first" site selection in the reference's deterministic order
+  (vertices sorted by leaf cell id then point, S2Builder.chooseInitialSites
+  S2Builder.java:1150-1207): each snapped vertex becomes a new site unless
+  an existing site is within minVertexSeparation;
+* optional splitting of crossing edges (splitCrossingEdges): every proper
+  interior crossing becomes a forced site, so downstream layers see a
+  planar arrangement;
+* edge snapping: each input edge is replaced by the chain of sites within
+  edgeSnapRadius of it, ordered along the edge (S2Builder.snapEdge
+  S2Builder.java:1588-1701). SIMPLIFICATION vs the reference: sites are
+  ordered by their projection parameter along the edge and none are
+  excluded by the Voronoi-region tests (getVoronoiSiteExclusion); this is
+  exact when site separation >= snap radius holds, which site selection
+  enforces, and trades the reference's worst-case separation guarantees
+  for simplicity (documented gap);
+* a polygon layer: assembly of directed region-on-the-left edges into
+  loops with a tangent-plane "first outgoing edge clockwise of the
+  reversed incoming direction" walk — the face traversal that keeps the
+  enclosed region on the left even through degree-4+ snap sites, which is
+  what lets boolean ops accept shared vertices.
+
+Everything here is per-shape/per-pair kernel work: at engine scale it runs
+inside mapInPandas/applyInPandas over shape tables, never on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellid as ci
+from . import edges as ek
+from . import predicates
+from . import sphere
+
+DBL_EPSILON = float(np.finfo(np.float64).eps)
+
+#: Max error of the edge_intersection construction (S2EdgeUtil
+#: INTERSECTION_ERROR tier): intersection sites can sit this far off the
+#: true edges, so edge snapping must tolerate it.
+INTERSECTION_ERROR = 8.0 * DBL_EPSILON
+
+
+class IdentitySnapFunction:
+    """Snaps every vertex to itself; vertices within snap_radius merge
+    (S2BuilderSnapFunctions.IdentitySnapFunction)."""
+
+    def __init__(self, snap_radius: float = 0.0):
+        self.snap_radius = float(snap_radius)
+
+    def snap(self, points: np.ndarray) -> np.ndarray:
+        return points
+
+    def min_vertex_separation(self) -> float:
+        return self.snap_radius
+
+    def min_edge_vertex_separation(self) -> float:
+        return 0.5 * self.snap_radius
+
+
+class CellIdSnapFunction:
+    """Snaps vertices to S2Cell centers at a level
+    (S2BuilderSnapFunctions.S2CellIdSnapFunction)."""
+
+    def __init__(self, level: int, snap_radius: float | None = None):
+        if not 0 <= level <= 30:
+            raise ValueError("level out of range")
+        self.level = int(level)
+        self._min_radius = (
+            0.5 * sphere.metric_value(sphere.MAX_DIAG_DERIV, level)
+            + 4.0 * DBL_EPSILON
+        )
+        self.snap_radius = self._min_radius if snap_radius is None else float(snap_radius)
+        if self.snap_radius < self._min_radius:
+            raise ValueError("snap_radius below the minimum for this level")
+
+    def snap(self, points: np.ndarray) -> np.ndarray:
+        p = np.atleast_2d(points)
+        ids = ci.xyz_to_cell_id(p[:, 0], p[:, 1], p[:, 2], self.level)
+        x, y, z = ci.cell_id_to_xyz(ids)
+        return np.stack([x, y, z], axis=1)
+
+    def min_vertex_separation(self) -> float:
+        # max of the constant / proportional / asymptotic bounds
+        # (S2BuilderSnapFunctions.java:215-240)
+        min_edge = sphere.metric_value(sphere.MIN_EDGE_DERIV, self.level)
+        max_diag = sphere.metric_value(sphere.MAX_DIAG_DERIV, self.level)
+        return max(
+            min_edge,
+            0.548 * self.snap_radius,
+            self.snap_radius - 0.5 * max_diag,
+        )
+
+    def min_edge_vertex_separation(self) -> float:
+        min_diag = sphere.metric_value(sphere.MIN_DIAG_DERIV, self.level)
+        if self.snap_radius == self._min_radius:
+            return 0.565 * min_diag
+        sep = self.min_vertex_separation()
+        return max(
+            0.397 * min_diag,
+            0.219 * self.snap_radius,
+            sep * (0.5 * sep / self.snap_radius),
+        )
+
+
+class IntLatLngSnapFunction:
+    """Snaps to E(exponent) lat/lng integer coordinates
+    (S2BuilderSnapFunctions.IntLatLngSnapFunction); exponent 7 == E7."""
+
+    def __init__(self, exponent: int, snap_radius: float | None = None):
+        if not 0 <= exponent <= 10:
+            raise ValueError("exponent out of range")
+        self.exponent = int(exponent)
+        self._scale = 10.0 ** exponent
+        # min radius ~ (10^-e degrees) / sqrt(2), plus rounding guards
+        self._min_radius = (
+            np.radians(1.0 / self._scale) * (1.0 / np.sqrt(2.0))
+            + 2.0 * DBL_EPSILON
+        )
+        self.snap_radius = self._min_radius if snap_radius is None else float(snap_radius)
+
+    def snap(self, points: np.ndarray) -> np.ndarray:
+        p = np.atleast_2d(points)
+        lat, lng = ci.xyz_to_latlng(p[:, 0], p[:, 1], p[:, 2])
+        # Math.round (half-up), not banker's, to match the reference
+        lat_d = np.floor(np.degrees(lat) * self._scale + 0.5) / self._scale
+        lng_d = np.floor(np.degrees(lng) * self._scale + 0.5) / self._scale
+        x, y, z = ci.latlng_to_xyz(np.radians(lat_d), np.radians(lng_d))
+        return np.stack([x, y, z], axis=1)
+
+    def min_vertex_separation(self) -> float:
+        return (1.0 / np.sqrt(2.0)) * self.snap_radius
+
+    def min_edge_vertex_separation(self) -> float:
+        return 0.219 * self.snap_radius
+
+
+# ---------------------------------------------------------------------------
+# builder core
+# ---------------------------------------------------------------------------
+
+
+def _sort_key(points: np.ndarray) -> np.ndarray:
+    """Deterministic vertex processing order: leaf cell id, then the point
+    itself (S2Builder.sortInputVertices)."""
+    leaf = ci.xyz_to_cell_id(points[:, 0], points[:, 1], points[:, 2], 30)
+    return np.lexsort((points[:, 2], points[:, 1], points[:, 0], leaf.astype(np.int64) ^ np.int64(-0x8000000000000000)))
+
+
+class Graph:
+    """Snap output: unique sites + per-layer directed site-id edges +
+    per-input-edge site chains (the S2BuilderGraph surface our layers
+    need)."""
+
+    def __init__(self, sites: np.ndarray, chains: list[list[int]],
+                 layers: np.ndarray):
+        self.sites = sites
+        self.chains = chains
+        self.layers = layers
+
+    def layer_edges(self, layer: int, dedupe: bool = True) -> list[tuple[int, int]]:
+        """Directed (src_site, dst_site) pairs of one layer; degenerate
+        chain steps removed; duplicates merged when ``dedupe``."""
+        out = []
+        seen = set()
+        for chain, lay in zip(self.chains, self.layers):
+            if lay != layer:
+                continue
+            for s, e in zip(chain, chain[1:]):
+                if s == e:
+                    continue
+                if dedupe:
+                    if (s, e) in seen:
+                        continue
+                    seen.add((s, e))
+                out.append((s, e))
+        return out
+
+
+class SnapBuilder:
+    """Gathers edges, snaps them onto a shared site set, returns a Graph."""
+
+    def __init__(self, snap_function=None, split_crossing_edges: bool = False):
+        self.snap_function = snap_function or IdentitySnapFunction(0.0)
+        self.split_crossing_edges = split_crossing_edges
+        self._a: list[np.ndarray] = []
+        self._b: list[np.ndarray] = []
+        self._layers: list[int] = []
+
+    def add_edge(self, a: np.ndarray, b: np.ndarray, layer: int = 0) -> None:
+        self._a.append(np.asarray(a, dtype=np.float64))
+        self._b.append(np.asarray(b, dtype=np.float64))
+        self._layers.append(layer)
+
+    def add_loop(self, vertices: np.ndarray, layer: int = 0) -> None:
+        v = np.asarray(vertices, dtype=np.float64)
+        for k in range(len(v)):
+            self.add_edge(v[k], v[(k + 1) % len(v)], layer)
+
+    def add_polyline(self, vertices: np.ndarray, layer: int = 0) -> None:
+        v = np.asarray(vertices, dtype=np.float64)
+        for k in range(len(v) - 1):
+            self.add_edge(v[k], v[k + 1], layer)
+
+    # -- crossings ----------------------------------------------------------
+
+    def _crossing_points(self, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        """Interior crossing points over all edge pairs (splitCrossingEdges,
+        S2Builder.addEdgeCrossings). Pairs sharing a vertex or lying on one
+        great circle contribute nothing here — shared vertices are already
+        sites, and collinear-overlap endpoints reach the chains through the
+        vertex-near-edge snap."""
+        n = len(A)
+        pts = []
+        for i in range(n):
+            a, b = A[i], B[i]
+            for j in range(i + 1, n):
+                c, d = A[j], B[j]
+                if (
+                    np.array_equal(a, c) or np.array_equal(a, d)
+                    or np.array_equal(b, c) or np.array_equal(b, d)
+                ):
+                    continue
+                if not predicates._arcs_cross_scalar(a, b, c, d):
+                    continue
+                # exclude same-great-circle (SoS classifies overlap as
+                # crossing, but there is no single intersection point)
+                if (
+                    predicates._exact_sign_one(a, b, c, perturb=False) == 0
+                    and predicates._exact_sign_one(a, b, d, perturb=False) == 0
+                ):
+                    continue
+                pts.append(
+                    ek.edge_intersection(a[None], b[None], c[None], d[None])[0]
+                )
+        if not pts:
+            return np.zeros((0, 3))
+        return np.asarray(pts)
+
+    # -- build --------------------------------------------------------------
+
+    def build(self) -> Graph:
+        if not self._a:
+            return Graph(np.zeros((0, 3)), [], np.zeros(0, dtype=np.int64))
+        A = np.stack(self._a)
+        B = np.stack(self._b)
+        layers = np.asarray(self._layers, dtype=np.int64)
+        fn = self.snap_function
+
+        forced = (
+            self._crossing_points(A, B)
+            if self.split_crossing_edges
+            else np.zeros((0, 3))
+        )
+
+        # ---- site selection (snap first) ----
+        sites: list[np.ndarray] = []
+
+        def try_add(p: np.ndarray, min_sep_chord2: float) -> None:
+            if sites:
+                s = np.asarray(sites)
+                d2 = ((s - p[None, :]) ** 2).sum(axis=1)
+                if (d2 <= min_sep_chord2).any():
+                    return
+            sites.append(p)
+
+        # forced sites (crossings) first: only exact duplicates merge
+        if len(forced):
+            snapped = fn.snap(forced)
+            for k in _sort_key(snapped):
+                try_add(snapped[k], 0.0)
+        verts = np.concatenate([A, B], axis=0)
+        snapped = fn.snap(verts)
+        sep2 = float(sphere.chord2_from_angle(fn.min_vertex_separation())) if fn.min_vertex_separation() > 0 else 0.0
+        for k in _sort_key(verts):
+            try_add(snapped[k], sep2)
+        S = np.asarray(sites)
+
+        # ---- edge snapping ----
+        edge_r = fn.snap_radius + INTERSECTION_ERROR if self.split_crossing_edges else fn.snap_radius
+        edge_r2 = float(sphere.chord2_from_angle(edge_r)) + 16.0 * DBL_EPSILON
+
+        def nearest_site(p: np.ndarray) -> int:
+            d2 = ((S - p[None, :]) ** 2).sum(axis=1)
+            return int(np.argmin(d2))
+
+        chains: list[list[int]] = []
+        for i in range(len(A)):
+            a, b = A[i], B[i]
+            sx = nearest_site(fn.snap(a[None])[0])
+            sy = nearest_site(fn.snap(b[None])[0])
+            d2 = ek.min_chord2_points_to_chain(S, a[None], b[None])
+            cand = np.nonzero(d2 <= edge_r2)[0]
+            # order candidates by arc parameter along AB: angle of the
+            # projection within the (a, t) tangent frame
+            t = b - float(b @ a) * a
+            tn = float(np.sqrt(t @ t))
+            if tn == 0.0:
+                chains.append([sx, sy] if sx != sy else [sx])
+                continue
+            t = t / tn
+            order = np.arctan2(S[cand] @ t, S[cand] @ a)
+            cand = [int(c) for c in cand[np.argsort(order, kind="stable")]]
+            chain = [sx] + [c for c in cand if c != sx and c != sy] + (
+                [sy] if sy != sx else []
+            )
+            # drop consecutive duplicates (paranoia; ids are unique here)
+            dedup = [chain[0]]
+            for c in chain[1:]:
+                if c != dedup[-1]:
+                    dedup.append(c)
+            chains.append(dedup)
+        return Graph(S, chains, layers)
+
+
+# ---------------------------------------------------------------------------
+# polygon layer: loop assembly via the region-on-the-left face walk
+# ---------------------------------------------------------------------------
+
+
+def assemble_loops(sites: np.ndarray, edges: list[tuple[int, int]]) -> list[np.ndarray]:
+    """Chain directed (src, dst) site edges into closed loops. At each vertex
+    the walk takes the first outgoing edge CLOCKWISE of the reversed
+    incoming direction (tangent-plane bearings), which keeps the enclosed
+    region on the left through any-degree snap sites — the face traversal
+    S2BuilderGraph's polygon layers perform. Input edges must form closed
+    boundaries (every site has out-degree == in-degree)."""
+    if not edges:
+        return []
+    out_adj: dict[int, list[int]] = {}
+    for s, e in edges:
+        out_adj.setdefault(s, []).append(e)
+
+    frames: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def frame(v: int):
+        fr = frames.get(v)
+        if fr is None:
+            e1 = predicates.ortho(sites[v])
+            e2 = np.cross(sites[v], e1)
+            frames[v] = fr = (e1, e2)
+        return fr
+
+    def bearing(v: int, w_point: np.ndarray) -> float:
+        e1, e2 = frame(v)
+        d = w_point - float(w_point @ sites[v]) * sites[v]
+        return float(np.arctan2(d @ e2, d @ e1))
+
+    unused = set()
+    dup = False
+    for e in edges:
+        if e in unused:
+            dup = True
+        unused.add(e)
+    if dup or len(unused) != len(edges):
+        raise ValueError("duplicate directed edges; dedupe before assembly")
+
+    loops: list[np.ndarray] = []
+    for start in sorted(unused):
+        if start not in unused:
+            continue
+        path = [start]
+        unused.discard(start)
+        guard = len(edges) + 1
+        while True:
+            u, v = path[-1]
+            theta_in = bearing(v, sites[u])
+            best, best_delta = None, None
+            for w in out_adj.get(v, ()):  # pick first edge clockwise of v->u
+                if (v, w) != start and (v, w) not in unused:
+                    continue
+                delta = (theta_in - bearing(v, sites[w])) % (2.0 * np.pi)
+                if delta == 0.0:
+                    delta = 2.0 * np.pi  # the pure U-turn is the last resort
+                if best_delta is None or delta < best_delta:
+                    best, best_delta = (v, w), delta
+            if best is None:
+                raise ValueError("boundary did not close (open edge chain)")
+            if best == start:
+                break
+            path.append(best)
+            unused.discard(best)
+            guard -= 1
+            if guard == 0:
+                raise ValueError("assembly walk did not terminate")
+        loops.append(np.asarray([sites[s] for s, _ in path]))
+    return loops

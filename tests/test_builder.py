@@ -1,0 +1,156 @@
+"""G2 snap-rounding builder: snap functions, site selection, edge
+re-chaining, crossing splits, and the polygon-layer loop assembly."""
+
+import numpy as np
+
+from s2_geometry_library_java_spark.kernel import builder as bu
+from s2_geometry_library_java_spark.kernel import cellid as ci
+from s2_geometry_library_java_spark.kernel import sphere
+
+
+def _pt(lat, lng):
+    x, y, z = ci.latlng_to_xyz(np.radians(float(lat)), np.radians(float(lng)))
+    return np.array([float(x), float(y), float(z)])
+
+
+def _loop(pts):
+    return np.stack([_pt(la, ln) for la, ln in pts])
+
+
+def test_identity_snap_merges_shared_vertices():
+    sq1 = _loop([(0, 0), (0, 10), (10, 10), (10, 0)])
+    sq2 = _loop([(0, 10), (0, 20), (10, 20), (10, 10)])  # shares 2 vertices
+    b = bu.SnapBuilder(bu.IdentitySnapFunction(1e-12))
+    b.add_loop(sq1, layer=0)
+    b.add_loop(sq2, layer=1)
+    g = b.build()
+    assert len(g.sites) == 6  # 8 vertices, 2 shared
+    e0 = g.layer_edges(0)
+    e1 = g.layer_edges(1)
+    assert len(e0) == 4 and len(e1) == 4
+    # the shared vertices appear in both layers' edge endpoints
+    shared = {s for s, _ in e0} & {s for s, _ in e1}
+    assert len(shared) == 2
+
+
+def test_cellid_snap_function_bounds():
+    fn = bu.CellIdSnapFunction(level=10)
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-80, 80, 200)
+    lng = rng.uniform(-180, 180, 200)
+    x, y, z = ci.latlng_to_xyz(np.radians(lat), np.radians(lng))
+    pts = np.stack([x, y, z], axis=1)
+    snapped = fn.snap(pts)
+    moved2 = ((snapped - pts) ** 2).sum(axis=1)
+    assert (moved2 <= sphere.chord2_from_angle(fn.snap_radius)).all()
+    # snapped points are exact cell centers at the level
+    ids = ci.xyz_to_cell_id(snapped[:, 0], snapped[:, 1], snapped[:, 2], 10)
+    cx, cy, cz = ci.cell_id_to_xyz(ids)
+    assert np.allclose(np.stack([cx, cy, cz], axis=1), snapped, atol=1e-15)
+
+
+def test_intlatlng_snap_reference_example():
+    # S2BuilderSnapFunctions doc: E6 snap of (23.12345651, -45.65432149)
+    fn = bu.IntLatLngSnapFunction(6)
+    p = _pt(23.12345651, -45.65432149)
+    s = fn.snap(p[None])[0]
+    lat, lng = ci.xyz_to_latlng(s[0], s[1], s[2])
+    assert abs(np.degrees(float(lat)) - 23.123457) < 1e-9
+    assert abs(np.degrees(float(lng)) - -45.654321) < 1e-9
+
+
+def test_site_separation_enforced():
+    fn = bu.IdentitySnapFunction(np.radians(0.5))
+    b = bu.SnapBuilder(fn)
+    # two nearly-coincident vertices (0.1 deg apart < 0.5 deg separation)
+    b.add_edge(_pt(0, 0), _pt(0, 10))
+    b.add_edge(_pt(0.1, 0.0), _pt(10, 10))
+    g = b.build()
+    sep2 = sphere.chord2_from_angle(fn.min_vertex_separation())
+    S = g.sites
+    for i in range(len(S)):
+        d2 = ((S - S[i]) ** 2).sum(axis=1)
+        d2[i] = 4.0
+        assert (d2 > sep2).all()
+    # the merged vertex's edge still starts at the surviving site
+    assert all(len(c) >= 2 for c in g.chains)
+
+
+def test_split_crossing_edges():
+    b = bu.SnapBuilder(
+        bu.IdentitySnapFunction(1e-12), split_crossing_edges=True
+    )
+    b.add_edge(_pt(0, -10), _pt(0, 10), layer=0)
+    b.add_edge(_pt(-10, 0), _pt(10, 0), layer=1)
+    g = b.build()
+    assert len(g.sites) == 5  # 4 endpoints + 1 crossing
+    # both chains route through the crossing site
+    assert len(g.chains[0]) == 3 and len(g.chains[1]) == 3
+    assert g.chains[0][1] == g.chains[1][1]
+    cross = g.sites[g.chains[0][1]]
+    want = _pt(0, 0)
+    assert np.sqrt(((cross - want) ** 2).sum()) < 1e-14
+
+
+def test_vertex_near_edge_rerouted():
+    """A foreign vertex within the snap radius of an edge is inserted into
+    that edge's chain (the tangency repair that unblocks boolean ops)."""
+    r = np.radians(0.2)
+    b = bu.SnapBuilder(bu.IdentitySnapFunction(r))
+    b.add_edge(_pt(0, -10), _pt(0, 10), layer=0)  # equator edge
+    b.add_edge(_pt(0.1, 0), _pt(10, 0), layer=1)  # starts 0.1 deg above it
+    g = b.build()
+    chain = g.chains[0]
+    assert len(chain) == 3  # rerouted through the near vertex's site
+    mid = g.sites[chain[1]]
+    assert np.array_equal(mid, _pt(0.1, 0))
+
+
+def test_assemble_single_loop_ccw():
+    sq = _loop([(0, 0), (0, 10), (10, 10), (10, 0)])
+    b = bu.SnapBuilder(bu.IdentitySnapFunction(0.0))
+    b.add_loop(sq)
+    g = b.build()
+    loops = bu.assemble_loops(g.sites, g.layer_edges(0))
+    assert len(loops) == 1
+    v = loops[0]
+    assert len(v) == 4
+    # same cyclic order as input (CCW preserved)
+    area = sphere.signed_loop_area(v)
+    want = sphere.signed_loop_area(sq)
+    assert abs(area - want) < 1e-12
+
+
+def test_assemble_two_loops_sharing_corner():
+    """Two CCW squares touching at one vertex must assemble into two
+    separate loops, not a figure-eight — the degree-4 walk rule."""
+    sq1 = _loop([(0, 0), (0, 10), (10, 10), (10, 0)])
+    sq2 = _loop([(-10, -10), (-10, 0), (0, 0), (0, -10)])  # touches at (0,0)
+    b = bu.SnapBuilder(bu.IdentitySnapFunction(1e-12))
+    b.add_loop(sq1)
+    b.add_loop(sq2)
+    g = b.build()
+    assert len(g.sites) == 7
+    loops = bu.assemble_loops(g.sites, g.layer_edges(0))
+    assert len(loops) == 2
+    sizes = sorted(len(lp) for lp in loops)
+    assert sizes == [4, 4]
+    for lp in loops:
+        a = sphere.signed_loop_area(lp)
+        assert 0 < a < 2 * np.pi  # both stay CCW-small
+
+
+def test_idempotent_when_already_snapped():
+    fn = bu.CellIdSnapFunction(level=12)
+    sq = _loop([(1, 1), (1, 9), (9, 9), (9, 1)])
+    snapped_sq = fn.snap(sq)
+    b = bu.SnapBuilder(fn)
+    b.add_loop(snapped_sq)
+    g = b.build()
+    loops = bu.assemble_loops(g.sites, g.layer_edges(0))
+    assert len(loops) == 1
+    got = loops[0]
+    # same vertex set, unchanged
+    got_set = {tuple(p) for p in got}
+    want_set = {tuple(p) for p in snapped_sq}
+    assert got_set == want_set
