@@ -1,15 +1,19 @@
-"""G1: polygon boolean operations (intersection / union / difference) for
-GENERIC-POSITION inputs.
+"""G1: polygon boolean operations (intersection / union / difference /
+symmetric_difference).
 
 The reference's construction (S2Polygon.initToIntersection/initToUnion/
 initToDifference, S2Polygon.java:1645-2100) is: clip A's boundary to the
 (interior/exterior) of B, clip B's boundary likewise, and assemble the kept
-directed segments into loops. The full S2Builder snap-rounding framework
-exists to make that robust under degeneracies (shared vertices, tangent
-edges, near-coincident geometry); this kernel implements the same
-construction for inputs in general position — no shared vertices, no
-tangencies, proper crossings only — which covers real-world query geometry.
-Degenerate inputs raise instead of producing silently-wrong output.
+directed segments into loops. Two physical paths here:
+
+* the GENERIC-POSITION fast path — no shared vertices, no tangencies,
+  proper crossings only — exactly that construction with bit-shared
+  crossing points (covers most real-world query geometry);
+* the SNAP-ROUNDING path (boolean_op_snapped, over kernel/builder.py —
+  the S2Builder/S2BooleanOperation route) for everything the fast path
+  rejects: shared vertices, shared/collinear-overlapping edges,
+  vertex-on-edge tangencies, identical polygons. Regularized (area)
+  semantics; degenerate touch artifacts are discarded.
 
 Crossing points are computed ONCE per (edgeA, edgeB) pair and reused by
 both clip passes, so chained segment endpoints match exactly (bit-equal
@@ -147,7 +151,38 @@ def _no_crossing_case(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon"
     raise ValueError(op)
 
 
-def boolean_op(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":
+#: chord2 below which a vertex counts as lying ON a foreign edge (~1e-14
+#: rad) — such tangencies break the generic-position midpoint
+#: classification and must take the snap-rounding path.
+_TANGENCY_CHORD2 = 1e-28
+
+
+def _require_generic_position(a: "rg.Polygon", b: "rg.Polygon") -> None:
+    """Raise when a vertex of one polygon lies (numerically) on an edge of
+    the other — vertex-on-edge tangencies and collinear overlaps make the
+    generic path's midpoint classification ill-defined even without shared
+    vertices. (Shared vertices themselves are caught edge-by-edge in
+    _crossings_for_edge.)"""
+    def verts(poly):
+        return np.concatenate([lp.vertices for lp in poly.loops], axis=0)
+
+    def chains(poly):
+        va = verts(poly)
+        vb = np.concatenate(
+            [np.roll(lp.vertices, -1, axis=0) for lp in poly.loops], axis=0
+        )
+        return va, vb
+
+    for p, q in ((a, b), (b, a)):
+        va, vb = chains(q)
+        d2 = ek.min_chord2_points_to_chain(verts(p), va, vb)
+        if (d2 <= _TANGENCY_CHORD2).any():
+            raise ValueError(
+                "boolean op requires generic position (vertex on foreign edge)"
+            )
+
+
+def _boolean_op_generic(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":
     """intersection | union | difference of two generic-position polygons.
 
     intersection: A-boundary inside B  +  B-boundary inside A
@@ -155,6 +190,7 @@ def boolean_op(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":
     difference:   A-boundary outside B +  B-boundary inside A, reversed
     (S2Polygon.java:1747-1756, 1874-1882, 2012-2020 comment blocks.)
     """
+    _require_generic_position(a, b)
     cache: dict = {}
     if op == "intersection":
         segs = _clip_boundary(a, b, True, False, cache) + _clip_boundary(
@@ -175,6 +211,145 @@ def boolean_op(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":
     return _assemble(segs)
 
 
+_COMBINE = {
+    "intersection": lambda ia, ib: ia & ib,
+    "union": lambda ia, ib: ia | ib,
+    "difference": lambda ia, ib: ia & ~ib,
+    "symmetric_difference": lambda ia, ib: ia ^ ib,
+}
+
+
+def boolean_op_snapped(
+    a: "rg.Polygon", b: "rg.Polygon", op: str, snap_radius: float = 1e-10
+) -> "rg.Polygon":
+    """General-position-free boolean op via snap rounding (the S2Builder
+    route the reference uses, S2BooleanOperation.java over S2Builder):
+
+    1. both boundaries snap onto ONE site set (kernel/builder.py,
+       IdentitySnapFunction) — shared and near-shared vertices merge,
+       vertices within the snap radius of a foreign edge are spliced into
+       its chain, and proper crossings become forced sites
+       (splitCrossingEdges), so the snapped sub-edges form a planar
+       arrangement on shared vertices;
+    2. each undirected snapped sub-edge is classified by evaluating the
+       result region just off its two sides (offset eps = snap_radius / 4:
+       far above FP noise, far below the builder's site-separation
+       guarantee); membership uses crossing parity against the SNAPPED
+       layer boundaries, so classification is consistent with the
+       arrangement even when the inputs were degenerate. A sub-edge joins
+       the output iff the region covers exactly one side, directed with
+       the region on its LEFT — shared edges from both inputs collapse to
+       one verdict, interior/exterior edges drop out;
+    3. loops assemble with the region-on-the-left face walk
+       (builder.assemble_loops), which resolves degree-4+ shared sites.
+
+    Implements REGULARIZED (area-interior) semantics: degenerate outputs
+    — isolated points/edges where the inputs merely touch — are discarded,
+    matching S2BooleanOperation's default polygon layer with semi-open
+    boundaries. Requires the parity reference point (Loop.ORIGIN) to be
+    farther than snap_radius from every input boundary.
+    """
+    from . import builder as bu
+    from . import predicates
+
+    combine = _COMBINE[op]
+    bld = bu.SnapBuilder(
+        bu.IdentitySnapFunction(snap_radius), split_crossing_edges=True
+    )
+    for lp in a.loops:
+        bld.add_loop(lp.vertices, layer=0)
+    for lp in b.loops:
+        bld.add_loop(lp.vertices, layer=1)
+    g = bld.build()
+    S = g.sites
+
+    # snapped per-layer boundaries for parity membership (dedupe=False:
+    # parity needs every boundary edge counted with its multiplicity)
+    def layer_arrays(layer):
+        es = g.layer_edges(layer, dedupe=False)
+        if not es:
+            return np.zeros((0, 3)), np.zeros((0, 3))
+        ea = np.asarray([S[s] for s, _ in es])
+        eb = np.asarray([S[e] for _, e in es])
+        return ea, eb
+
+    a_ea, a_eb = layer_arrays(0)
+    b_ea, b_eb = layer_arrays(1)
+    origin = rg.Loop.ORIGIN
+    o = origin[None, :]
+    a_origin_in = bool(a.contains_points(o[:, 0], o[:, 1], o[:, 2])[0])
+    b_origin_in = bool(b.contains_points(o[:, 0], o[:, 1], o[:, 2])[0])
+
+    segs = set()
+    for layer in (0, 1):
+        for s, e in g.layer_edges(layer, dedupe=True):
+            segs.add((min(s, e), max(s, e)))
+    segs = sorted(segs)
+    if not segs:
+        return rg.Polygon([])
+
+    eps = max(snap_radius * 0.25, 64.0 * np.finfo(np.float64).eps)
+    pl_list, pr_list = [], []
+    for u, v in segs:
+        su, sv = S[u], S[v]
+        m = su + sv
+        mn = float(np.sqrt(m @ m))
+        if mn < 1e-9:
+            raise ValueError("antipodal snapped sub-edge")
+        m = m / mn
+        n = np.cross(su, sv)
+        nn = float(np.sqrt(n @ n))
+        if nn == 0.0:
+            raise ValueError("degenerate snapped sub-edge")
+        n = n / nn
+        pl = m + eps * n
+        pr = m - eps * n
+        pl_list.append(pl / np.sqrt(pl @ pl))
+        pr_list.append(pr / np.sqrt(pr @ pr))
+    probes = np.asarray(pl_list + pr_list)
+
+    def member(ea, eb, origin_in):
+        if len(ea) == 0:
+            return np.zeros(len(probes), dtype=bool)
+        cr = predicates.count_crossings_edges(origin, probes, ea, eb)
+        return np.where((cr & 1) == 1, not origin_in, origin_in)
+
+    in_a = member(a_ea, a_eb, a_origin_in)
+    in_b = member(b_ea, b_eb, b_origin_in)
+    r = combine(in_a, in_b)
+    n_seg = len(segs)
+    r_left, r_right = r[:n_seg], r[n_seg:]
+
+    out_edges = []
+    for k, (u, v) in enumerate(segs):
+        if r_left[k] and not r_right[k]:
+            out_edges.append((u, v))
+        elif r_right[k] and not r_left[k]:
+            out_edges.append((v, u))
+    if not out_edges:
+        return rg.Polygon([])
+    loops = []
+    for verts in bu.assemble_loops(S, out_edges):
+        lp = rg.Loop(np.asarray(verts))
+        if sphere.signed_loop_area(lp.vertices) > 2.0 * np.pi:
+            lp = rg.Loop(np.asarray(verts[::-1]))
+        loops.append(lp)
+    return rg.Polygon(loops)
+
+
+def boolean_op(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":
+    """intersection | union | difference | symmetric_difference. The
+    generic-position fast path runs first; inputs it rejects (shared
+    vertices, tangencies, collinear overlaps — anything non-generic) go
+    through the snap-rounding path, so no valid input raises."""
+    if op == "symmetric_difference":
+        return boolean_op_snapped(a, b, op)
+    try:
+        return _boolean_op_generic(a, b, op)
+    except ValueError:
+        return boolean_op_snapped(a, b, op)
+
+
 def intersection(a, b):
     return boolean_op(a, b, "intersection")
 
@@ -185,3 +360,7 @@ def union(a, b):
 
 def difference(a, b):
     return boolean_op(a, b, "difference")
+
+
+def symmetric_difference(a, b):
+    return boolean_op(a, b, "symmetric_difference")

@@ -272,12 +272,11 @@ class SnapBuilder:
                     return
             sites.append(p)
 
-        # forced sites (crossings) first: only exact duplicates merge
-        if len(forced):
-            snapped = fn.snap(forced)
-            for k in _sort_key(snapped):
-                try_add(snapped[k], 0.0)
-        verts = np.concatenate([A, B], axis=0)
+        # crossing points are ordinary input vertices (the reference's
+        # addEdgeCrossings feeds them through the same site selection), so
+        # near-coincident crossings — e.g. two edges meeting ON a third
+        # edge — merge under minVertexSeparation like any other vertices
+        verts = np.concatenate([A, B, forced], axis=0) if len(forced) else np.concatenate([A, B], axis=0)
         snapped = fn.snap(verts)
         sep2 = float(sphere.chord2_from_angle(fn.min_vertex_separation())) if fn.min_vertex_separation() > 0 else 0.0
         for k in _sort_key(verts):

@@ -146,22 +146,23 @@ def sign_batch(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out
 
 
-def count_crossings(
-    origin: np.ndarray, points: np.ndarray, loop_vertices: np.ndarray
+def count_crossings_edges(
+    origin: np.ndarray,
+    points: np.ndarray,
+    edge_a: np.ndarray,
+    edge_b: np.ndarray,
 ) -> np.ndarray:
-    """Number of loop edges crossed by the geodesic origin->p, per point.
-
-    points: (n,3); loop_vertices: (m,3) closed implicitly (last->first).
-    Uses the four-sign minor-arc crossing test (robustCrossing semantics,
-    S2EdgeUtil.java:1806-1849) with the shared-vertex wedge tiebreak
-    applied to the (rare) zero-sign pairs, matching edgeOrVertexCrossing.
-    All m edges x n points evaluated as one broadcast batch.
+    """Number of edges (edge_a[j] -> edge_b[j]) crossed by the geodesic
+    origin->p, per point — the count_crossings core over an ARBITRARY edge
+    set (need not form one closed loop; used for parity against snapped
+    multi-loop boundaries, kernel/builder.py layers).
     """
     o = np.asarray(origin, dtype=np.float64)
     p = np.asarray(points, dtype=np.float64)  # (n,3)
-    v = np.asarray(loop_vertices, dtype=np.float64)  # (m,3)
-    c = v[None, :, :]  # (1,m,3)
-    d = np.roll(v, -1, axis=0)[None, :, :]
+    ca = np.asarray(edge_a, dtype=np.float64)  # (m,3)
+    cb = np.asarray(edge_b, dtype=np.float64)
+    c = ca[None, :, :]  # (1,m,3)
+    d = cb[None, :, :]
     on = o[None, None, :]
     pn = p[:, None, :]  # (n,1,3)
     # Minor arcs AB, CD cross iff triangles ACB, BDA, CBD, DAC all have the
@@ -180,10 +181,24 @@ def count_crossings(
     # vectorized path too.
     zeros = (acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)
     if np.any(zeros):
-        dv = np.roll(v, -1, axis=0)
         for i, j in zip(*np.nonzero(zeros)):
-            crossing[i, j] = edge_or_vertex_crossing(o, p[i], v[j], dv[j])
+            crossing[i, j] = edge_or_vertex_crossing(o, p[i], ca[j], cb[j])
     return crossing.sum(axis=1).astype(np.int64)
+
+
+def count_crossings(
+    origin: np.ndarray, points: np.ndarray, loop_vertices: np.ndarray
+) -> np.ndarray:
+    """Number of loop edges crossed by the geodesic origin->p, per point.
+
+    points: (n,3); loop_vertices: (m,3) closed implicitly (last->first).
+    Uses the four-sign minor-arc crossing test (robustCrossing semantics,
+    S2EdgeUtil.java:1806-1849) with the shared-vertex wedge tiebreak
+    applied to the (rare) zero-sign pairs, matching edgeOrVertexCrossing.
+    All m edges x n points evaluated as one broadcast batch.
+    """
+    v = np.asarray(loop_vertices, dtype=np.float64)  # (m,3)
+    return count_crossings_edges(origin, points, v, np.roll(v, -1, axis=0))
 
 
 def winding_numbers(

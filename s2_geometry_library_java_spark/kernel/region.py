@@ -164,11 +164,46 @@ class Polygon:
             loops.append(Loop.from_latlng_degrees(pts))
         return Polygon(loops)
 
-    def contains_points(self, x, y, z) -> np.ndarray:
+    def contains_points(self, x, y, z, model: str = "semi_open") -> np.ndarray:
+        """Membership under a boundary model (S2BooleanOperation.java:268-273
+        polygon models):
+
+        * ``semi_open`` (default) — the raw crossing-parity verdict: each
+          boundary point deterministically belongs to exactly one of the
+          polygon and its complement (the reference's default model);
+        * ``open`` — boundary points excluded;
+        * ``closed`` — boundary points included.
+        """
         inside = np.zeros(np.shape(np.atleast_1d(x)), dtype=bool)
         for loop in self.loops:
             inside ^= loop.contains_points(x, y, z)
-        return inside
+        if model == "semi_open":
+            return inside
+        if model not in ("open", "closed"):
+            raise ValueError(f"unknown boundary model {model!r}")
+        boundary = self.on_boundary(x, y, z)
+        return (inside & ~boundary) if model == "open" else (inside | boundary)
+
+    def on_boundary(self, x, y, z, tol_chord2: float = 1e-24) -> np.ndarray:
+        """True where the point lies on a boundary edge or vertex, within
+        a squared-chord tolerance (default 1e-24, ~5e-13 rad). The
+        tolerance exists because double-precision lat/lng->xyz conversion
+        leaves points constructed ON an edge ~1e-17 rad off its exact
+        great circle; the reference's vertex models use exact predicates,
+        which validation._point_on_closed_edge provides for inputs that
+        are bit-exactly incident. Fully vectorized (one chain-distance
+        pass per loop)."""
+        from . import edges as ek
+
+        pts = np.stack(
+            [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1
+        ).astype(np.float64)
+        out = np.zeros(len(pts), dtype=bool)
+        for loop in self.loops:
+            va = loop.vertices
+            vb = np.roll(va, -1, axis=0)
+            out |= ek.min_chord2_points_to_chain(pts, va, vb) <= tol_chord2
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -1123,6 +1123,102 @@ _COVERING_GOLDEN = [
 ]
 
 
+# boundary-models gate: quad with an equator bottom and meridian sides so
+# exact-boundary probe points are constructible from lat/lng literals
+_MODELS_POLY_PTS = [(0.0, 10.0), (0.0, 40.0), (25.0, 40.0), (25.0, 10.0)]
+
+#: (id, lat, lng): exact-boundary probes (vertices, equator/meridian edge
+#: points), interior and exterior probes
+_MODELS_PROBES = [
+    (9000001, 0.0, 10.0), (9000002, 0.0, 40.0), (9000003, 25.0, 40.0),
+    (9000004, 25.0, 10.0), (9000005, 0.0, 25.0), (9000006, 12.5, 10.0),
+    (9000007, 12.5, 40.0), (9000008, 10.0, 25.0), (9000009, 5.0, 12.0),
+    (9000010, -5.0, 25.0), (9000011, 10.0, 50.0), (9000012, 40.0, 25.0),
+]
+
+
+def q_pip_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-tier boundary models (S2BooleanOperation polygon models): open and
+    closed membership for probe points that sit EXACTLY on the polygon
+    boundary plus the scaled customer cloud; the DuckDB oracle recomputes
+    both models from halfspace determinants with a +-1e-12 threshold
+    (matching the kernel's ~5e-13 rad boundary tolerance). semi_open is
+    pytest-gated (tests/test_boundary_models.py) because its boundary-side
+    assignment is wedge-order dependent, not SQL-expressible."""
+    from .kernel import region as rgk
+
+    poly = rgk.Polygon([rgk.Loop.from_latlng_degrees(_MODELS_POLY_PTS)])
+
+    @pandas_udf("open boolean, closed boolean")
+    def models(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+        lat_r = np.radians(lat.to_numpy(np.float64))
+        lng_r = np.radians(lng.to_numpy(np.float64))
+        x, y, z = s2.latlng_to_xyz(lat_r, lng_r)
+        return pd.DataFrame(
+            {
+                "open": poly.contains_points(x, y, z, model="open"),
+                "closed": poly.contains_points(x, y, z, model="closed"),
+            }
+        )
+
+    probes = spark.createDataFrame(
+        _MODELS_PROBES, "point_id long, lat double, lng double"
+    )
+    cust = tables.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (geo.lat_col("c_custkey") / 4 + 10).alias("lat"),
+        (geo.lng_col("c_custkey") / 4 + 25).alias("lng"),
+    )
+    pts = probes.unionByName(cust)
+    withm = pts.withColumn("_m", models(F.col("lat"), F.col("lng")))
+    return withm.select(
+        "point_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("open").alias("model"), F.col("_m.open").alias("inside")),
+                F.struct(F.lit("closed").alias("model"), F.col("_m.closed").alias("inside")),
+            )
+        ).alias("_e"),
+    ).select("point_id", F.col("_e.model").alias("model"), F.col("_e.inside").alias("inside"))
+
+
+def q_pip_models_oracle() -> str:
+    import numpy as _np
+
+    from .kernel import region as rgk
+
+    v = rgk.Polygon([rgk.Loop.from_latlng_degrees(_MODELS_POLY_PTS)]).loops[0].vertices
+    edges = []
+    for k in range(len(v)):
+        a, b = v[k], v[(k + 1) % len(v)]
+        edges.append(
+            "(" + ", ".join(f"CAST({float(c)!r} AS DOUBLE)" for c in list(a) + list(b)) + ")"
+        )
+    vals = ", ".join(
+        f"({i}, CAST({la!r} AS DOUBLE), CAST({ln!r} AS DOUBLE))"
+        for i, la, ln in _MODELS_PROBES
+    )
+    return f"""
+    WITH probes(point_id, lat, lng) AS (VALUES {vals}),
+    cust AS (SELECT c_custkey AS point_id,
+             ({geo.lat_sql('c_custkey')}) / 4 + 10 AS lat,
+             ({geo.lng_sql('c_custkey')}) / 4 + 25 AS lng FROM customer),
+    pts AS (SELECT * FROM probes UNION ALL SELECT * FROM cust),
+    p AS (SELECT point_id, {_XYZ_SQL} FROM pts),
+    e(ax, ay, az, bx, by, bz) AS (VALUES {", ".join(edges)}),
+    d AS (SELECT point_id,
+          (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+          FROM p CROSS JOIN e),
+    agg AS (SELECT point_id,
+            bool_and(det > 1e-12) AS open_in,
+            bool_and(det >= -1e-12) AS closed_in
+            FROM d GROUP BY point_id)
+    SELECT point_id, 'open' AS model, open_in AS inside FROM agg
+    UNION ALL
+    SELECT point_id, 'closed' AS model, closed_in AS inside FROM agg
+    """
+
+
 def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 with a VALUE oracle: coverings of the 6 query polygons plus the
     two S2RegionCovererTest golden polylines, all computed by the coverer
@@ -1625,6 +1721,7 @@ def all_queries():
         "hausdorff_witness": q_hausdorff_witness,
         "chain_interp": q_chain_interp,
         "convex_hull": q_convex_hull,
+        "pip_models": q_pip_models,
         "buffered_region": q_buffered_region,
         "boolean_intersection": q_boolean_intersection,
         "boolean_difference": q_boolean_difference,
@@ -1676,6 +1773,7 @@ def all_oracles():
         "boolean_intersection": _q_boolean_oracle("intersection"),
         "boolean_difference": _q_boolean_oracle("difference"),
         "convex_hull": q_convex_hull_oracle(),
+        "pip_models": q_pip_models_oracle(),
         "covering_tokens": q_covering_tokens_oracle(),
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),

@@ -94,6 +94,76 @@ def test_boolean_area_identity():
     np.testing.assert_allclose(a_area + b_area, u + i, rtol=1e-9)
 
 
-def test_boolean_degenerate_raises():
-    with pytest.raises(ValueError):
-        bo.intersection(A, A)  # shared vertices: not generic position
+def _area(poly):
+    """Polygon area under the XOR-loop convention (every stored loop is
+    CCW-small; holes subtract): outer loops minus contained loops — here
+    computed via dense membership sampling, which is representation-free."""
+    rng = np.random.default_rng(11)
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+
+    lat = np.radians(rng.uniform(10, 30, 20000))
+    lng = np.radians(rng.uniform(20, 46, 20000))
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    return poly.contains_points(x, y, z).mean()
+
+
+def _members(poly, n=4000, seed=7, lat_rng=(10, 30), lng_rng=(20, 46)):
+    rng = np.random.default_rng(seed)
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+
+    lat = np.radians(rng.uniform(*lat_rng, n))
+    lng = np.radians(rng.uniform(*lng_rng, n))
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    return (x, y, z)
+
+
+@pytest.mark.parametrize(
+    "op,combine",
+    [
+        ("intersection", lambda ia, ib: ia & ib),
+        ("union", lambda ia, ib: ia | ib),
+        ("difference", lambda ia, ib: ia & ~ib),
+        ("symmetric_difference", lambda ia, ib: ia ^ ib),
+    ],
+)
+def test_boolean_degenerate_membership(op, combine):
+    """Degenerate pairs (shared vertices/edges, tangencies, identity) go
+    through the snap-rounding path and must still match pointwise
+    membership — the S2PolygonTest OVERLAP-style contract."""
+
+    def poly(pts):
+        return rg.Polygon([rg.Loop.from_latlng_degrees(pts)])
+
+    big = poly([(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)])
+    cases = {
+        # identical polygons
+        "identical": (big, poly([(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)])),
+        # full shared edge, side by side (meridian edge => true geodesic)
+        "adjacent": (big, poly([(14.0, 36.0), (14.0, 48.0), (26.0, 48.0), (26.0, 36.0)])),
+        # shared corner only
+        "corner": (big, poly([(26.0, 36.0), (26.0, 44.0), (32.0, 44.0), (32.0, 36.0)])),
+        # collinear partial edge overlap, no shared vertices (notch)
+        "notch": (big, poly([(16.0, 24.0), (16.0, 28.0), (20.0, 28.0), (20.0, 24.0)])),
+        # vertex of B in the interior of A's edge, crossing boundary
+        "t_cross": (big, poly([(18.0, 36.0), (14.0, 44.0), (22.0, 44.0)])),
+    }
+    for name, (pa, pb) in cases.items():
+        out = bo.boolean_op(pa, pb, op)
+        x, y, z = _members(pa, lat_rng=(12, 34), lng_rng=(22, 50))
+        got = out.contains_points(x, y, z)
+        want = combine(pa.contains_points(x, y, z), pb.contains_points(x, y, z))
+        assert (got == want).all(), (name, op, int((got != want).sum()))
+
+
+def test_boolean_snapped_notch_is_single_loop():
+    """The snap path must emit the dented single boundary for a notch
+    carved out at the edge, not an XOR hole pair."""
+
+    def poly(pts):
+        return rg.Polygon([rg.Loop.from_latlng_degrees(pts)])
+
+    big = poly([(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)])
+    notch = poly([(16.0, 24.0), (16.0, 28.0), (20.0, 28.0), (20.0, 24.0)])
+    d = bo.boolean_op_snapped(big, notch, "difference")
+    assert len(d.loops) == 1
+    assert len(d.loops[0].vertices) == 8

@@ -57,3 +57,85 @@ def test_winding_reference_point_offset():
     a = predicates.winding_numbers(origin, pts, v, origin_winding=0)
     b = predicates.winding_numbers(origin, pts, v, origin_winding=7)
     assert int(b[0]) - int(a[0]) == 7
+
+
+def _sq(pts):
+    return rg.Loop.from_latlng_degrees(pts).vertices
+
+
+def _far_origin():
+    return np.array(
+        [
+            float(a)
+            for a in np.ravel(
+                ci.latlng_to_xyz(np.radians(-60.0), np.radians(-120.0))
+            )
+        ]
+    )
+
+
+def _members(poly, seed=3, n=4000, lat=(0, 26), lng=(0, 26)):
+    rng = np.random.default_rng(seed)
+    la = np.radians(rng.uniform(*lat, n))
+    ln = np.radians(rng.uniform(*lng, n))
+    x, y, z = ci.latlng_to_xyz(la, ln)
+    return np.stack([x, y, z], axis=1)
+
+
+def test_winding_operation_union_and_intersection():
+    """S2WindingOperationTest semantics: two overlapping CCW squares with
+    POSITIVE rule give the union; rule w >= 2 gives the intersection."""
+    from s2_geometry_library_java_spark.kernel import windingop as wo
+
+    a = _sq([(2.0, 2.0), (2.0, 14.0), (14.0, 14.0), (14.0, 2.0)])
+    b = _sq([(8.0, 8.0), (8.0, 20.0), (20.0, 20.0), (20.0, 8.0)])
+    la = rg.Loop(a)
+    lb = rg.Loop(b)
+    origin = _far_origin()
+    pts = _members(None)
+
+    union = wo.winding_operation([a, b], origin, 0, "positive")
+    got = union.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+    want = la.contains_points(pts[:, 0], pts[:, 1], pts[:, 2]) | lb.contains_points(
+        pts[:, 0], pts[:, 1], pts[:, 2]
+    )
+    assert (got == want).all()
+
+    inter = wo.winding_operation([a, b], origin, 0, lambda w: w >= 2)
+    got = inter.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+    want = la.contains_points(pts[:, 0], pts[:, 1], pts[:, 2]) & lb.contains_points(
+        pts[:, 0], pts[:, 1], pts[:, 2]
+    )
+    assert (got == want).all()
+
+    odd = wo.winding_operation([a, b], origin, 0, "odd")
+    got = odd.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+    want = la.contains_points(pts[:, 0], pts[:, 1], pts[:, 2]) ^ lb.contains_points(
+        pts[:, 0], pts[:, 1], pts[:, 2]
+    )
+    assert (got == want).all()
+
+
+def test_winding_operation_doubly_wound():
+    """A loop winding twice: POSITIVE keeps the square once; w >= 2 keeps
+    the (slightly smaller) double-covered core."""
+    from s2_geometry_library_java_spark.kernel import windingop as wo
+
+    sq = [(2.0, 2.0), (2.0, 14.0), (14.0, 14.0), (14.0, 2.0)]
+    lap2 = [(la + 1e-4 * (1 if la < 8 else -1), ln + 1e-4 * (1 if ln < 8 else -1)) for la, ln in sq]
+    v = _sq(sq + lap2)
+    origin = _far_origin()
+    pos = wo.winding_operation([v], origin, 0, "positive")
+    assert len(pos.loops) == 1
+    pts = _members(None, seed=9)
+    outer = rg.Loop(_sq(sq))
+    got = pos.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+    want = outer.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+    assert (got == want).mean() > 0.999  # boundary band between laps is tiny
+
+    core = wo.winding_operation([v], origin, 0, lambda w: w >= 2)
+    assert len(core.loops) == 1
+    got = core.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+    inner = rg.Loop(_sq(lap2))
+    want = inner.contains_points(pts[:, 0], pts[:, 1], pts[:, 2]) & want
+    assert (got == want).mean() > 0.999
