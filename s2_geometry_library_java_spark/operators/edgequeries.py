@@ -142,19 +142,16 @@ def crossing_edge_pairs(
     )
 
 
-def directed_hausdorff(
+def directed_hausdorff_brute(
     points: DataFrame,
     edges: DataFrame,
     point_id: str = "id",
     lat: str = "lat",
     lng: str = "lng",
 ) -> DataFrame:
-    """(shape_id, worst_point_id, chord2): per shape, the point whose
-    minimum boundary distance is LARGEST (the directed discrete Hausdorff
-    witness from the point set to each shape's boundary, F7). ``edges`` is
-    shape_index_df output or any (shape_id, edge_id, ax..bz) table; shapes
-    are few, so the edge set broadcasts and the point table never
-    shuffles until the tiny per-shape aggregate."""
+    """Reference form of F7: every point against every edge. Kept as the
+    equivalence oracle for the pruned plan below; use only when the edge
+    set is tiny."""
     p = udfs.latlng_deg_to_xyz(F.col(lat), F.col(lng))
     pts = (
         points.withColumn("_p", p)
@@ -185,6 +182,123 @@ def directed_hausdorff(
         per_point.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("shape_id", F.col("point_id").alias("worst_point_id"), F.col("dmin").alias("chord2"))
+    )
+
+
+def directed_hausdorff(
+    points: DataFrame,
+    edges: DataFrame,
+    point_id: str = "id",
+    lat: str = "lat",
+    lng: str = "lng",
+    sample_step: int = 8,
+) -> DataFrame:
+    """(shape_id, worst_point_id, chord2): directed discrete Hausdorff
+    witness from the point set to each shape's boundary (F7), PRUNED — the
+    DataFrame form of S2HausdorffDistanceQuery over S2BestEdgesQueryBase's
+    shrinking search bound:
+
+    1. bound pass: every point joins only a 1/``sample_step`` sample of
+       boundary vertices. u(p) = min sampled-vertex angle is an UPPER
+       bound on d(p, boundary); u(p) - gap_s is a LOWER bound, where
+       gap_s = 2x the longest sampled run's arc length bounds how far any
+       boundary point can be from its nearest sample along its own loop
+       (the 2x covers runs that straddle shape_index_df's concatenated
+       loop boundaries). REQUIRES every loop to contain at least one
+       sampled vertex: shape_index_df numbers each loop's edges
+       contiguously starting at the previous loop's end, so this holds
+       whenever every loop has >= sample_step edges (always true for
+       single-loop shapes, whose edge 0 is sampled); lower sample_step
+       for shapes with smaller holes.
+    2. prune: the witness must satisfy u(p) >= max_q u(q) - gap_s —
+       everything else is provably not the farthest point and never
+       touches the full edge set.
+    3. exact pass: surviving candidates (a thin band near the max) get
+       the exact min edge chord2 over ALL the shape's edges; per-shape
+       argmax is the witness, bit-identical to the brute answer.
+
+    The big point table is scanned once, joins a broadcast vertex sample,
+    and never shuffles; the full edge set is only read against the tiny
+    candidate band."""
+    from pyspark.sql.types import DoubleType
+
+    e_all = edges.dropDuplicates(["shape_id", "edge_id"])
+    p = udfs.latlng_deg_to_xyz(F.col(lat), F.col(lng))
+    pts = (
+        points.withColumn("_p", p)
+        .select(
+            F.col(point_id).alias("point_id"),
+            F.col("_p.x").alias("px"),
+            F.col("_p.y").alias("py"),
+            F.col("_p.z").alias("pz"),
+        )
+    )
+    # per-shape sampling gap: edges in edge_id order, summed arc length of
+    # each run of `sample_step` edges; gap = max run length / 2
+    elen = F.lit(2.0) * F.asin(
+        F.lit(0.5)
+        * F.sqrt(
+            (F.col("ax") - F.col("bx")) ** 2
+            + (F.col("ay") - F.col("by")) ** 2
+            + (F.col("az") - F.col("bz")) ** 2
+        )
+    )
+    runs = (
+        e_all.select(
+            "shape_id",
+            (F.col("edge_id") / sample_step).cast("long").alias("run"),
+            elen.alias("elen"),
+        )
+        .groupBy("shape_id", "run")
+        .agg(F.sum("elen").alias("run_len"))
+        .groupBy("shape_id")
+        .agg((F.max("run_len") * 2).alias("gap"))
+    )
+    samples = F.broadcast(
+        e_all.where(F.col("edge_id") % sample_step == 0).select(
+            "shape_id", "ax", "ay", "az"
+        )
+    )
+    vchord2 = (
+        (F.col("px") - F.col("ax")) ** 2
+        + (F.col("py") - F.col("ay")) ** 2
+        + (F.col("pz") - F.col("az")) ** 2
+    )
+    ub = (
+        pts.crossJoin(samples)
+        .groupBy("shape_id", "point_id")
+        .agg(F.min(vchord2).alias("u2"))
+        .withColumn("u_ang", F.lit(2.0) * F.asin(F.lit(0.5) * F.sqrt(F.col("u2"))))
+    )
+    wmax = Window.partitionBy("shape_id")
+    cand = (
+        ub.join(F.broadcast(runs), "shape_id")
+        .withColumn("u_max", F.max("u_ang").over(wmax))
+        .where(F.col("u_ang") >= F.col("u_max") - F.col("gap"))
+        .select("shape_id", "point_id")
+    )
+    cpts = F.broadcast(cand.join(pts, "point_id"))
+    exact = cpts.join(e_all, "shape_id").select(
+        "shape_id",
+        "point_id",
+        edge_min_chord2_cols(
+            F.col("px"), F.col("py"), F.col("pz"),
+            F.col("ax"), F.col("ay"), F.col("az"),
+            F.col("bx"), F.col("by"), F.col("bz"),
+        ).alias("chord2"),
+    )
+    per_point = exact.groupBy("shape_id", "point_id").agg(
+        F.min("chord2").alias("dmin")
+    )
+    w = Window.partitionBy("shape_id").orderBy(F.desc("dmin"), F.asc("point_id"))
+    return (
+        per_point.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "shape_id",
+            F.col("point_id").alias("worst_point_id"),
+            F.col("dmin").alias("chord2"),
+        )
     )
 
 

@@ -967,6 +967,64 @@ def _q_boolean_oracle(op: str) -> str:
     """
 
 
+# Degenerate boolean gate geometry: two quads sharing a FULL meridian edge
+# (and both its endpoint vertices) — rejected by the generic-position path,
+# handled by the snap-rounding path.
+_BOOL_DEGEN_A = [(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)]
+_BOOL_DEGEN_B = [(14.0, 36.0), (14.0, 48.0), (26.0, 48.0), (26.0, 36.0)]
+
+
+def _degen_poly(pts):
+    return rg.Polygon([rg.Loop.from_latlng_degrees(pts)])
+
+
+def q_boolean_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2 gate: boolean ops on a shared-edge polygon pair (the
+    S2PolygonTest OVERLAP-style degenerate case) constructed by the
+    snap-rounding path, then membership-checked against the orders points
+    via the standard PIP join. Rows: (k, op) for each op whose result
+    contains the point; intersection is empty by construction (the shared
+    edge regularizes away) and contributes no rows on either side."""
+    from .kernel import booleanop as bo
+
+    a = _degen_poly(_BOOL_DEGEN_A)
+    b = _degen_poly(_BOOL_DEGEN_B)
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    out = None
+    for op in ("union", "difference", "symmetric_difference", "intersection"):
+        result = bo.boolean_op(a, b, op)
+        if not result.loops:
+            continue
+        rows = pip.pip_join(spark, pts, {op: result}, point_id="k").select(
+            F.col("point_id").alias("k"), F.col("polygon_id").alias("op")
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+def q_boolean_degenerate_oracle() -> str:
+    ea = _poly_edges_values(_degen_poly(_BOOL_DEGEN_A), "a")
+    eb = _poly_edges_values(_degen_poly(_BOOL_DEGEN_B), "b")
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    ea(pid, ax, ay, az, bx, by, bz) AS (VALUES {ea}),
+    eb(pid, ax, ay, az, bx, by, bz) AS (VALUES {eb}),
+    ia AS (SELECT k FROM (SELECT p.k,
+            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+            FROM p CROSS JOIN ea) GROUP BY k HAVING bool_and(det > 0)),
+    ib AS (SELECT k FROM (SELECT p.k,
+            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+            FROM p CROSS JOIN eb) GROUP BY k HAVING bool_and(det > 0))
+    SELECT k, 'union' AS op FROM (SELECT k FROM ia UNION SELECT k FROM ib)
+    UNION ALL
+    SELECT k, 'difference' AS op FROM (SELECT k FROM ia EXCEPT SELECT k FROM ib)
+    UNION ALL
+    SELECT k, 'symmetric_difference' AS op FROM (
+        (SELECT k FROM ia EXCEPT SELECT k FROM ib)
+        UNION (SELECT k FROM ib EXCEPT SELECT k FROM ia))
+    """
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 with a VALUE oracle: per customer point, whether it is a vertex
     of its nation's spherical convex hull. The hull comes from the
@@ -1722,6 +1780,7 @@ def all_queries():
         "chain_interp": q_chain_interp,
         "convex_hull": q_convex_hull,
         "pip_models": q_pip_models,
+        "boolean_degenerate": q_boolean_degenerate,
         "buffered_region": q_buffered_region,
         "boolean_intersection": q_boolean_intersection,
         "boolean_difference": q_boolean_difference,
@@ -1774,6 +1833,7 @@ def all_oracles():
         "boolean_difference": _q_boolean_oracle("difference"),
         "convex_hull": q_convex_hull_oracle(),
         "pip_models": q_pip_models_oracle(),
+        "boolean_degenerate": q_boolean_degenerate_oracle(),
         "covering_tokens": q_covering_tokens_oracle(),
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),

@@ -205,3 +205,39 @@ def test_crossing_pairs_degenerate_escalation(spark):
     assert got == want
     assert "plain" in want and "shallow" in want
     assert "vertex" not in want
+
+
+def test_hausdorff_pruned_equals_brute(spark):
+    """The pruned directed-Hausdorff plan must return the exact brute
+    witness (shape, point, chord2) on a dense boundary where pruning
+    actually engages."""
+    from s2_geometry_library_java_spark.operators import edgequeries
+
+    # dense ~120-edge ring boundary as a shape index table
+    n = 120
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    clat, clng, r = 10.0, 40.0, 8.0
+    lats = clat + r * np.sin(ang)
+    lngs = clng + r * np.cos(ang)
+    va = np.stack(s2.latlng_to_xyz(np.radians(lats), np.radians(lngs)), axis=1)
+    vb = np.roll(va, -1, axis=0)
+    rows = [
+        ("ring", 0, k) + tuple(map(float, va[k])) + tuple(map(float, vb[k]))
+        for k in range(n)
+    ]
+    idx = spark.createDataFrame(
+        rows,
+        "shape_id string, cell_id long, edge_id int, ax double, ay double, "
+        "az double, bx double, by double, bz double",
+    )
+    rng = np.random.default_rng(21)
+    pts = [
+        (int(i), float(clat + rng.uniform(-14, 14)), float(clng + rng.uniform(-14, 14)))
+        for i in range(300)
+    ]
+    pdf = spark.createDataFrame(pts, "id long, lat double, lng double")
+    got = edgequeries.directed_hausdorff(pdf, idx, sample_step=8).collect()
+    want = edgequeries.directed_hausdorff_brute(pdf, idx).collect()
+    assert len(got) == len(want) == 1
+    assert got[0]["worst_point_id"] == want[0]["worst_point_id"]
+    assert got[0]["chord2"] == want[0]["chord2"]
