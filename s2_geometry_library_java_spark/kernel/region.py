@@ -164,6 +164,21 @@ class Polygon:
             loops.append(Loop.from_latlng_degrees(pts))
         return Polygon(loops)
 
+    def to_text(self) -> str:
+        """Inverse of from_text: ';'-separated loops of 'lat:lng' vertices
+        (S2TextFormat.toString, repr-precision round-trippable)."""
+        parts = []
+        for lp in self.loops:
+            v = lp.vertices
+            lat, lng = ci.xyz_to_latlng(v[:, 0], v[:, 1], v[:, 2])
+            parts.append(
+                ", ".join(
+                    f"{float(np.degrees(la))!r}:{float(np.degrees(ln))!r}"
+                    for la, ln in zip(np.atleast_1d(lat), np.atleast_1d(lng))
+                )
+            )
+        return "; ".join(parts)
+
     def contains_points(self, x, y, z, model: str = "semi_open") -> np.ndarray:
         """Membership under a boundary model (S2BooleanOperation.java:268-273
         polygon models):

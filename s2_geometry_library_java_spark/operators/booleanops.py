@@ -1,0 +1,125 @@
+"""G1 at engine scale: boolean ops over TABLES of polygon pairs.
+
+The kernel (kernel/booleanop.py) computes one pair on one core — exactly
+like the reference, whose S2BooleanOperation is single-threaded per pair
+(S2BooleanOperation.java). The distributed form the booleanop docstring
+promises lives here:
+
+1. candidate pairs come from a covering join: each shape's covering cells
+   (computed executor-side, operators/shapes.coverings_df) emit ancestors
+   at the OTHER side's covering levels and equi-join on the cell id —
+   cell-id equality means Hilbert-range containment, so a pair is a
+   candidate iff the coverings actually intersect (no false negatives by
+   covering soundness, no nested-loop range join);
+2. the pair kernel runs inside mapInPandas over the candidate pair rows
+   (geometry arrives as S2TextFormat columns), emitting the result
+   polygon as text plus loop/vertex counts.
+
+Pairs whose coverings do not intersect have empty intersection by
+construction and are never materialized — with N x M shapes the join does
+the pruning, not a cross product.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import columns as cc
+from .shapes import _parse_polygon, coverings_df
+
+
+def _levels(cov: DataFrame) -> list[int]:
+    return [
+        int(r["lvl"])
+        for r in cov.select(cc.level("cell_id").alias("lvl")).distinct().collect()
+    ]
+
+
+def candidate_pairs(
+    shapes_a: DataFrame, shapes_b: DataFrame, max_cells: int = 8
+) -> DataFrame:
+    """(a_id, b_id) for every pair whose coverings share sphere area —
+    the covering-intersection join (a cell of one side contained in a
+    cell of the other, tested as ancestor equi-joins both ways)."""
+    cov_a = coverings_df(shapes_a, max_cells=max_cells).select(
+        F.col("shape_id").alias("a_id"), "cell_id"
+    ).persist()
+    cov_b = coverings_df(shapes_b, max_cells=max_cells).select(
+        F.col("shape_id").alias("b_id"), "cell_id"
+    ).persist()
+    la, lb = _levels(cov_a), _levels(cov_b)
+
+    def ancestors(cov, levels, id_col):
+        lvl = cc.level("cell_id")
+        return cov.select(
+            id_col,
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(lvl >= L, cc.parent("cell_id", L))
+                            for L in levels
+                        ]
+                    ),
+                    lambda c: c.isNotNull(),
+                )
+            ).alias("cell"),
+        )
+
+    a_in_b = ancestors(cov_a, lb, "a_id").join(
+        cov_b.withColumnRenamed("cell_id", "cell"), "cell"
+    )
+    b_in_a = ancestors(cov_b, la, "b_id").join(
+        cov_a.withColumnRenamed("cell_id", "cell"), "cell"
+    )
+    return (
+        a_in_b.select("a_id", "b_id")
+        .unionByName(b_in_a.select("a_id", "b_id"))
+        .distinct()
+    )
+
+
+_PAIR_SCHEMA = (
+    "a_id string, b_id string, result string, n_loops int, n_vertices int"
+)
+
+
+def boolean_pairs(
+    shapes_a: DataFrame,
+    shapes_b: DataFrame,
+    op: str,
+    max_cells: int = 8,
+) -> DataFrame:
+    """(a_id, b_id, result_text, n_loops, n_vertices) for every
+    covering-intersecting pair; result is the kernel boolean_op polygon
+    (snap-rounding path included, so shared-vertex/edge pairs are fine)
+    serialized as S2TextFormat. Runs the pair kernel on executors."""
+    from ..kernel import booleanop as bo
+
+    cand = candidate_pairs(shapes_a, shapes_b, max_cells=max_cells)
+    ta = F.broadcast(
+        shapes_a.select(F.col("shape_id").alias("a_id"), F.col("text").alias("a_text"))
+    )
+    tb = F.broadcast(
+        shapes_b.select(F.col("shape_id").alias("b_id"), F.col("text").alias("b_text"))
+    )
+    pairs = cand.join(ta, "a_id").join(tb, "b_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("a_id", "b_id", "result", "n_loops", "n_vertices")}
+            for a_id, b_id, a_text, b_text in zip(
+                pdf["a_id"], pdf["b_id"], pdf["a_text"], pdf["b_text"]
+            ):
+                res = bo.boolean_op(_parse_polygon(a_text), _parse_polygon(b_text), op)
+                out["a_id"].append(a_id)
+                out["b_id"].append(b_id)
+                out["result"].append(res.to_text())
+                out["n_loops"].append(len(res.loops))
+                out["n_vertices"].append(sum(len(lp.vertices) for lp in res.loops))
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(gen, _PAIR_SCHEMA)

@@ -1025,6 +1025,134 @@ def q_boolean_degenerate_oracle() -> str:
     """
 
 
+# boolean_pairs gate fixtures: quad corners (lat0, lat1, lng0, lng1); the
+# (a0, b0) pair shares a full meridian edge (degenerate -> snap path); the
+# (a1, b1) pair is disjoint with disjoint coverings (pruned by the join).
+_BP_QUADS = {
+    "a0": (14.0, 26.0, 24.0, 36.0),
+    "a1": (14.0, 26.0, 40.0, 52.0),
+    "b0": (14.0, 26.0, 36.0, 48.0),
+    "b1": (16.0, 20.0, 26.0, 30.0),
+}
+
+#: probe grid chosen off every fixture edge (coordinates end in .05)
+_BP_PROBES = [
+    (i * 15 + j, 8.05 + 1.7 * i, 18.05 + 2.6 * j)
+    for i in range(15)
+    for j in range(15)
+]
+
+
+def _bp_quad_text(lat0, lat1, lng0, lng1):
+    pts = [(lat0, lng0), (lat0, lng1), (lat1, lng1), (lat1, lng0)]
+    return ", ".join(f"{float(la)!r}:{float(ln)!r}" for la, ln in pts)
+
+
+def q_boolean_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 pair form (operators/booleanops.boolean_pairs): boolean ops over
+    TABLES of shapes via the covering candidate join + executor-side pair
+    kernel. Gated by probe-grid membership of every result polygon:
+    non-candidate pairs default to the op's identity (empty for
+    intersection, A for difference), so the row set covers the full
+    a x b cross regardless of pruning."""
+    from .operators import booleanops as bpo
+
+    # tiny fixture tables: coalesce(1) so the covering/pair mapInPandas
+    # stages pay one Python worker, not shuffle.partitions near-empty ones
+    sa = spark.createDataFrame(
+        [(k, _bp_quad_text(*v)) for k, v in _BP_QUADS.items() if k.startswith("a")],
+        "shape_id string, text string",
+    ).coalesce(1)
+    sb = spark.createDataFrame(
+        [(k, _bp_quad_text(*v)) for k, v in _BP_QUADS.items() if k.startswith("b")],
+        "shape_id string, text string",
+    ).coalesce(1)
+    probes = F.broadcast(
+        spark.createDataFrame(_BP_PROBES, "probe_id int, plat double, plng double")
+    )
+    out = None
+    for op in ("intersection", "difference"):
+        bp = bpo.boolean_pairs(sa, sb, op)
+        allp = sa.select(F.col("shape_id").alias("a_id"), F.col("text").alias("a_text")).crossJoin(
+            sb.select(F.col("shape_id").alias("b_id"))
+        )
+        default = F.col("a_text") if op == "difference" else F.lit("")
+        res = allp.join(
+            bp.select("a_id", "b_id", "result"), ["a_id", "b_id"], "left"
+        ).select(
+            "a_id",
+            "b_id",
+            F.coalesce(F.col("result"), default).alias("result"),
+        ).coalesce(1)
+        rows = (
+            res.crossJoin(probes)
+            .select(
+                F.lit(op).alias("op"),
+                "a_id",
+                "b_id",
+                "probe_id",
+                F.when(F.col("result") == "", F.lit(False))
+                .otherwise(
+                    _bp_contains_text(F.col("result"), F.col("plat"), F.col("plng"))
+                )
+                .alias("inside"),
+            )
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+@pandas_udf(BooleanType())
+def _bp_contains_text(text: pd.Series, lat: pd.Series, lng: pd.Series) -> pd.Series:
+    from .operators.shapes import _parse_polygon
+
+    lat_r = np.radians(lat.to_numpy(np.float64))
+    lng_r = np.radians(lng.to_numpy(np.float64))
+    x, y, z = s2.latlng_to_xyz(lat_r, lng_r)
+    out = np.zeros(len(x), dtype=bool)
+    for t in pd.unique(text):
+        mask = (text == t).to_numpy()
+        if t == "":
+            continue
+        poly = _parse_polygon(t)
+        out[mask] = poly.contains_points(x[mask], y[mask], z[mask])
+    return pd.Series(out)
+
+
+def q_boolean_pairs_oracle() -> str:
+    edge_rows = []
+    for pid, q in _BP_QUADS.items():
+        poly = rg.Polygon([rg.Loop.from_latlng_degrees(
+            [(q[0], q[2]), (q[0], q[3]), (q[1], q[3]), (q[1], q[2])]
+        )])
+        edge_rows.append(_poly_edges_values(poly, pid))
+    edges = ",".join(edge_rows)
+    probe_vals = ", ".join(
+        f"({i}, CAST({la!r} AS DOUBLE), CAST({ln!r} AS DOUBLE))"
+        for i, la, ln in _BP_PROBES
+    )
+    return f"""
+    WITH probes(probe_id, lat, lng) AS (VALUES {probe_vals}),
+    p AS (SELECT probe_id, {_XYZ_SQL} FROM probes),
+    e(pid, ax, ay, az, bx, by, bz) AS (VALUES {edges}),
+    m AS (SELECT pid, probe_id,
+          bool_and((ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) > 0) AS inside
+          FROM p CROSS JOIN e GROUP BY pid, probe_id),
+    pairs(a_id, b_id) AS (VALUES ('a0','b0'), ('a0','b1'), ('a1','b0'), ('a1','b1'))
+    SELECT 'intersection' AS op, pairs.a_id, pairs.b_id, ma.probe_id,
+           (ma.inside AND mb.inside) AS inside
+    FROM pairs
+    JOIN m ma ON ma.pid = pairs.a_id
+    JOIN m mb ON mb.pid = pairs.b_id AND mb.probe_id = ma.probe_id
+    UNION ALL
+    SELECT 'difference' AS op, pairs.a_id, pairs.b_id, ma.probe_id,
+           (ma.inside AND NOT mb.inside) AS inside
+    FROM pairs
+    JOIN m ma ON ma.pid = pairs.a_id
+    JOIN m mb ON mb.pid = pairs.b_id AND mb.probe_id = ma.probe_id
+    """
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 with a VALUE oracle: per customer point, whether it is a vertex
     of its nation's spherical convex hull. The hull comes from the
@@ -1781,6 +1909,7 @@ def all_queries():
         "convex_hull": q_convex_hull,
         "pip_models": q_pip_models,
         "boolean_degenerate": q_boolean_degenerate,
+        "boolean_pairs": q_boolean_pairs,
         "buffered_region": q_buffered_region,
         "boolean_intersection": q_boolean_intersection,
         "boolean_difference": q_boolean_difference,
@@ -1834,6 +1963,7 @@ def all_oracles():
         "convex_hull": q_convex_hull_oracle(),
         "pip_models": q_pip_models_oracle(),
         "boolean_degenerate": q_boolean_degenerate_oracle(),
+        "boolean_pairs": q_boolean_pairs_oracle(),
         "covering_tokens": q_covering_tokens_oracle(),
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),
