@@ -217,29 +217,45 @@ class SnapBuilder:
         S2Builder.addEdgeCrossings). Pairs sharing a vertex or lying on one
         great circle contribute nothing here — shared vertices are already
         sites, and collinear-overlap endpoints reach the chains through the
-        vertex-near-edge snap."""
+        vertex-near-edge snap. The all-pairs four-sign test runs as chunked
+        sign_batch sweeps (vectorized; exact arithmetic only on the
+        escalation residue), so ~10^3-edge inputs (buffer offset curves)
+        stay fast."""
         n = len(A)
+        if n < 2:
+            return np.zeros((0, 3))
+        ii, jj = np.triu_indices(n, k=1)
         pts = []
-        for i in range(n):
-            a, b = A[i], B[i]
-            for j in range(i + 1, n):
-                c, d = A[j], B[j]
-                if (
-                    np.array_equal(a, c) or np.array_equal(a, d)
-                    or np.array_equal(b, c) or np.array_equal(b, d)
-                ):
-                    continue
-                if not predicates._arcs_cross_scalar(a, b, c, d):
-                    continue
+        chunk = 200_000
+        for lo in range(0, len(ii), chunk):
+            i = ii[lo : lo + chunk]
+            j = jj[lo : lo + chunk]
+            a, b, c, d = A[i], B[i], A[j], B[j]
+            shared = (
+                np.all(a == c, axis=1)
+                | np.all(a == d, axis=1)
+                | np.all(b == c, axis=1)
+                | np.all(b == d, axis=1)
+            )
+            acb = predicates.sign_batch(a, c, b)
+            bda = predicates.sign_batch(b, d, a)
+            cbd = predicates.sign_batch(c, b, d)
+            dac = predicates.sign_batch(d, a, c)
+            cross = (
+                (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0) & ~shared
+            )
+            for k in np.nonzero(cross)[0]:
                 # exclude same-great-circle (SoS classifies overlap as
                 # crossing, but there is no single intersection point)
                 if (
-                    predicates._exact_sign_one(a, b, c, perturb=False) == 0
-                    and predicates._exact_sign_one(a, b, d, perturb=False) == 0
+                    predicates._exact_sign_one(a[k], b[k], c[k], perturb=False) == 0
+                    and predicates._exact_sign_one(a[k], b[k], d[k], perturb=False) == 0
                 ):
                     continue
                 pts.append(
-                    ek.edge_intersection(a[None], b[None], c[None], d[None])[0]
+                    ek.edge_intersection(
+                        a[k][None], b[k][None], c[k][None], d[k][None]
+                    )[0]
                 )
         if not pts:
             return np.zeros((0, 3))

@@ -1153,6 +1153,42 @@ def q_boolean_pairs_oracle() -> str:
     """
 
 
+_BUFFER_GEO_RADIUS = float(np.radians(2.517))
+
+
+def q_buffer_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 gate: TRUE buffered geometry (kernel/bufferop offset curves +
+    winding resolution), not the covering approximation — orders points
+    are PIP-joined against the buffered polygon itself; the oracle is the
+    distance-threshold form (inside p0 OR within the radius of its
+    boundary), so membership checks the Minkowski boundary to the
+    tessellation tolerance (1e-6 rad << the synthetic grid spacing)."""
+    from .kernel import bufferop
+
+    buf = bufferop.buffer_polygon(
+        pip_polygons()["p0"], _BUFFER_GEO_RADIUS, max_error=1e-6
+    )
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return pip.pip_join(spark, pts, {"p0b": buf}, point_id="k").select(
+        F.col("point_id").alias("k")
+    )
+
+
+def q_buffer_geometry_oracle() -> str:
+    threshold = float(sphere.chord2_from_angle(_BUFFER_GEO_RADIUS))
+    p0_expr = dict(_edge_distance_sql("x", "y", "z"))["p0"]
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    e(pid, ax, ay, az, bx, by, bz) AS (VALUES {_quad_edges_sql_values()}),
+    dets AS (SELECT p.k,
+        (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+        FROM p CROSS JOIN e WHERE e.pid = 'p0'),
+    inside AS (SELECT k FROM dets GROUP BY k HAVING bool_and(det > 0)),
+    near AS (SELECT k FROM p WHERE ({p0_expr}) <= {threshold!r})
+    SELECT k FROM inside UNION SELECT k FROM near
+    """
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 with a VALUE oracle: per customer point, whether it is a vertex
     of its nation's spherical convex hull. The hull comes from the
@@ -1910,6 +1946,7 @@ def all_queries():
         "pip_models": q_pip_models,
         "boolean_degenerate": q_boolean_degenerate,
         "boolean_pairs": q_boolean_pairs,
+        "buffer_geometry": q_buffer_geometry,
         "buffered_region": q_buffered_region,
         "boolean_intersection": q_boolean_intersection,
         "boolean_difference": q_boolean_difference,
@@ -1964,6 +2001,7 @@ def all_oracles():
         "pip_models": q_pip_models_oracle(),
         "boolean_degenerate": q_boolean_degenerate_oracle(),
         "boolean_pairs": q_boolean_pairs_oracle(),
+        "buffer_geometry": q_buffer_geometry_oracle(),
         "covering_tokens": q_covering_tokens_oracle(),
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),
