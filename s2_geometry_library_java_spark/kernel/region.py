@@ -406,51 +406,92 @@ class RegionUnion:
 
 class ShapeIndexRegion:
     """C7 S2ShapeIndexRegion: region view whose cell tests come from the
-    shape INDEX instead of scanning every edge — the covering accelerator
-    for large geometry. may_intersect(cell) = the cell's leaf range
-    overlaps an index cell (boundary nearby, conservative) else decided
-    exactly by the center parity; contains(cell) = no boundary overlap and
-    center inside."""
+    shape INDEX instead of scanning every edge. The build threads the
+    interior tracker (S2ShapeIndex.java:643-742 focus walk, here carried
+    top-down through the convex cell recursion), so the index stores
+    edgeless INTERIOR cells covering the whole interior; both cell tests
+    are then pure sorted-range lookups — O(log cells), no edge scan, no
+    parity call:
+
+    * may_intersect(cell): its leaf range overlaps a boundary (edge) cell
+      or an interior cell;
+    * contains(cell): no boundary overlap, and the interior cells tile the
+      cell's entire leaf range.
+    """
 
     def __init__(self, polygon: "Polygon", max_edges_per_cell: int = 10,
                  max_level: int = 16):
         from . import shapeindex as si
 
         self.polygon = polygon
-        rows = si.build_shape_index(
+
+        def contains_point(p):
+            return bool(polygon.contains_points(p[0:1], p[1:2], p[2:3])[0])
+
+        rows = si.build_shape_index_interior(
             [lp.vertices for lp in polygon.loops],
+            contains_point,
             max_edges_per_cell=max_edges_per_cell,
             max_level=max_level,
         )
-        ids = np.array([r[0] for r in rows], dtype=np.uint64)
         bias = np.uint64(1) << np.uint64(63)
-        self._lo = np.sort((ci.range_min(ids) ^ bias).view(np.int64))
-        self._hi = np.sort((ci.range_max(ids) ^ bias).view(np.int64))
 
-    def _boundary_overlaps(self, cell) -> bool:
+        def ranges(ids):
+            ids = np.array(ids, dtype=np.uint64)
+            lo = np.sort((ci.range_min(ids) ^ bias).view(np.int64))
+            hi = np.sort((ci.range_max(ids) ^ bias).view(np.int64))
+            return lo, hi
+
+        self._lo, self._hi = ranges([r[0] for r in rows if len(r[1])])
+        self._ilo, self._ihi = ranges(
+            [r[0] for r in rows if not len(r[1]) and r[2]]
+        )
+
+    @staticmethod
+    def _query_range(cell) -> tuple[int, int]:
         bias = np.uint64(1) << np.uint64(63)
         u = np.uint64(cell.id)
         lo = int((np.atleast_1d(ci.range_min(u)) ^ bias).view(np.int64)[0])
         hi = int((np.atleast_1d(ci.range_max(u)) ^ bias).view(np.int64)[0])
-        # overlap iff some index range [lo_k, hi_k] intersects [lo, hi]:
-        # first index cell with hi_k >= lo must start at lo_k <= hi.
-        # ranges are disjoint and sorted, so lo and hi arrays sort together.
-        k = int(np.searchsorted(self._hi, lo))
-        return k < len(self._lo) and self._lo[k] <= hi
+        return lo, hi
 
-    def _center_inside(self, cell) -> bool:
-        v = cell.vertices.mean(axis=0)
-        v = v / np.sqrt(v @ v)
-        return bool(self.polygon.contains_points(v[0:1], v[1:2], v[2:3])[0])
+    @staticmethod
+    def _overlaps(lo, hi, los, his) -> bool:
+        # ranges are disjoint and sorted, so lo and hi arrays sort together:
+        # the first range with hi_k >= lo must start at lo_k <= hi.
+        k = int(np.searchsorted(his, lo))
+        return k < len(los) and los[k] <= hi
+
+    def _boundary_overlaps(self, cell) -> bool:
+        lo, hi = self._query_range(cell)
+        return self._overlaps(lo, hi, self._lo, self._hi)
+
+    def _interior_covers(self, lo, hi) -> bool:
+        """True iff the interior ranges tile [lo, hi] without gaps."""
+        k = int(np.searchsorted(self._ihi, lo))
+        cursor = lo
+        while k < len(self._ilo) and self._ilo[k] <= cursor:
+            cursor = self._ihi[k]
+            if cursor >= hi:
+                return True
+            cursor += 1
+            k += 1
+        return False
 
     def contains_points(self, x, y, z) -> np.ndarray:
         return self.polygon.contains_points(x, y, z)
 
     def contains_cell(self, cell) -> bool:
-        return not self._boundary_overlaps(cell) and self._center_inside(cell)
+        lo, hi = self._query_range(cell)
+        if self._overlaps(lo, hi, self._lo, self._hi):
+            return False
+        return self._interior_covers(lo, hi)
 
     def may_intersect_cell(self, cell) -> bool:
-        return self._boundary_overlaps(cell) or self._center_inside(cell)
+        lo, hi = self._query_range(cell)
+        return self._overlaps(lo, hi, self._lo, self._hi) or self._overlaps(
+            lo, hi, self._ilo, self._ihi
+        )
 
 
 @dataclass

@@ -64,6 +64,11 @@ def _edges_intersect_cell(cell: Cell, a: np.ndarray, b: np.ndarray,
     return out
 
 
+def _cell_center(cid: int) -> np.ndarray:
+    x, y, z = ci.cell_id_to_xyz(np.uint64(cid))
+    return np.array([float(x), float(y), float(z)])
+
+
 def build_shape_index(
     loops: list[np.ndarray],
     max_edges_per_cell: int = 10,
@@ -76,33 +81,82 @@ def build_shape_index(
     max_level. min_level forces subdivision down to a uniform floor so a
     consumer can equi-join on parent(cell, min_level) (the closest-edge
     ring probe)."""
+    return [
+        (cid, edges)
+        for cid, edges, _ in _build(
+            loops, max_edges_per_cell, max_level, min_level, None
+        )
+        if len(edges)
+    ]
+
+
+def build_shape_index_interior(
+    loops: list[np.ndarray],
+    contains_point,
+    max_edges_per_cell: int = 10,
+    max_level: int = 20,
+    min_level: int = 0,
+) -> list[tuple[int, np.ndarray, bool]]:
+    """Index build WITH the interior tracker (S2ShapeIndex.java:643-742):
+    rows (cell_id, edge_ids, center_inside) including edgeless INTERIOR
+    cells (center_inside=True, no edges) at the level subdivision stopped,
+    so the emitted cells cover the shape's entire interior plus boundary
+    and containment queries never rescan edges. ``contains_point`` is the
+    shape's exact membership callable, invoked exactly 6 times (face
+    centers); every deeper center status is carried down the recursion by
+    counting crossings of the parent-center -> child-center geodesic
+    against the PARENT's candidate edges — sound because S2 cells are
+    intersections of four half-spaces (geodesically convex), so the step
+    segment never leaves the parent cell."""
+    return _build(loops, max_edges_per_cell, max_level, min_level, contains_point)
+
+
+def _build(loops, max_edges_per_cell, max_level, min_level, contains_point):
     va = np.concatenate([lp for lp in loops], axis=0)
     vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
     leaf_a = ci.xyz_to_cell_id(va[:, 0], va[:, 1], va[:, 2])
     leaf_b = ci.xyz_to_cell_id(vb[:, 0], vb[:, 1], vb[:, 2])
     all_ids = np.arange(len(va), dtype=np.int64)
-    out: list[tuple[int, np.ndarray]] = []
+    track = contains_point is not None
+    out: list[tuple[int, np.ndarray, bool]] = []
     # six face cells (id = face << 61 | 1 << 60)
-    stack = [
-        (int((np.uint64(f) << np.uint64(61)) | (np.uint64(1) << np.uint64(60))), all_ids)
-        for f in range(6)
-    ]
+    stack = []
+    for f in range(6):
+        cid = int((np.uint64(f) << np.uint64(61)) | (np.uint64(1) << np.uint64(60)))
+        inside = False
+        if track:
+            c = _cell_center(cid)
+            inside = bool(contains_point(c))
+        stack.append((cid, all_ids, inside))
     while stack:
-        cid, cand = stack.pop()
+        cid, cand, inside = stack.pop()
         cell = Cell(cid)
         mask = _edges_intersect_cell(
             cell, va[cand], vb[cand], leaf_a[cand], leaf_b[cand]
         )
         hits = cand[mask]
         if len(hits) == 0:
+            if track and inside:
+                out.append((cid, hits, True))
             continue
         if (
             len(hits) <= max_edges_per_cell and cell.level >= min_level
         ) or cell.level >= max_level:
-            out.append((cid, hits))
+            out.append((cid, hits, inside))
             continue
         u = np.uint64(cid)
+        pc = _cell_center(cid) if track else None
         for k in range(4):
-            stack.append((int(np.atleast_1d(ci.child(u, k))[0]), hits))
+            child = int(np.atleast_1d(ci.child(u, k))[0])
+            child_inside = False
+            if track:
+                cc = _cell_center(child)
+                crossings = int(
+                    predicates.count_crossings_edges(
+                        pc, cc[None], va[hits], vb[hits]
+                    )[0]
+                )
+                child_inside = bool(inside ^ (crossings & 1))
+            stack.append((child, hits, child_inside))
     out.sort(key=lambda r: int(np.uint64(r[0]) ^ (np.uint64(1) << np.uint64(63))))
     return out
