@@ -42,6 +42,10 @@ HEADLINE = [
     "doc_stats",
     "pricing_summary",
     "nation_revenue",
+    # round 3 additions
+    "convex_hull",
+    "buffer_geometry",
+    "boolean_pairs",
 ]
 
 

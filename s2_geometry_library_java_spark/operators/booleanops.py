@@ -83,22 +83,28 @@ def candidate_pairs(
 
 
 _PAIR_SCHEMA = (
-    "a_id string, b_id string, result string, n_loops int, n_vertices int"
+    "a_id string, b_id string, op string, result string, "
+    "n_loops int, n_vertices int"
 )
 
 
 def boolean_pairs(
     shapes_a: DataFrame,
     shapes_b: DataFrame,
-    op: str,
+    op: str | list[str],
     max_cells: int = 8,
 ) -> DataFrame:
-    """(a_id, b_id, result_text, n_loops, n_vertices) for every
+    """(a_id, b_id, op, result_text, n_loops, n_vertices) for every
     covering-intersecting pair; result is the kernel boolean_op polygon
     (snap-rounding path included, so shared-vertex/edge pairs are fine)
-    serialized as S2TextFormat. Runs the pair kernel on executors."""
+    serialized as S2TextFormat. Runs the pair kernel on executors.
+
+    ``op`` may be a list: all ops are computed in ONE pass over the
+    candidate pairs (one mapInPandas stage total — Python stages carry a
+    fixed scheduling cost, so multi-op callers should batch)."""
     from ..kernel import booleanop as bo
 
+    ops = [op] if isinstance(op, str) else list(op)
     cand = candidate_pairs(shapes_a, shapes_b, max_cells=max_cells)
     ta = F.broadcast(
         shapes_a.select(F.col("shape_id").alias("a_id"), F.col("text").alias("a_text"))
@@ -110,16 +116,24 @@ def boolean_pairs(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("a_id", "b_id", "result", "n_loops", "n_vertices")}
+            out = {
+                k: []
+                for k in ("a_id", "b_id", "op", "result", "n_loops", "n_vertices")
+            }
             for a_id, b_id, a_text, b_text in zip(
                 pdf["a_id"], pdf["b_id"], pdf["a_text"], pdf["b_text"]
             ):
-                res = bo.boolean_op(_parse_polygon(a_text), _parse_polygon(b_text), op)
-                out["a_id"].append(a_id)
-                out["b_id"].append(b_id)
-                out["result"].append(res.to_text())
-                out["n_loops"].append(len(res.loops))
-                out["n_vertices"].append(sum(len(lp.vertices) for lp in res.loops))
+                pa, pb = _parse_polygon(a_text), _parse_polygon(b_text)
+                for o in ops:
+                    res = bo.boolean_op(pa, pb, o)
+                    out["a_id"].append(a_id)
+                    out["b_id"].append(b_id)
+                    out["op"].append(o)
+                    out["result"].append(res.to_text())
+                    out["n_loops"].append(len(res.loops))
+                    out["n_vertices"].append(
+                        sum(len(lp.vertices) for lp in res.loops)
+                    )
             yield pd.DataFrame(out)
 
     return pairs.mapInPandas(gen, _PAIR_SCHEMA)

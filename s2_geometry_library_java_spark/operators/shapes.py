@@ -163,6 +163,7 @@ def pip_join_indexed(
     lng: str = "lng",
     max_cells: int = 8,
     leaf_col: str | None = None,
+    small_shapes: bool = True,
 ) -> DataFrame:
     """(point_id, polygon_id) PIP join with EXECUTOR-side polygon prep.
 
@@ -171,17 +172,43 @@ def pip_join_indexed(
     covering table is computed distributed from the shapes table and the
     exact filter reads geometry from a joined column — no driver loop, no
     closure capture; scales to millions of polygons.
+
+    ``small_shapes`` (default): the covering rows (<= max_cells per shape)
+    are collected once and re-shipped as a local broadcast table — one
+    tiny Spark job instead of persist + distinct-levels probe +
+    InMemoryTableScan rematerialization inside the main job (~2x wall on
+    the 6-polygon gate). Set False for very large shape tables (> ~10^5
+    shapes), where the covering stays distributed/persisted.
     """
-    # persist the covering rows: the distinct-levels probe and the
-    # broadcast materialization would otherwise run the coverer twice
-    cov_rows = coverings_df(shapes, max_cells=max_cells).persist()
-    levels = [
-        int(r["lvl"])
-        for r in cov_rows.select(cc.level("cell_id").alias("lvl")).distinct().collect()
-    ]
-    cov_b = F.broadcast(
-        cov_rows.withColumnRenamed("shape_id", "polygon_id")
-    )
+    if small_shapes:
+        import numpy as _np
+
+        from ..kernel import cellid as _ci
+
+        collected = coverings_df(shapes, max_cells=max_cells).collect()
+        levels = sorted(
+            {
+                int(_ci.level(_np.uint64(_np.int64(r["cell_id"]).view(_np.uint64))))
+                for r in collected
+            }
+        )
+        cov_b = F.broadcast(
+            spark.createDataFrame(
+                [(r["shape_id"], r["cell_id"], r["is_interior"]) for r in collected],
+                "polygon_id string, cell_id long, is_interior boolean",
+            )
+        )
+    else:
+        # persist the covering rows: the distinct-levels probe and the
+        # broadcast materialization would otherwise run the coverer twice
+        cov_rows = coverings_df(shapes, max_cells=max_cells).persist()
+        levels = [
+            int(r["lvl"])
+            for r in cov_rows.select(
+                cc.level("cell_id").alias("lvl")
+            ).distinct().collect()
+        ]
+        cov_b = F.broadcast(cov_rows.withColumnRenamed("shape_id", "polygon_id"))
     geom_b = F.broadcast(
         shapes.select(F.col("shape_id").alias("polygon_id"), F.col("text"))
     )

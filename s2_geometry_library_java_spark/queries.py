@@ -1070,36 +1070,38 @@ def q_boolean_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = F.broadcast(
         spark.createDataFrame(_BP_PROBES, "probe_id int, plat double, plng double")
     )
-    out = None
-    for op in ("intersection", "difference"):
-        bp = bpo.boolean_pairs(sa, sb, op)
-        allp = sa.select(F.col("shape_id").alias("a_id"), F.col("text").alias("a_text")).crossJoin(
-            sb.select(F.col("shape_id").alias("b_id"))
+    # both ops in ONE pair-kernel pass and ONE probe-membership pass:
+    # Python stages carry a fixed scheduling cost (several seconds at
+    # local[32] on this host), so the query batches them
+    ops = ["intersection", "difference"]
+    bp = bpo.boolean_pairs(sa, sb, ops)
+    allp = (
+        sa.select(F.col("shape_id").alias("a_id"), F.col("text").alias("a_text"))
+        .crossJoin(sb.select(F.col("shape_id").alias("b_id")))
+        .crossJoin(spark.createDataFrame([(o,) for o in ops], "op string"))
+    )
+    default = F.when(F.col("op") == "difference", F.col("a_text")).otherwise(F.lit(""))
+    res = (
+        allp.join(
+            bp.select("a_id", "b_id", "op", "result"), ["a_id", "b_id", "op"], "left"
         )
-        default = F.col("a_text") if op == "difference" else F.lit("")
-        res = allp.join(
-            bp.select("a_id", "b_id", "result"), ["a_id", "b_id"], "left"
-        ).select(
+        .select(
+            "op",
             "a_id",
             "b_id",
             F.coalesce(F.col("result"), default).alias("result"),
-        ).coalesce(1)
-        rows = (
-            res.crossJoin(probes)
-            .select(
-                F.lit(op).alias("op"),
-                "a_id",
-                "b_id",
-                "probe_id",
-                F.when(F.col("result") == "", F.lit(False))
-                .otherwise(
-                    _bp_contains_text(F.col("result"), F.col("plat"), F.col("plng"))
-                )
-                .alias("inside"),
-            )
         )
-        out = rows if out is None else out.unionByName(rows)
-    return out
+        .coalesce(1)
+    )
+    return res.crossJoin(probes).select(
+        "op",
+        "a_id",
+        "b_id",
+        "probe_id",
+        F.when(F.col("result") == "", F.lit(False))
+        .otherwise(_bp_contains_text(F.col("result"), F.col("plat"), F.col("plng")))
+        .alias("inside"),
+    )
 
 
 @pandas_udf(BooleanType())
@@ -1162,11 +1164,11 @@ def q_buffer_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     are PIP-joined against the buffered polygon itself; the oracle is the
     distance-threshold form (inside p0 OR within the radius of its
     boundary), so membership checks the Minkowski boundary to the
-    tessellation tolerance (1e-6 rad << the synthetic grid spacing)."""
+    tessellation tolerance (3e-6 rad << the synthetic grid spacing)."""
     from .kernel import bufferop
 
     buf = bufferop.buffer_polygon(
-        pip_polygons()["p0"], _BUFFER_GEO_RADIUS, max_error=1e-6
+        pip_polygons()["p0"], _BUFFER_GEO_RADIUS, max_error=3e-6
     )
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
     return pip.pip_join(spark, pts, {"p0b": buf}, point_id="k").select(
