@@ -220,21 +220,91 @@ def directed_hausdorff(
     The big point table is scanned once, joins a broadcast vertex sample,
     and never shuffles; the full edge set is only read against the tiny
     candidate band."""
-    from pyspark.sql.types import DoubleType
-
-    e_all = edges.dropDuplicates(["shape_id", "edge_id"])
     p = udfs.latlng_deg_to_xyz(F.col(lat), F.col(lng))
     pts = (
         points.withColumn("_p", p)
         .select(
             F.col(point_id).alias("point_id"),
+            F.lit("_").alias("a_shape"),
             F.col("_p.x").alias("px"),
             F.col("_p.y").alias("py"),
             F.col("_p.z").alias("pz"),
         )
     )
-    # per-shape sampling gap: edges in edge_id order, summed arc length of
-    # each run of `sample_step` edges; gap = max run length / 2
+    return _directed_hausdorff_xyz(pts, edges, sample_step).select(
+        "shape_id", "worst_point_id", "chord2"
+    )
+
+
+def directed_hausdorff_index(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    sample_step: int = 8,
+    refine: int = 4,
+) -> DataFrame:
+    """Index <-> index directed Hausdorff (S2HausdorffDistanceQuery.java:28+
+    over S2BestEdgesQueryBase): per (a_shape, b_shape) pair, the point ON
+    A's boundary farthest from B's boundary. The point set fed to the
+    pruned point->boundary search is A's vertex set DENSIFIED ``refine``x
+    (each A edge contributes its start plus interior slerp samples),
+    because the true directed Hausdorff supremum can fall in an edge
+    interior; the densification error is bounded by half the largest
+    refined sub-edge length, reported per a_shape as ``max_error_rad``.
+
+    Output: (a_shape, b_shape, worst_point_id, chord2, max_error_rad) with
+    worst_point_id = a_edge * refine + sample index. Fully vectorized over
+    all (a_shape, b_shape) pairs — no driver loop."""
+    e_a = edges_a.dropDuplicates(["shape_id", "edge_id"]).select(
+        F.col("shape_id").alias("a_shape"),
+        "edge_id",
+        "ax", "ay", "az", "bx", "by", "bz",
+    )
+    t = F.explode(F.array(*[F.lit(k / refine) for k in range(refine)])).alias("t")
+    samples = e_a.select(
+        "a_shape", "edge_id", "ax", "ay", "az", "bx", "by", "bz", t
+    )
+    chord2_ab = (
+        (F.col("ax") - F.col("bx")) ** 2
+        + (F.col("ay") - F.col("by")) ** 2
+        + (F.col("az") - F.col("bz")) ** 2
+    )
+    ang = F.lit(2.0) * F.asin(F.lit(0.5) * F.sqrt(chord2_ab))
+    sa_ = F.sin((F.lit(1.0) - F.col("t")) * ang) / F.sin(ang)
+    sb_ = F.sin(F.col("t") * ang) / F.sin(ang)
+    px = F.when(F.col("t") > 0, sa_ * F.col("ax") + sb_ * F.col("bx")).otherwise(F.col("ax"))
+    py = F.when(F.col("t") > 0, sa_ * F.col("ay") + sb_ * F.col("by")).otherwise(F.col("ay"))
+    pz = F.when(F.col("t") > 0, sa_ * F.col("az") + sb_ * F.col("bz")).otherwise(F.col("az"))
+    nrm = F.sqrt(px * px + py * py + pz * pz)
+    pts = samples.select(
+        "a_shape",
+        (F.col("edge_id").cast("long") * refine
+         + (F.col("t") * refine).cast("long")).alias("point_id"),
+        (px / nrm).alias("px"),
+        (py / nrm).alias("py"),
+        (pz / nrm).alias("pz"),
+        (ang / (2 * refine)).alias("half_gap"),
+    )
+    err = pts.groupBy("a_shape").agg(F.max("half_gap").alias("max_error_rad"))
+    out = _directed_hausdorff_xyz(
+        pts.select("a_shape", "point_id", "px", "py", "pz"), edges_b, sample_step
+    )
+    return out.join(F.broadcast(err), "a_shape").select(
+        "a_shape",
+        F.col("shape_id").alias("b_shape"),
+        "worst_point_id",
+        "chord2",
+        "max_error_rad",
+    )
+
+
+def _directed_hausdorff_xyz(
+    points: DataFrame, edges: DataFrame, sample_step: int = 8
+) -> DataFrame:
+    """Pruned directed-Hausdorff core over unit-xyz points carrying an
+    ``a_shape`` group column: every (a_shape, shape_id) pair gets its own
+    bound/prune/exact phases in one set of joins (keys are composite)."""
+    e_all = edges.dropDuplicates(["shape_id", "edge_id"])
+    pts = points.select("a_shape", "point_id", "px", "py", "pz")
     elen = F.lit(2.0) * F.asin(
         F.lit(0.5)
         * F.sqrt(
@@ -266,19 +336,20 @@ def directed_hausdorff(
     )
     ub = (
         pts.crossJoin(samples)
-        .groupBy("shape_id", "point_id")
+        .groupBy("a_shape", "shape_id", "point_id")
         .agg(F.min(vchord2).alias("u2"))
         .withColumn("u_ang", F.lit(2.0) * F.asin(F.lit(0.5) * F.sqrt(F.col("u2"))))
     )
-    wmax = Window.partitionBy("shape_id")
+    wmax = Window.partitionBy("a_shape", "shape_id")
     cand = (
         ub.join(F.broadcast(runs), "shape_id")
         .withColumn("u_max", F.max("u_ang").over(wmax))
         .where(F.col("u_ang") >= F.col("u_max") - F.col("gap"))
-        .select("shape_id", "point_id")
+        .select("a_shape", "shape_id", "point_id")
     )
-    cpts = F.broadcast(cand.join(pts, "point_id"))
+    cpts = F.broadcast(cand.join(pts, ["a_shape", "point_id"]))
     exact = cpts.join(e_all, "shape_id").select(
+        "a_shape",
         "shape_id",
         "point_id",
         edge_min_chord2_cols(
@@ -287,14 +358,17 @@ def directed_hausdorff(
             F.col("bx"), F.col("by"), F.col("bz"),
         ).alias("chord2"),
     )
-    per_point = exact.groupBy("shape_id", "point_id").agg(
+    per_point = exact.groupBy("a_shape", "shape_id", "point_id").agg(
         F.min("chord2").alias("dmin")
     )
-    w = Window.partitionBy("shape_id").orderBy(F.desc("dmin"), F.asc("point_id"))
+    w = Window.partitionBy("a_shape", "shape_id").orderBy(
+        F.desc("dmin"), F.asc("point_id")
+    )
     return (
         per_point.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
+            "a_shape",
             "shape_id",
             F.col("point_id").alias("worst_point_id"),
             F.col("dmin").alias("chord2"),

@@ -241,3 +241,41 @@ def test_hausdorff_pruned_equals_brute(spark):
     assert len(got) == len(want) == 1
     assert got[0]["worst_point_id"] == want[0]["worst_point_id"]
     assert got[0]["chord2"] == want[0]["chord2"]
+
+
+def test_hausdorff_index_to_index(spark):
+    """Index<->index directed Hausdorff: witness within the reported
+    densification error of a dense numpy brute answer."""
+    from s2_geometry_library_java_spark.kernel import edges as ekk
+    from s2_geometry_library_java_spark.operators import edgequeries
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    sa = spark.createDataFrame(
+        [("A", "0.0:0.0, 0.0:10.0, 10.0:10.0, 10.0:0.0")],
+        "shape_id string, text string",
+    )
+    sb = spark.createDataFrame(
+        [("B", "2.0:2.0, 2.0:8.0, 8.0:8.0, 8.0:2.0")],
+        "shape_id string, text string",
+    )
+    ia = shape_ops.shape_index_df(sa)
+    ib = shape_ops.shape_index_df(sb)
+    out = edgequeries.directed_hausdorff_index(ia, ib, refine=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["a_shape"] == "A" and r["b_shape"] == "B"
+    got_ang = 2 * np.arcsin(0.5 * np.sqrt(r["chord2"]))
+    # dense numpy truth: max over dense A-boundary samples of min distance
+    # to B's boundary
+    va = rg.Polygon.from_text("0.0:0.0, 0.0:10.0, 10.0:10.0, 10.0:0.0").loops[0].vertices
+    vb = rg.Polygon.from_text("2.0:2.0, 2.0:8.0, 8.0:8.0, 8.0:2.0").loops[0].vertices
+    dense = []
+    for k in range(4):
+        a, b = va[k], va[(k + 1) % 4]
+        for t in np.linspace(0, 1, 400, endpoint=False):
+            p = (1 - t) * a + t * b
+            dense.append(p / np.linalg.norm(p))
+    dense = np.asarray(dense)
+    d2 = ekk.min_chord2_points_to_chain(dense, vb, np.roll(vb, -1, axis=0))
+    want_ang = float(2 * np.arcsin(0.5 * np.sqrt(d2.max())))
+    assert abs(got_ang - want_ang) <= r["max_error_rad"] + 1e-6
