@@ -38,14 +38,21 @@ def _rotate_about(axis: np.ndarray, v: np.ndarray, ang: np.ndarray) -> np.ndarra
     return v * np.cos(ang) + kxv * np.sin(ang) + k * kdv * (1 - np.cos(ang))
 
 
-def _offset_loop(vertices: np.ndarray, radius: float, max_error: float) -> np.ndarray:
-    """Tessellated offset curve at distance ``radius`` on the RIGHT of the
-    directed boundary (the exterior of a CCW shell), with round joins at
-    left-turn (convex) vertices. Sample spacing keeps the sagitta of each
-    small-circle arc under max_error."""
+def _offset_loop(
+    vertices: np.ndarray, radius: float, max_error: float, outward: bool = True
+) -> np.ndarray:
+    """Tessellated offset curve at distance ``radius`` beside the directed
+    boundary — on the RIGHT when ``outward`` (the exterior of a CCW
+    shell, growth) or on the LEFT (erosion). Round joins appear at the
+    vertices where the two offset pieces leave a gap (left turns when
+    outward, right turns when inward); at the opposite turns the pieces
+    overshoot and cross, and the winding resolution cancels the spur.
+    Sample spacing keeps the sagitta of each small-circle arc under
+    max_error."""
     v = np.asarray(vertices, dtype=np.float64)
     n = len(v)
     cr, sr = float(np.cos(radius)), float(np.sin(radius))
+    side = -1.0 if outward else 1.0  # multiplier on the left normal
     # max angular step so the chord-vs-arc sagitta stays under max_error
     step = 2.0 * np.sqrt(2.0 * max_error / max(sr, max_error))
     out = []
@@ -53,7 +60,6 @@ def _offset_loop(vertices: np.ndarray, radius: float, max_error: float) -> np.nd
         a, b, c = v[i], v[(i + 1) % n], v[(i + 2) % n]
         nrm = np.cross(a, b)
         nrm = nrm / np.linalg.norm(nrm)  # left normal of a->b
-        # edge offset: rotate each geodesic sample toward -nrm by radius
         length = float(np.arccos(np.clip(a @ b, -1.0, 1.0)))
         k = max(1, int(np.ceil(length / step)))
         t = np.linspace(0.0, 1.0, k + 1)
@@ -61,18 +67,18 @@ def _offset_loop(vertices: np.ndarray, radius: float, max_error: float) -> np.nd
         st = np.sin(t * length)[:, None]
         e = (sl * a[None, :] + st * b[None, :]) / np.sin(length)
         e = e / np.linalg.norm(e, axis=1, keepdims=True)
-        out.append(cr * e - sr * nrm[None, :])
-        # round join at b between this edge's offset end and the next
-        # edge's offset start (convex/left turns only: reflex turns make
-        # the offsets cross and the winding op erases the excursion)
+        out.append(cr * e + sr * side * nrm[None, :])
         nrm2 = np.cross(b, c)
         nrm2 = nrm2 / np.linalg.norm(nrm2)
-        # sweep angle between the two outward directions around axis b
-        d1, d2 = -nrm, -nrm2
-        cosang = float(np.clip(d1 @ d2, -1.0, 1.0))
-        sweep = float(np.arccos(cosang))
-        if sweep > 1e-15 and float(np.cross(d1, d2) @ b) > 0:
-            kk = max(1, int(np.ceil(sweep / step)))
+        d1, d2 = side * nrm, side * nrm2
+        # signed sweep from d1 to d2 around axis b; a gap (needing an arc)
+        # opens on positive sweeps when outward, negative when inward
+        sweep = float(
+            np.arctan2(float(np.cross(d1, d2) @ b), float(np.clip(d1 @ d2, -1, 1)))
+        )
+        need_arc = sweep > 1e-15 if outward else sweep < -1e-15
+        if need_arc:
+            kk = max(1, int(np.ceil(abs(sweep) / step)))
             ang = np.linspace(0.0, sweep, kk + 1)[1:-1]
             if len(ang):
                 start = cr * b + sr * d1
@@ -109,20 +115,25 @@ def buffer_polygon(
     max_error: float = 1e-6,
     snap_radius: float = 1e-10,
 ) -> "rg.Polygon":
-    """Minkowski sum of the polygon with a disc of ``radius`` (radians),
-    boundary accurate to ``max_error``. The reference point for the
-    winding resolution is the antipode of the first shell's first vertex —
-    callers buffering near-hemispheric geometry should keep results under
-    a hemisphere (the engine-wide loop contract)."""
-    if radius <= 0:
-        raise NotImplementedError("negative/zero buffer radius not supported")
+    """Minkowski sum of the polygon with a disc of ``radius`` radians
+    (positive = growth), or the EROSION by |radius| (negative: the points
+    whose whole radius-disc lies inside — S2BufferOperation's negative
+    radii). Boundary accurate to ``max_error``. The reference point for
+    the winding resolution is the antipode of the first shell's first
+    vertex — callers buffering near-hemispheric geometry should keep
+    results under a hemisphere (the engine-wide loop contract)."""
+    if radius == 0:
+        raise ValueError("buffer radius must be nonzero")
     if not poly.loops:
         return rg.Polygon([])
+    outward = radius > 0
     depths = _loop_depths(poly)
     offset_loops = []
     for lp, depth in zip(poly.loops, depths):
         verts = lp.vertices if depth % 2 == 0 else lp.vertices[::-1]
-        offset_loops.append(_offset_loop(verts, radius, max_error))
+        offset_loops.append(
+            _offset_loop(verts, abs(radius), max_error, outward=outward)
+        )
     ref = -poly.loops[0].vertices[0]
     return windingop.winding_operation(
         offset_loops, ref, 0, "positive", snap_radius=snap_radius

@@ -65,3 +65,28 @@ def test_buffer_hole_shrinks_and_vanishes():
     # radius larger than the hole inradius: hole disappears entirely
     big = bf.buffer_polygon(p, 0.04, max_error=1e-6)
     assert len(big.loops) == 1
+
+
+def test_buffer_negative_radius_erosion():
+    """Negative radius erodes: survive iff inside AND farther than |r|
+    from the boundary; shapes thinner than 2|r| vanish."""
+    for pts in (
+        [(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)],
+        [(14.0, 24.0), (14.0, 36.0), (20.0, 36.0), (20.0, 30.0), (26.0, 30.0), (26.0, 24.0)],
+    ):
+        p = _poly(pts)
+        er = bf.buffer_polygon(p, -R, max_error=1e-6)
+        sam = _sample(seed=11)
+        got = er.contains_points(sam[:, 0], sam[:, 1], sam[:, 2])
+        d2 = np.full(len(sam), 4.0)
+        for lp in p.loops:
+            va = lp.vertices
+            d2 = np.minimum(
+                d2, ek.min_chord2_points_to_chain(sam, va, np.roll(va, -1, axis=0))
+            )
+        dang = 2 * np.arcsin(0.5 * np.sqrt(d2))
+        inside = p.contains_points(sam[:, 0], sam[:, 1], sam[:, 2])
+        want = inside & (dang > R)
+        assert int(((got != want) & (np.abs(dang - R) > BAND)).sum()) == 0
+    thin = _poly([(14.0, 24.0), (14.0, 36.0), (14.8, 36.0), (14.8, 24.0)])
+    assert len(bf.buffer_polygon(thin, -R, max_error=1e-6).loops) == 0
