@@ -341,6 +341,61 @@ class SnapBuilder:
 # ---------------------------------------------------------------------------
 
 
+def assemble_polylines(
+    sites: np.ndarray, edges: list[tuple[int, int]]
+) -> list[np.ndarray]:
+    """Chain directed (src, dst) site edges into maximal polylines (the
+    S2PolylineLayer surface): chains start at sites with more unused
+    outgoing than incoming edges (path endpoints), then at arbitrary
+    (smallest-id) sites for leftover cycles; within a chain the smallest
+    unused successor is taken, so output is deterministic."""
+    from collections import defaultdict
+
+    out_adj: dict[int, list[int]] = defaultdict(list)
+    in_deg: dict[int, int] = defaultdict(int)
+    out_deg: dict[int, int] = defaultdict(int)
+    for s, e in edges:
+        out_adj[s].append(e)
+        out_deg[s] += 1
+        in_deg[e] += 1
+    for dsts in out_adj.values():
+        dsts.sort()
+    used = set()
+    lines: list[np.ndarray] = []
+
+    def walk(start: int):
+        path = [start]
+        cur = start
+        while True:
+            nxt = None
+            for w in out_adj.get(cur, ()):  # smallest unused successor
+                if (cur, w) not in used:
+                    nxt = w
+                    break
+            if nxt is None:
+                break
+            used.add((cur, nxt))
+            path.append(nxt)
+            cur = nxt
+        return path
+
+    starts = sorted(
+        v for v in out_adj if out_deg[v] > in_deg.get(v, 0)
+    )
+    for v in starts:
+        while any((v, w) not in used for w in out_adj.get(v, ())):
+            path = walk(v)
+            if len(path) > 1:
+                lines.append(np.asarray([sites[p] for p in path]))
+    # leftover cycles
+    for s, e in sorted(edges):
+        if (s, e) not in used:
+            path = walk(s)
+            if len(path) > 1:
+                lines.append(np.asarray([sites[p] for p in path]))
+    return lines
+
+
 def assemble_loops(sites: np.ndarray, edges: list[tuple[int, int]]) -> list[np.ndarray]:
     """Chain directed (src, dst) site edges into closed loops. At each vertex
     the walk takes the first outgoing edge CLOCKWISE of the reversed

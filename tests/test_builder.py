@@ -154,3 +154,22 @@ def test_idempotent_when_already_snapped():
     got_set = {tuple(p) for p in got}
     want_set = {tuple(p) for p in snapped_sq}
     assert got_set == want_set
+
+
+def test_assemble_polylines():
+    """Polyline layer: snapped chains reassemble into maximal paths; a
+    shared mid-vertex splits nothing, a cycle comes back whole."""
+    b = bu.SnapBuilder(bu.IdentitySnapFunction(1e-12))
+    line = [_pt(0, k) for k in range(5)]
+    b.add_polyline(np.stack(line), layer=0)
+    g = b.build()
+    lines = bu.assemble_polylines(g.sites, g.layer_edges(0))
+    assert len(lines) == 1 and len(lines[0]) == 5
+    np.testing.assert_allclose(lines[0], np.stack(line), atol=1e-15)
+
+    b2 = bu.SnapBuilder(bu.IdentitySnapFunction(1e-12))
+    b2.add_loop(_loop([(0, 0), (0, 10), (10, 10), (10, 0)]), layer=0)
+    g2 = b2.build()
+    cyc = bu.assemble_polylines(g2.sites, g2.layer_edges(0))
+    assert len(cyc) == 1 and len(cyc[0]) == 5  # closed: first == last
+    np.testing.assert_allclose(cyc[0][0], cyc[0][-1], atol=1e-15)
