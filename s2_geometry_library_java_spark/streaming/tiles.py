@@ -57,6 +57,51 @@ def streaming_tile_counts(
     )
 
 
+def streaming_first_seen(
+    points: DataFrame, level: int = 8, entity: str = "entity_id"
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): emit
+    each (tile, entity) pair the FIRST time it appears in the stream —
+    streaming spatial dedup. State per tile = the set of entity ids seen;
+    Spark's state store shards by the tile key, so hot tiles parallelize
+    across partitions like every other tile-keyed op in the engine.
+
+    Rows inside a batch are processed in event_time order so "first" is
+    deterministic for same-batch duplicates. State grows with distinct
+    entities per tile; production pipelines bound it with a timeout
+    (GroupStateTimeout.EventTimeTimeout + a watermark) — kept NoTimeout
+    here because the engine's batch dedup covers compaction.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tiled = points.withColumn(
+        "tile",
+        cc.parent(udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30), level),
+    )
+
+    def fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_time", kind="mergesort")
+            for eid, t in zip(pdf[entity], pdf["event_time"]):
+                e = int(eid)
+                if e not in seen:
+                    seen.add(e)
+                    out.append((int(key[0]), e, t))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(out, columns=["tile", "entity_id", "event_time"])
+
+    return tiled.groupBy("tile").applyInPandasWithState(
+        fn,
+        "tile long, entity_id long, event_time timestamp",
+        "seen array<long>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(
     spark: SparkSession, level: int = 8, rows_per_second: int = 5000, name: str = "tile_counts"
 ):

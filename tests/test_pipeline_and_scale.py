@@ -297,3 +297,49 @@ def test_spatial_layout_partition_pruning(spark, tmp_path):
     n_parts_all = spark.read.parquet(path).select("part_cell").distinct().count()
     n_parts_pruned = pruned.select("part_cell").distinct().count()
     assert n_parts_pruned < n_parts_all
+
+
+def test_streaming_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState spatial dedup: across micro-batches, each
+    (tile, entity) surfaces exactly once — driven deterministically via a
+    file-source stream over pre-written parquet."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from s2_geometry_library_java_spark.streaming import tiles
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # 3 entities x repeated events in 2 locations; duplicates across files
+    for batch in range(2):
+        for k in range(30):
+            eid = k % 3
+            lat, lng = (10.0, 20.0) if k % 2 == 0 else (-40.0, 100.0)
+            rows.append((base + dt.timedelta(seconds=batch * 60 + k), eid, lat, lng))
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        rows, "event_time timestamp, entity_id long, lat double, lng double"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_time timestamp, entity_id long, lat double, lng double"
+        ).parquet(src)
+    )
+    out = tiles.streaming_first_seen(stream, level=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT tile, entity_id FROM t_first_seen").collect()
+    pairs = [(r["tile"], r["entity_id"]) for r in got]
+    assert len(pairs) == len(set(pairs))  # exactly-once per (tile, entity)
+    # 2 tiles x 3 entities... entity k%3 at k%2 location: entity 0 and 2
+    # hit the even location, 1 the odd one; expect 4 distinct pairs? derive:
+    want = {(k % 3, (10.0, 20.0) if k % 2 == 0 else (-40.0, 100.0)) for k in range(30)}
+    assert len(pairs) == len(want)
