@@ -1191,6 +1191,43 @@ def q_buffer_geometry_oracle() -> str:
     """
 
 
+def q_winding_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 constructive gate: the union of the two (shared-edge) degenerate
+    quads ASSEMBLED BY THE WINDING OPERATION (positive rule over both
+    directed boundaries), then membership-checked against the orders
+    points — the oracle is the same det-based union as
+    boolean_degenerate's union rows."""
+    from .kernel import windingop
+
+    a = _degen_poly(_BOOL_DEGEN_A)
+    b = _degen_poly(_BOOL_DEGEN_B)
+    ref = -a.loops[0].vertices[0]
+    result = windingop.winding_operation(
+        [a.loops[0].vertices, b.loops[0].vertices], ref, 0, "positive"
+    )
+    pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
+    return pip.pip_join(spark, pts, {"w": result}, point_id="k").select(
+        F.col("point_id").alias("k")
+    )
+
+
+def q_winding_union_oracle() -> str:
+    ea = _poly_edges_values(_degen_poly(_BOOL_DEGEN_A), "a")
+    eb = _poly_edges_values(_degen_poly(_BOOL_DEGEN_B), "b")
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
+    ea(pid, ax, ay, az, bx, by, bz) AS (VALUES {ea}),
+    eb(pid, ax, ay, az, bx, by, bz) AS (VALUES {eb}),
+    ia AS (SELECT k FROM (SELECT p.k,
+            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+            FROM p CROSS JOIN ea) GROUP BY k HAVING bool_and(det > 0)),
+    ib AS (SELECT k FROM (SELECT p.k,
+            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+            FROM p CROSS JOIN eb) GROUP BY k HAVING bool_and(det > 0))
+    SELECT k FROM ia UNION SELECT k FROM ib
+    """
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 with a VALUE oracle: per customer point, whether it is a vertex
     of its nation's spherical convex hull. The hull comes from the
@@ -1949,6 +1986,7 @@ def all_queries():
         "boolean_degenerate": q_boolean_degenerate,
         "boolean_pairs": q_boolean_pairs,
         "buffer_geometry": q_buffer_geometry,
+        "winding_union": q_winding_union,
         "buffered_region": q_buffered_region,
         "boolean_intersection": q_boolean_intersection,
         "boolean_difference": q_boolean_difference,
@@ -2004,6 +2042,7 @@ def all_oracles():
         "boolean_degenerate": q_boolean_degenerate_oracle(),
         "boolean_pairs": q_boolean_pairs_oracle(),
         "buffer_geometry": q_buffer_geometry_oracle(),
+        "winding_union": q_winding_union_oracle(),
         "covering_tokens": q_covering_tokens_oracle(),
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),
