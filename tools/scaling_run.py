@@ -123,11 +123,17 @@ def run_once(cpus: int, n_docs: int, engine: str = "jvm") -> dict:
     wall_pip_idx = time.time() - t1
 
     # closest-edge queries: spans near the polygons (the operator's design
-    # envelope is NEAR queries; global points belong to knn/brute paths)
+    # envelope is NEAR queries; global points belong to knn/brute paths),
+    # hash-sampled 1/8 so the phase stays minutes-scale at local[1] while
+    # still processing ~200k queries per 6M docs
     idx = shape_ops.shape_index_df(shapes_tbl, min_level=4)
-    queries_ce = spans.select(
-        F.concat_ws("_", "doc_id", "offset").alias("query_id"), "lat", "lng"
-    ).where((F.col("lat").between(-25, 55)) & (F.col("lng").between(-40, 80)))
+    queries_ce = (
+        spans.select(
+            F.concat_ws("_", "doc_id", "offset").alias("query_id"), "lat", "lng"
+        )
+        .where((F.col("lat").between(-25, 55)) & (F.col("lng").between(-40, 80)))
+        .where(F.pmod(F.xxhash64("query_id"), F.lit(8)) == 0)
+    )
     t2 = time.time()
     n_ce = closestedge.closest_edges(
         idx, queries_ce, k=1, level=4, query_id="query_id"
@@ -159,13 +165,14 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 6_000_000
     base = int(os.environ.get("SPARK_GRAFT_SCALE_BASE", "1"))
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    engine = os.environ.get("SPARK_GRAFT_SCALE_ENGINE", "arrow")
     # The sandbox host has noisy neighbors (identical runs vary 1.5-2x);
     # interleave trials across levels and keep the best per level.
     raw: dict[int, list[dict]] = {base: [], base * 4: []}
     for _ in range(trials):
         for cpus in (base, base * 4):
             out = subprocess.run(
-                [sys.executable, __file__, "--once", str(cpus), str(n_docs)],
+                [sys.executable, __file__, "--once", str(cpus), str(n_docs), engine],
                 capture_output=True,
                 text=True,
                 check=True,
