@@ -39,11 +39,53 @@ def _levels(cov: DataFrame) -> list[int]:
 
 
 def candidate_pairs(
-    shapes_a: DataFrame, shapes_b: DataFrame, max_cells: int = 8
+    shapes_a: DataFrame,
+    shapes_b: DataFrame,
+    max_cells: int = 8,
+    small_shapes: bool = True,
 ) -> DataFrame:
     """(a_id, b_id) for every pair whose coverings share sphere area —
     the covering-intersection join (a cell of one side contained in a
-    cell of the other, tested as ancestor equi-joins both ways)."""
+    cell of the other, tested as ancestor equi-joins both ways).
+
+    ``small_shapes`` (default): BOTH sides' coverings come from a single
+    distributed coverer pass over the union of the shape tables, collected
+    once, and the range-overlap pairing runs driver-side on the tiny cell
+    lists — one Python-stage job instead of two persisted covering jobs
+    plus level probes. Set False for very large shape tables, where the
+    ancestor equi-join form below stays fully distributed."""
+    if small_shapes:
+        import numpy as _np
+
+        from ..kernel import cellid as _ci
+
+        spark = shapes_a.sparkSession
+        tagged = shapes_a.select(
+            F.concat(F.lit("a|"), F.col("shape_id")).alias("shape_id"), "text"
+        ).unionByName(
+            shapes_b.select(
+                F.concat(F.lit("b|"), F.col("shape_id")).alias("shape_id"), "text"
+            )
+        )
+        rows = coverings_df(tagged.coalesce(1), max_cells=max_cells).collect()
+        sides: dict[str, list[tuple[str, int, int]]] = {"a": [], "b": []}
+        for r in rows:
+            side, sid = r["shape_id"].split("|", 1)
+            u = _np.uint64(_np.int64(r["cell_id"]).view(_np.uint64))
+            lo = int(_np.atleast_1d(_ci.range_min(u))[0])
+            hi = int(_np.atleast_1d(_ci.range_max(u))[0])
+            sides[side].append((sid, lo, hi))
+        pairs = sorted(
+            {
+                (aid, bid)
+                for aid, alo, ahi in sides["a"]
+                for bid, blo, bhi in sides["b"]
+                if alo <= bhi and blo <= ahi
+            }
+        )
+        return spark.createDataFrame(
+            pairs or [], "a_id string, b_id string"
+        )
     cov_a = coverings_df(shapes_a, max_cells=max_cells).select(
         F.col("shape_id").alias("a_id"), "cell_id"
     ).persist()
