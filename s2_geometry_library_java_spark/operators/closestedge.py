@@ -91,6 +91,52 @@ def _query_points(queries: DataFrame, query_id: str, lat: str, lng: str) -> Data
     )
 
 
+def furthest_edges(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    level: int = 8,
+    query_id: str = "query_id",
+    lat: str = "lat",
+    lng: str = "lng",
+    fallback_level_step: int = 3,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """(query_id, rank, shape_id, edge_id, chord2) top-k FURTHEST indexed
+    edges per query (S2FurthestEdgeQuery over S2BestEdgesQueryBase) via
+    the antipode identity: the max angle from p to an edge is pi minus the
+    min angle from -p, i.e. chord2_far = 4 - chord2_near(-p). The whole
+    search therefore reuses closest_edges on the negated query points —
+    same ring pruning, same completeness proof — and only the output
+    distance is transformed."""
+    neg = queries.select(
+        F.col(query_id).alias(query_id),
+        (-F.col(lat)).alias("lat"),
+        # antipode in lat/lng: negate latitude, rotate longitude by 180
+        F.when(F.col(lng) > 0, F.col(lng) - 180.0)
+        .otherwise(F.col(lng) + 180.0)
+        .alias("lng"),
+    )
+    near = closest_edges(
+        index,
+        neg,
+        k=k,
+        level=level,
+        query_id=query_id,
+        lat="lat",
+        lng="lng",
+        fallback_level_step=fallback_level_step,
+        max_rounds=max_rounds,
+    )
+    return near.select(
+        "query_id",
+        "rank",
+        "shape_id",
+        "edge_id",
+        (F.lit(4.0) - F.col("chord2")).alias("chord2"),
+    )
+
+
 def closest_edges(
     index: DataFrame,
     queries: DataFrame,

@@ -98,3 +98,51 @@ def test_edge_chord2_column_bit_matches_kernel(spark):
     ]
     want = ek.min_chord2_to_edges(p, a, b)
     assert got == list(want), (got[:3], want[:3])
+
+
+def test_furthest_edges_antipode_identity(spark):
+    """F5 furthest-edge query: results equal the numpy brute maximum-
+    distance ranking (max over edge points, per the reference semantics)."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import edges as ek
+    from s2_geometry_library_java_spark.kernel import region as rg
+    from s2_geometry_library_java_spark.operators import closestedge
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    texts = {
+        "s0": "0.0:0.0, 0.0:10.0, 10.0:10.0, 10.0:0.0",
+        "s1": "-30.0:60.0, -30.0:70.0, -20.0:70.0, -20.0:60.0",
+    }
+    shapes = spark.createDataFrame(
+        list(texts.items()), "shape_id string, text string"
+    )
+    idx = shape_ops.shape_index_df(shapes, min_level=4)
+    qs = [(1, 5.0, 5.0), (2, -40.0, -120.0), (3, 70.0, 30.0)]
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lng double")
+    got = {
+        (r["query_id"], r["rank"]): (r["shape_id"], r["edge_id"], r["chord2"])
+        for r in closestedge.furthest_edges(idx, queries, k=2, level=4).collect()
+    }
+    # brute: per query, max chord2 over each edge's points
+    edges = []
+    for sid, t in texts.items():
+        v = rg.Polygon.from_text(t).loops[0].vertices
+        for e in range(4):
+            edges.append((sid, e, v[e], v[(e + 1) % 4]))
+    for qid, la, ln in qs:
+        x, y, z = ci.latlng_to_xyz(np.radians(la), np.radians(ln))
+        p = np.array([float(x), float(y), float(z)])
+        scored = []
+        for sid, e, a, b in edges:
+            far = float(ek.max_chord2_to_edges(p[None], a[None], b[None])[0])
+            # rank by near-chord2 of the antipode ascending == far desc,
+            # ties by (shape, edge) — replicate the operator's order
+            scored.append((4.0 - far, sid, e, far))
+        scored.sort()
+        for rank in (1, 2):
+            wsid, we, wfar = scored[rank - 1][1], scored[rank - 1][2], scored[rank - 1][3]
+            gsid, ge, gfar = got[(qid, rank)]
+            assert (gsid, ge) == (wsid, we), (qid, rank)
+            assert abs(gfar - wfar) < 1e-9
