@@ -167,3 +167,49 @@ def test_boolean_snapped_notch_is_single_loop():
     d = bo.boolean_op_snapped(big, notch, "difference")
     assert len(d.loops) == 1
     assert len(d.loops[0].vertices) == 8
+
+
+def test_boolean_grid_property_stress():
+    """Randomized rectilinear polygons on a shared integer grid — the
+    adversarial regime for boolean ops (shared vertices/edges, collinear
+    overlaps, tangencies on nearly every pair). All four ops must match
+    pointwise membership; 10 seeded pairs x 4 ops."""
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+
+    rng = np.random.default_rng(7)
+
+    def grid_poly():
+        kind = rng.integers(0, 3)
+        la0 = float(rng.integers(-5, 6) * 2)
+        ln0 = float(rng.integers(-5, 6) * 2)
+        h = float(rng.integers(2, 5) * 2)
+        w = float(rng.integers(2, 5) * 2)
+        if kind == 0:
+            pts = [(la0, ln0), (la0, ln0 + w), (la0 + h, ln0 + w), (la0 + h, ln0)]
+            return rg.Polygon([rg.Loop.from_latlng_degrees(pts)])
+        if kind == 1:  # L-shape
+            pts = [(la0, ln0), (la0, ln0 + w), (la0 + h / 2, ln0 + w),
+                   (la0 + h / 2, ln0 + w / 2), (la0 + h, ln0 + w / 2), (la0 + h, ln0)]
+            return rg.Polygon([rg.Loop.from_latlng_degrees(pts)])
+        shell = [(la0, ln0), (la0, ln0 + w), (la0 + h, ln0 + w), (la0 + h, ln0)]
+        hole = [(la0 + h / 4, ln0 + w / 4), (la0 + h / 4, ln0 + w / 2),
+                (la0 + h / 2, ln0 + w / 2), (la0 + h / 2, ln0 + w / 4)]
+        return rg.Polygon([rg.Loop.from_latlng_degrees(shell),
+                           rg.Loop.from_latlng_degrees(hole)])
+
+    lat = np.radians(rng.uniform(-14, 18, 2000))
+    lng = np.radians(rng.uniform(-14, 18, 2000))
+    x, y, z = ci.latlng_to_xyz(lat, lng)
+    combos = {
+        "intersection": lambda a, b: a & b,
+        "union": lambda a, b: a | b,
+        "difference": lambda a, b: a & ~b,
+        "symmetric_difference": lambda a, b: a ^ b,
+    }
+    for _ in range(10):
+        A, B = grid_poly(), grid_poly()
+        ia = A.contains_points(x, y, z)
+        ib = B.contains_points(x, y, z)
+        for op, comb in combos.items():
+            got = bo.boolean_op(A, B, op).contains_points(x, y, z)
+            assert (got == comb(ia, ib)).all(), (op, A.to_text(), B.to_text())
