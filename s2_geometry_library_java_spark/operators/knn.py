@@ -124,18 +124,11 @@ def knn_cell_join(
     idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     qs = qs.persist(StorageLevel.MEMORY_AND_DISK)
     if level is None:
-        # Seed level from the density rollup over the PERSISTED index (the
-        # pass doubles as the cache warm-up the joins reuse — no separate
-        # count job over unencoded input). The histogram is the same
-        # artifact plans/density.py builds for partitioning.
-        from ..functions import columns as cc
-
-        hist = (
-            idx.groupBy(cc.parent("leaf", 8).alias("cell"))
-            .agg(F.count("*").alias("w"))
-            .collect()
-        )
-        level = choose_level(sum(r["w"] for r in hist), k)
+        # Seed level from the index cardinality under a uniform prior (the
+        # count doubles as the cache warm-up the joins reuse). Callers with
+        # skewed data pass an explicit level derived from the
+        # plans/density.py rollup artifacts instead.
+        level = choose_level(idx.count(), k)
     results = None
     remaining = qs
     lvl = level
