@@ -151,7 +151,13 @@ class Polygon:
     @staticmethod
     def from_text(text: str) -> "Polygon":
         """S2TextFormat polygon grammar: ';'-separated loops of
-        comma-separated 'lat:lng' vertices (S2TextFormat.java:484-495)."""
+        comma-separated 'lat:lng' vertices (S2TextFormat.java:484-495).
+        Loops are NORMALIZED like the reference's makePolygon /
+        S2Loop.normalize: a loop written clockwise (enclosing more than a
+        hemisphere on its left) is reversed to its CCW-small form, so
+        fixture strings mean the same region they do in S2PolygonTest."""
+        from . import sphere
+
         loops = []
         for loop_text in text.strip().split(";"):
             loop_text = loop_text.strip()
@@ -161,7 +167,10 @@ class Polygon:
             for tok in loop_text.split(","):
                 la, ln = tok.strip().split(":")
                 pts.append((float(la), float(ln)))
-            loops.append(Loop.from_latlng_degrees(pts))
+            lp = Loop.from_latlng_degrees(pts)
+            if sphere.signed_loop_area(lp.vertices) > 2.0 * np.pi:
+                lp = Loop(lp.vertices[::-1].copy())
+            loops.append(lp)
         return Polygon(loops)
 
     def to_text(self) -> str:

@@ -213,3 +213,73 @@ def test_boolean_grid_property_stress():
         for op, comb in combos.items():
             got = bo.boolean_op(A, B, op).contains_points(x, y, z)
             assert (got == comb(ia, ib)).all(), (op, A.to_text(), B.to_text())
+
+
+# ---------------------------------------------------------------------------
+# S2PolygonTest named-fixture parity (S2PolygonTest.java:95-150): CROSS1/2
+# form a cross with ONLY shared vertices; OVERLAP1/2 share the middle cell
+# with local containment at every shared vertex. Both are snap-path inputs.
+# ---------------------------------------------------------------------------
+
+CROSS1 = "-2:1, -1:1, 1:1, 2:1, 2:-1, 1:-1, -1:-1, -2:-1"
+CROSS2 = "1:-2, 1:-1, 1:1, 1:2, -1:2, -1:1, -1:-1, -1:-2"
+OVERLAP1 = "0:1, 1:1, 2:1, 2:0, 1:0, 0:0"
+OVERLAP2 = "1:1, 2:1, 3:1, 3:0, 2:0, 1:0"
+
+
+def _mem(poly, n=4000, seed=13, lat=(-4, 5), lng=(-4, 5)):
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+
+    rng = np.random.default_rng(seed)
+    la = np.radians(rng.uniform(*lat, n))
+    ln = np.radians(rng.uniform(*lng, n))
+    return ci.latlng_to_xyz(la, ln)
+
+
+def test_s2polygontest_cross_fixtures():
+    a = rg.Polygon.from_text(CROSS1)
+    b = rg.Polygon.from_text(CROSS2)
+    inter = bo.intersection(a, b)
+    # the intersection is the center square, whose 4 corners are SHARED
+    # input vertices — the snap path must emit them exactly
+    assert len(inter.loops) == 1
+    got = {tuple(v) for v in inter.loops[0].vertices}
+    want = {
+        tuple(v)
+        for v in rg.Polygon.from_text("-1:1, 1:1, 1:-1, -1:-1").loops[0].vertices
+    }
+    assert got == want
+    x, y, z = _mem(None)
+    for op, comb in (
+        ("intersection", lambda ia, ib: ia & ib),
+        ("union", lambda ia, ib: ia | ib),
+        ("difference", lambda ia, ib: ia & ~ib),
+    ):
+        out = bo.boolean_op(a, b, op).contains_points(x, y, z)
+        assert (
+            out == comb(a.contains_points(x, y, z), b.contains_points(x, y, z))
+        ).all(), op
+
+
+def test_s2polygontest_overlap_fixtures():
+    a = rg.Polygon.from_text(OVERLAP1)
+    b = rg.Polygon.from_text(OVERLAP2)
+    inter = bo.intersection(a, b)
+    assert len(inter.loops) == 1
+    got = {tuple(v) for v in inter.loops[0].vertices}
+    want = {
+        tuple(v)
+        for v in rg.Polygon.from_text("1:0, 1:1, 2:1, 2:0").loops[0].vertices
+    }
+    assert got == want
+    x, y, z = _mem(None, lat=(-2, 5), lng=(-2, 3))
+    for op, comb in (
+        ("intersection", lambda ia, ib: ia & ib),
+        ("union", lambda ia, ib: ia | ib),
+        ("difference", lambda ia, ib: ia & ~ib),
+        ("symmetric_difference", lambda ia, ib: ia ^ ib),
+    ):
+        out = bo.boolean_op(a, b, op).contains_points(x, y, z)
+        assert (
+            out == comb(a.contains_points(x, y, z), b.contains_points(x, y, z))
+        ).all(), op

@@ -65,9 +65,19 @@ def test_far_polygons_antimeridian():
 
 
 def test_south_pole_triangles():
-    south0a = rg.Polygon.from_text("-90:0, -89.99:0.01, -89.99:180")
+    # the actual S2PolygonTest SOUTH0A fixture (S2PolygonTest.java:113):
+    # tiny pole triangle spanning lng [0, 0.01]; SOUTH_POINT lies inside
+    south0a = rg.Polygon.from_text("-90:0, -89.99:0.01, -89.99:0")
     sp = pt(-89.9999, 0.001)  # SOUTH_POINT
     assert contains(south0a, sp)
+    # from_text normalizes like the reference's makePolygon: a loop written
+    # clockwise (left region > hemisphere) is reversed to its CCW-small
+    # form, so this wedge means lng [0.01, 180], NOT its complement
+    wedge = rg.Polygon.from_text("-90:0, -89.99:0.01, -89.99:180")
+    assert not contains(wedge, sp)
+    from s2_geometry_library_java_spark.kernel import sphere
+
+    assert sphere.signed_loop_area(wedge.loops[0].vertices) < 2 * np.pi
 
 
 def test_hole_semantics():
