@@ -203,13 +203,9 @@ def directed_hausdorff(
        bound on d(p, boundary); u(p) - gap_s is a LOWER bound, where
        gap_s = 2x the longest sampled run's arc length bounds how far any
        boundary point can be from its nearest sample along its own loop
-       (the 2x covers runs that straddle shape_index_df's concatenated
-       loop boundaries). REQUIRES every loop to contain at least one
-       sampled vertex: shape_index_df numbers each loop's edges
-       contiguously starting at the previous loop's end, so this holds
-       whenever every loop has >= sample_step edges (always true for
-       single-loop shapes, whose edge 0 is sampled); lower sample_step
-       for shapes with smaller holes.
+       (sampling is chain-aware: every loop's first edge is sampled and
+       runs never straddle loop boundaries, so the bound holds for any
+       loop size).
     2. prune: the witness must satisfy u(p) >= max_q u(q) - gap_s —
        everything else is provably not the farthest point and never
        touches the full edge set.
@@ -302,8 +298,18 @@ def _directed_hausdorff_xyz(
 ) -> DataFrame:
     """Pruned directed-Hausdorff core over unit-xyz points carrying an
     ``a_shape`` group column: every (a_shape, shape_id) pair gets its own
-    bound/prune/exact phases in one set of joins (keys are composite)."""
+    bound/prune/exact phases in one set of joins (keys are composite).
+
+    Sampling is CHAIN-AWARE when the edge table carries a ``chain_id``
+    column (shape_index_df emits one per loop): each chain's first edge is
+    always sampled and runs never straddle loop boundaries, so the gap
+    bound is sound for any loop size — no minimum-edges-per-loop
+    assumption. Tables without chain_id are treated as one chain."""
     e_all = edges.dropDuplicates(["shape_id", "edge_id"])
+    if "chain_id" not in e_all.columns:
+        e_all = e_all.withColumn("chain_id", F.lit(0))
+    wch = Window.partitionBy("shape_id", "chain_id")
+    e_all = e_all.withColumn("_rel", F.col("edge_id") - F.min("edge_id").over(wch))
     pts = points.select("a_shape", "point_id", "px", "py", "pz")
     elen = F.lit(2.0) * F.asin(
         F.lit(0.5)
@@ -316,16 +322,17 @@ def _directed_hausdorff_xyz(
     runs = (
         e_all.select(
             "shape_id",
-            (F.col("edge_id") / sample_step).cast("long").alias("run"),
+            "chain_id",
+            (F.col("_rel") / sample_step).cast("long").alias("run"),
             elen.alias("elen"),
         )
-        .groupBy("shape_id", "run")
+        .groupBy("shape_id", "chain_id", "run")
         .agg(F.sum("elen").alias("run_len"))
         .groupBy("shape_id")
         .agg((F.max("run_len") * 2).alias("gap"))
     )
     samples = F.broadcast(
-        e_all.where(F.col("edge_id") % sample_step == 0).select(
+        e_all.where(F.col("_rel") % sample_step == 0).select(
             "shape_id", "ax", "ay", "az"
         )
     )

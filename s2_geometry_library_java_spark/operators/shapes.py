@@ -68,7 +68,7 @@ def coverings_df(shapes: DataFrame, max_cells: int = 8,
 
 
 _INDEX_SCHEMA = (
-    "shape_id string, cell_id long, edge_id int, "
+    "shape_id string, cell_id long, edge_id int, chain_id int, "
     "ax double, ay double, az double, bx double, by double, bz double"
 )
 
@@ -84,13 +84,17 @@ def shape_index_df(shapes: DataFrame, max_edges_per_cell: int = 10,
         from ..kernel import shapeindex as si
 
         for pdf in batches:
-            rows = {k: [] for k in ("shape_id", "cell_id", "edge_id",
+            rows = {k: [] for k in ("shape_id", "cell_id", "edge_id", "chain_id",
                                     "ax", "ay", "az", "bx", "by", "bz")}
             for sid, text in zip(pdf[id_col], pdf[text_col]):
                 poly = _parse_polygon(text)
                 loops = [lp.vertices for lp in poly.loops]
                 va = np.concatenate(loops, axis=0)
                 vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
+                # chain id per global edge id (loops are concatenated)
+                chain_of = np.repeat(
+                    np.arange(len(loops)), [len(lp) for lp in loops]
+                )
                 for cid, edge_ids in si.build_shape_index(
                     loops, max_edges_per_cell=max_edges_per_cell,
                     max_level=max_level, min_level=min_level
@@ -99,6 +103,7 @@ def shape_index_df(shapes: DataFrame, max_edges_per_cell: int = 10,
                         rows["shape_id"].append(sid)
                         rows["cell_id"].append(int(s2.to_signed(np.uint64(cid))[0]))
                         rows["edge_id"].append(int(e))
+                        rows["chain_id"].append(int(chain_of[e]))
                         rows["ax"].append(float(va[e, 0]))
                         rows["ay"].append(float(va[e, 1]))
                         rows["az"].append(float(va[e, 2]))

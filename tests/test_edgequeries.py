@@ -279,3 +279,29 @@ def test_hausdorff_index_to_index(spark):
     d2 = ekk.min_chord2_points_to_chain(dense, vb, np.roll(vb, -1, axis=0))
     want_ang = float(2 * np.arcsin(0.5 * np.sqrt(d2.max())))
     assert abs(got_ang - want_ang) <= r["max_error_rad"] + 1e-6
+
+
+def test_hausdorff_pruned_tiny_hole_chain_aware(spark):
+    """A shape with a 4-edge hole (smaller than sample_step): the
+    chain-aware gap bound must keep the pruned witness identical to
+    brute — the case the un-chained run bound could not certify."""
+    from s2_geometry_library_java_spark.operators import edgequeries
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    shapes = spark.createDataFrame(
+        [("h", "0.0:0.0, 0.0:20.0, 20.0:20.0, 20.0:0.0; "
+               "9.0:9.0, 9.0:11.0, 11.0:11.0, 11.0:9.0")],
+        "shape_id string, text string",
+    )
+    idx = shape_ops.shape_index_df(shapes)
+    assert "chain_id" in idx.columns
+    rng = np.random.default_rng(31)
+    pts = [
+        (int(i), float(rng.uniform(-5, 25)), float(rng.uniform(-5, 25)))
+        for i in range(200)
+    ] + [(900, 10.0, 10.0)]  # hole center: nearest boundary is the hole
+    pdf = spark.createDataFrame(pts, "id long, lat double, lng double")
+    got = edgequeries.directed_hausdorff(pdf, idx, sample_step=8).collect()
+    want = edgequeries.directed_hausdorff_brute(pdf, idx).collect()
+    assert got[0]["worst_point_id"] == want[0]["worst_point_id"]
+    assert got[0]["chord2"] == want[0]["chord2"]
