@@ -15,9 +15,11 @@ traversed reversed so the offset moves into the hole and the winding
 contribution cancels the shell over the vanished region, which also makes
 radius >= hole inradius degenerate gracefully (the hole disappears).
 
-Scope: positive radius (growth). Negative radius (erosion) is not
-implemented — documented gap; BufferedRegion (kernel/region.py) remains
-the covering-tier pre-filter for joins.
+Scope: both signs of radius. Positive radius grows (Minkowski sum);
+negative radius erodes (|radius|-disc fully inside — the reference's
+negative-radius semantics), verified against the distance oracle including
+holes. BufferedRegion (kernel/region.py) remains the covering-tier
+pre-filter for joins.
 """
 
 from __future__ import annotations

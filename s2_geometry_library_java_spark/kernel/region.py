@@ -476,14 +476,19 @@ class ShapeIndexRegion:
         return self._overlaps(lo, hi, self._lo, self._hi)
 
     def _interior_covers(self, lo, hi) -> bool:
-        """True iff the interior ranges tile [lo, hi] without gaps."""
+        """True iff the interior ranges tile [lo, hi] without gaps.
+
+        Leaf cell ids are odd, so the ranges of two adjacent cells are
+        spaced 2 apart (range_max(c) + 2 == range_min(next(c))); advancing
+        the cursor by 2 treats them as contiguous.
+        """
         k = int(np.searchsorted(self._ihi, lo))
         cursor = lo
         while k < len(self._ilo) and self._ilo[k] <= cursor:
             cursor = self._ihi[k]
             if cursor >= hi:
                 return True
-            cursor += 1
+            cursor += 2
             k += 1
         return False
 

@@ -30,6 +30,48 @@ _RULES = {
 }
 
 
+def snapped_winding_delta(
+    ref: np.ndarray,
+    A: np.ndarray,
+    B: np.ndarray,
+    chains: list[list[int]],
+    sites: np.ndarray,
+) -> int:
+    """Winding-number correction under snapping (GetSnappedWindingDelta.java):
+    winding of ``ref`` w.r.t. the snapped edges minus its winding w.r.t. the
+    original edges.
+
+    Per input edge (a, b) with snapped site chain c, the closed difference
+    curve a->b->reverse(S[c])->a lies inside the snap-radius lens around the
+    edge, so its winding at any point far from the lens is 0; we take the
+    antipode of the edge midpoint as that base and accumulate the little
+    loops' windings at ``ref``. Nonzero only when ref sits inside a lens
+    (closer than the snap deviation to some edge).
+    """
+    delta = 0
+    rp = np.asarray(ref, dtype=np.float64)[None, :]
+    for i in range(len(A)):
+        a, b = A[i], B[i]
+        pts = [a, b] + [sites[s] for s in reversed(chains[i])]
+        loop = [pts[0]]
+        for p in pts[1:]:
+            if not np.array_equal(p, loop[-1]):
+                loop.append(p)
+        if len(loop) > 1 and np.array_equal(loop[0], loop[-1]):
+            loop.pop()
+        if len(loop) < 3:
+            continue
+        m = a + b
+        mn = float(np.sqrt(m @ m))
+        if mn < 1e-12:
+            continue
+        base = -(m / mn)
+        # the little loop runs the ORIGINAL edge forward and the snapped
+        # chain backward, so its winding at ref is (orig - snapped): negate
+        delta -= int(predicates.winding_numbers(base, rp, np.asarray(loop), 0)[0])
+    return delta
+
+
 def winding_operation(
     loops: list[np.ndarray],
     ref_point: np.ndarray,
@@ -74,9 +116,37 @@ def winding_operation(
         probes.append(pr / np.sqrt(pr @ pr))
     probes = np.asarray(probes)
 
-    w = np.full(len(probes), int(ref_winding), dtype=np.int64)
+    # Winding numbers are evaluated against the SNAPPED chains (the probes
+    # sit just off the snapped edges, and snapped chains can deviate from
+    # the original great circles by up to the snap radius — the reference
+    # S2WindingOperation also computes winding on the snapped graph). The
+    # reference winding carries over via the snapped-winding delta
+    # (GetSnappedWindingDelta.java): winding_snapped(ref) =
+    # ref_winding + delta.
+    A = np.stack(bld._a)
+    B = np.stack(bld._b)
+    delta = snapped_winding_delta(ref, A, B, g.chains, S)
+
+    # per-input-loop snapped closed chains (consecutive edges share their
+    # joint site, so concatenating the edge chains with dup-dropping gives
+    # the snapped loop)
+    snapped_loops = []
+    off = 0
     for v in loops:
-        w += predicates.winding_numbers(ref, probes, np.asarray(v), 0)
+        ids: list[int] = []
+        for ei in range(off, off + len(v)):
+            for s in g.chains[ei]:
+                if not ids or s != ids[-1]:
+                    ids.append(s)
+        off += len(v)
+        if len(ids) > 1 and ids[0] == ids[-1]:
+            ids.pop()
+        if len(ids) >= 2:
+            snapped_loops.append(S[np.asarray(ids, dtype=np.int64)])
+
+    w = np.full(len(probes), int(ref_winding) + delta, dtype=np.int64)
+    for sv in snapped_loops:
+        w += predicates.winding_numbers(ref, probes, sv, 0)
     keep = rule_fn(w)
     out_edges = []
     for k, (u, v) in enumerate(segs):

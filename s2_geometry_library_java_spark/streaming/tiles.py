@@ -83,9 +83,15 @@ def streaming_first_seen(
     def fn(key, pdfs, state):
         seen = set(state.get[0]) if state.exists else set()
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_time", kind="mergesort")
-            for eid, t in zip(pdf[entity], pdf["event_time"]):
+        # applyInPandasWithState may split one group across several chunks
+        # of the iterator: concatenate first, sort ONCE, so "first" is
+        # globally event_time-ordered within the batch (not per-chunk).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks, ignore_index=True).sort_values(
+                "event_time", kind="mergesort"
+            )
+            for eid, t in zip(allrows[entity], allrows["event_time"]):
                 e = int(eid)
                 if e not in seen:
                     seen.add(e)

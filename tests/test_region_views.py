@@ -133,3 +133,29 @@ def test_interior_tracker_large_boundary_perf_and_parity():
             m = v.mean(axis=0)
             m /= np.sqrt(m @ m)
             assert not bool(poly.contains_points(m[0:1], m[1:2], m[2:3])[0])
+
+
+def test_interior_covers_children_tile_parent():
+    """ADVICE r3: adjacent leaf ranges are spaced 2 apart (leaf ids are
+    odd), so four interior children exactly tiling their parent must
+    satisfy contains_cell; dropping any child must break coverage."""
+    parent = int(ci.latlng_degrees_to_cell_id(6.0, 6.0, 5))
+    kids = np.array(
+        [int(ci.child(np.uint64(parent), p)) for p in range(4)], dtype=np.uint64
+    )
+    bias = np.uint64(1) << np.uint64(63)
+    reg = object.__new__(rg.ShapeIndexRegion)
+    reg._lo = np.array([], dtype=np.int64)
+    reg._hi = np.array([], dtype=np.int64)
+    reg._ilo = np.sort((ci.range_min(kids) ^ bias).view(np.int64))
+    reg._ihi = np.sort((ci.range_max(kids) ^ bias).view(np.int64))
+    assert reg.contains_cell(Cell(parent))
+    # every child on its own is still contained
+    for k in kids:
+        assert reg.contains_cell(Cell(int(k)))
+    # a genuine gap (missing child) must be detected
+    for drop in range(4):
+        keep = np.delete(kids, drop)
+        reg._ilo = np.sort((ci.range_min(keep) ^ bias).view(np.int64))
+        reg._ihi = np.sort((ci.range_max(keep) ^ bias).view(np.int64))
+        assert not reg.contains_cell(Cell(parent))

@@ -139,3 +139,83 @@ def test_winding_operation_doubly_wound():
     inner = rg.Loop(_sq(lap2))
     want = inner.contains_points(pts[:, 0], pts[:, 1], pts[:, 2]) & want
     assert (got == want).mean() > 0.999
+
+
+def _pt(lat, lng):
+    return np.array(
+        [float(a) for a in np.ravel(ci.latlng_to_xyz(np.radians(lat), np.radians(lng)))]
+    )
+
+
+def test_snapped_winding_delta_lens_case():
+    """GetSnappedWindingDelta.java semantics: when snapping pulls an edge
+    across the reference point, the delta is exactly the winding change
+    measured independently from a far base point."""
+    from s2_geometry_library_java_spark.kernel import builder as bu
+    from s2_geometry_library_java_spark.kernel import windingop as wo
+
+    sq = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    big = _loop_deg(sq)
+    # a second loop with a vertex just above the big loop's bottom edge:
+    # under a 0.02 rad snap radius that vertex becomes a site ON the
+    # bottom edge's chain, detouring the snapped edge upward past ref
+    small = _loop_deg([(0.3, 4.0), (0.3, 6.0), (0.9, 5.0)])
+    loops = [big, small]
+
+    bld = bu.SnapBuilder(bu.IdentitySnapFunction(0.02), split_crossing_edges=True)
+    for v in loops:
+        bld.add_loop(v, layer=0)
+    g = bld.build()
+    A = np.stack(bld._a)
+    B = np.stack(bld._b)
+
+    # snapped closed chains per loop (same construction as winding_operation)
+    snapped, off = [], 0
+    for v in loops:
+        ids = []
+        for ei in range(off, off + len(v)):
+            for s in g.chains[ei]:
+                if not ids or s != ids[-1]:
+                    ids.append(s)
+        off += len(v)
+        if len(ids) > 1 and ids[0] == ids[-1]:
+            ids.pop()
+        snapped.append(g.sites[np.asarray(ids, dtype=np.int64)])
+
+    base = _pt(-60.0, -120.0)  # winding 0 for originals and snapped alike
+
+    def w_at(p, loop_list):
+        return sum(
+            int(predicates.winding_numbers(base, p[None], lv, 0)[0])
+            for lv in loop_list
+        )
+
+    # ref inside the lens: between the original bottom edge (lat 0) and
+    # the snapped detour through the lat-0.3 site
+    ref_lens = _pt(0.05, 5.0)
+    # ref far from every edge: delta must be zero
+    ref_far = _pt(5.0, 8.5)
+
+    for ref in (ref_lens, ref_far):
+        want = w_at(ref, snapped) - w_at(ref, loops)
+        got = wo.snapped_winding_delta(ref, A, B, g.chains, g.sites)
+        assert got == want, (got, want)
+    assert wo.snapped_winding_delta(ref_far, A, B, g.chains, g.sites) == 0
+    assert wo.snapped_winding_delta(ref_lens, A, B, g.chains, g.sites) != 0
+
+
+def test_winding_operation_probes_on_snapped_graph():
+    """The winding op must classify snapped sub-edges by snapped-graph
+    winding: with a coarse snap pulling the boundary, the assembled
+    polygon still contains a deep-interior point and excludes a far
+    exterior point, and ref may sit anywhere > snap radius from edges."""
+    from s2_geometry_library_java_spark.kernel import windingop as wo
+
+    big = _loop_deg([(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)])
+    small = _loop_deg([(0.3, 4.0), (0.3, 6.0), (0.9, 5.0)])
+    ref = _pt(-60.0, -120.0)
+    poly = wo.winding_operation([big, small], ref, 0, rule="positive", snap_radius=0.02)
+    inside = _pt(5.0, 5.0)
+    outside = _pt(-5.0, 5.0)
+    assert bool(poly.contains_points(inside[0:1], inside[1:2], inside[2:3])[0])
+    assert not bool(poly.contains_points(outside[0:1], outside[1:2], outside[2:3])[0])
