@@ -40,6 +40,63 @@ def _loop_edges(poly: "rg.Polygon"):
             yield v[k], v[(k + 1) % len(v)]
 
 
+def _edge_arrays(poly: "rg.Polygon"):
+    va = np.concatenate([lp.vertices for lp in poly.loops], axis=0)
+    vb = np.concatenate(
+        [np.roll(lp.vertices, -1, axis=0) for lp in poly.loops], axis=0
+    )
+    return va, vb
+
+
+def _pair_crossings_batch(a: "rg.Polygon", b: "rg.Polygon"):
+    """All proper crossings between every A edge and every B edge in one
+    vectorized sweep (the same four-sign robustCrossing test as
+    predicates._arcs_cross_scalar, evaluated through sign_batch's
+    triage->stable->exact cascade), with each intersection point computed
+    ONCE and bit-shared by both clip passes.
+
+    Returns (Aa, Ab, Ba, Bb, ii, jj, X): directed edge arrays, the
+    crossing pair indices (row-major: sorted by ii then jj), and the
+    intersection points. Raises on any shared vertex (non-generic)."""
+    from . import predicates
+
+    Aa, Ab = _edge_arrays(a)
+    Ba, Bb = _edge_arrays(b)
+    na, nb = len(Aa), len(Ba)
+    ii_parts, jj_parts = [], []
+    # chunk A edges so the (blk, nb) broadcast stays ~200k rows
+    blk = max(1, 200_000 // max(nb, 1))
+    for lo in range(0, na, blk):
+        A1 = Aa[lo : lo + blk, None, :]
+        A2 = Ab[lo : lo + blk, None, :]
+        B1 = Ba[None, :, :]
+        B2 = Bb[None, :, :]
+        shared = (
+            np.all(A1 == B1, axis=-1)
+            | np.all(A1 == B2, axis=-1)
+            | np.all(A2 == B1, axis=-1)
+            | np.all(A2 == B2, axis=-1)
+        )
+        if shared.any():
+            raise ValueError("boolean op requires generic position (shared vertex)")
+        acb = predicates.sign_batch(A1, B1, A2)
+        bda = predicates.sign_batch(A2, B2, A1)
+        cbd = predicates.sign_batch(B1, A2, B2)
+        dac = predicates.sign_batch(B2, A1, B1)
+        cross = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+        i_b, j_b = np.nonzero(cross)
+        ii_parts.append(i_b + lo)
+        jj_parts.append(j_b)
+    ii = np.concatenate(ii_parts) if ii_parts else np.zeros(0, dtype=np.int64)
+    jj = np.concatenate(jj_parts) if jj_parts else np.zeros(0, dtype=np.int64)
+    X = (
+        ek.edge_intersection(Aa[ii], Ab[ii], Ba[jj], Bb[jj])
+        if len(ii)
+        else np.zeros((0, 3))
+    )
+    return Aa, Ab, Ba, Bb, ii, jj, X
+
+
 def _crossings_for_edge(a, b, other: "rg.Polygon", cross_cache: dict):
     """Intersection points of edge (a,b) with every edge of `other`,
     computed through a shared cache keyed by both edges' endpoints."""
@@ -79,7 +136,10 @@ def _midpoint(a, b):
 def _clip_boundary(poly: "rg.Polygon", other: "rg.Polygon", keep_inside: bool,
                    reverse: bool, cross_cache: dict):
     """Directed sub-segments of poly's boundary whose midpoint is inside
-    (or outside) `other`; optionally reversed (for difference)."""
+    (or outside) `other`; optionally reversed (for difference).
+
+    Kept as the scalar reference implementation (tests pin the vectorized
+    path against it); the hot path is _clip_boundary_batch."""
     segs = []
     for a, b in _loop_edges(poly):
         xs = _crossings_for_edge(a, b, other, cross_cache)
@@ -94,6 +154,52 @@ def _clip_boundary(poly: "rg.Polygon", other: "rg.Polygon", keep_inside: bool,
             if inside == keep_inside:
                 segs.append((tuple(e), tuple(s)) if reverse else (tuple(s), tuple(e)))
     return segs
+
+
+def _clip_boundary_batch(Ea, Eb, cross_edge, X, other: "rg.Polygon",
+                         keep_inside: bool, reverse: bool):
+    """Vectorized _clip_boundary: split every directed edge (Ea[i], Eb[i])
+    at its crossing points, classify ALL sub-segment midpoints in ONE
+    contains_points call, and emit the kept directed segments.
+
+    cross_edge: (k,) edge index of each crossing (any order); X: (k,3)
+    bit-shared crossing points."""
+    n = len(Ea)
+    k = len(cross_edge)
+    if k:
+        ea = Ea[cross_edge]
+        ang = sphere.angle_between(
+            ea[:, 0], ea[:, 1], ea[:, 2], X[:, 0], X[:, 1], X[:, 2]
+        )
+        order = np.lexsort((ang, cross_edge))
+        ce = np.asarray(cross_edge)[order]
+        xs = X[order]
+        counts = np.bincount(ce, minlength=n)
+    else:
+        ce = np.zeros(0, dtype=np.int64)
+        xs = np.zeros((0, 3))
+        counts = np.zeros(n, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(counts + 1)])
+    m = n + k
+    S = np.empty((m, 3))
+    E = np.empty((m, 3))
+    S[off[:-1]] = Ea
+    E[off[1:] - 1] = Eb
+    if k:
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        r = np.arange(k) - starts[ce]
+        S[off[ce] + r + 1] = xs
+        E[off[ce] + r] = xs
+    mid = S + E
+    norms = np.sqrt((mid * mid).sum(axis=1))
+    if (norms < 1e-12).any():
+        raise ValueError("antipodal sub-segment (not generic position)")
+    mid = mid / norms[:, None]
+    inside = other.contains_points(mid[:, 0], mid[:, 1], mid[:, 2])
+    keep = np.nonzero(inside == keep_inside)[0]
+    if reverse:
+        return [(tuple(E[t]), tuple(S[t])) for t in keep]
+    return [(tuple(S[t]), tuple(E[t])) for t in keep]
 
 
 def _assemble(segs) -> "rg.Polygon":
@@ -125,6 +231,29 @@ def _assemble(segs) -> "rg.Polygon":
             lp = rg.Loop(np.array(verts[::-1]))
         loops.append(lp)
     return rg.Polygon(loops)
+
+
+def _side_probes(S: np.ndarray, segs, eps: float) -> np.ndarray:
+    """(2k,3) probe points eps off both sides of each snapped sub-edge
+    (left probes first, then right), vectorized over the segments."""
+    uu = np.fromiter((u for u, _ in segs), dtype=np.int64, count=len(segs))
+    vv = np.fromiter((v for _, v in segs), dtype=np.int64, count=len(segs))
+    su, sv = S[uu], S[vv]
+    m = su + sv
+    mn = np.sqrt((m * m).sum(axis=1))
+    if (mn < 1e-9).any():
+        raise ValueError("antipodal snapped sub-edge")
+    m = m / mn[:, None]
+    n = sphere.cross3(su, sv)
+    nn = np.sqrt((n * n).sum(axis=1))
+    if (nn == 0.0).any():
+        raise ValueError("degenerate snapped sub-edge")
+    n = n / nn[:, None]
+    pl = m + eps * n
+    pr = m - eps * n
+    pl = pl / np.sqrt((pl * pl).sum(axis=1))[:, None]
+    pr = pr / np.sqrt((pr * pr).sum(axis=1))[:, None]
+    return np.concatenate([pl, pr], axis=0)
 
 
 def _no_crossing_case(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":
@@ -191,19 +320,20 @@ def _boolean_op_generic(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygo
     (S2Polygon.java:1747-1756, 1874-1882, 2012-2020 comment blocks.)
     """
     _require_generic_position(a, b)
-    cache: dict = {}
+    Aa, Ab, Ba, Bb, ii, jj, X = _pair_crossings_batch(a, b)
+
+    def clip_a(keep_inside, rev=False):
+        return _clip_boundary_batch(Aa, Ab, ii, X, b, keep_inside, rev)
+
+    def clip_b(keep_inside, rev=False):
+        return _clip_boundary_batch(Ba, Bb, jj, X, a, keep_inside, rev)
+
     if op == "intersection":
-        segs = _clip_boundary(a, b, True, False, cache) + _clip_boundary(
-            b, a, True, False, cache
-        )
+        segs = clip_a(True) + clip_b(True)
     elif op == "union":
-        segs = _clip_boundary(a, b, False, False, cache) + _clip_boundary(
-            b, a, False, False, cache
-        )
+        segs = clip_a(False) + clip_b(False)
     elif op == "difference":
-        segs = _clip_boundary(a, b, False, False, cache) + _clip_boundary(
-            b, a, True, True, cache
-        )
+        segs = clip_a(False) + clip_b(True, rev=True)
     else:
         raise ValueError(op)
     if not segs:
@@ -276,9 +406,17 @@ def boolean_op_snapped(
     a_ea, a_eb = layer_arrays(0)
     b_ea, b_eb = layer_arrays(1)
     origin = rg.Loop.ORIGIN
-    o = origin[None, :]
-    a_origin_in = bool(a.contains_points(o[:, 0], o[:, 1], o[:, 2])[0])
-    b_origin_in = bool(b.contains_points(o[:, 0], o[:, 1], o[:, 2])[0])
+    # ORIGIN membership from the loops' stored flags (XOR-loop convention);
+    # calling contains_points(ORIGIN) would make the origin->query geodesic
+    # degenerate and escalate every edge to exact arithmetic
+    def origin_in(poly):
+        r = False
+        for lp in poly.loops:
+            r ^= bool(lp.origin_inside)
+        return r
+
+    a_origin_in = origin_in(a)
+    b_origin_in = origin_in(b)
 
     segs = set()
     for layer in (0, 1):
@@ -289,24 +427,7 @@ def boolean_op_snapped(
         return rg.Polygon([])
 
     eps = max(snap_radius * 0.25, 64.0 * np.finfo(np.float64).eps)
-    pl_list, pr_list = [], []
-    for u, v in segs:
-        su, sv = S[u], S[v]
-        m = su + sv
-        mn = float(np.sqrt(m @ m))
-        if mn < 1e-9:
-            raise ValueError("antipodal snapped sub-edge")
-        m = m / mn
-        n = np.cross(su, sv)
-        nn = float(np.sqrt(n @ n))
-        if nn == 0.0:
-            raise ValueError("degenerate snapped sub-edge")
-        n = n / nn
-        pl = m + eps * n
-        pr = m - eps * n
-        pl_list.append(pl / np.sqrt(pl @ pl))
-        pr_list.append(pr / np.sqrt(pr @ pr))
-    probes = np.asarray(pl_list + pr_list)
+    probes = _side_probes(S, segs, eps)
 
     def member(ea, eb, origin_in):
         if len(ea) == 0:

@@ -227,9 +227,21 @@ class SnapBuilder:
         ii, jj = np.triu_indices(n, k=1)
         pts = []
         chunk = 200_000
+        # chord-length prefilter: two edges can only cross if their start
+        # points are within len_i + len_j of each other (Euclidean/chord
+        # triangle inequality) — prunes the quadratic pair set to the
+        # local neighborhoods before any sign evaluation
+        L = np.sqrt(((A - B) ** 2).sum(axis=1))
         for lo in range(0, len(ii), chunk):
             i = ii[lo : lo + chunk]
             j = jj[lo : lo + chunk]
+            near = ((A[i] - A[j]) ** 2).sum(axis=1) <= (
+                (L[i] + L[j]) ** 2 + 64.0 * DBL_EPSILON
+            )
+            keep0 = np.nonzero(near)[0]
+            if not len(keep0):
+                continue
+            i, j = i[keep0], j[keep0]
             a, b, c, d = A[i], B[i], A[j], B[j]
             shared = (
                 np.all(a == c, axis=1)
@@ -237,13 +249,18 @@ class SnapBuilder:
                 | np.all(b == c, axis=1)
                 | np.all(b == d, axis=1)
             )
+            # drop shared-vertex pairs BEFORE the sign sweep: their
+            # degenerate triples would all escalate to exact arithmetic
+            # just to be masked out of `cross` afterwards
+            keep = np.nonzero(~shared)[0]
+            if not len(keep):
+                continue
+            a, b, c, d = a[keep], b[keep], c[keep], d[keep]
             acb = predicates.sign_batch(a, c, b)
             bda = predicates.sign_batch(b, d, a)
             cbd = predicates.sign_batch(c, b, d)
             dac = predicates.sign_batch(d, a, c)
-            cross = (
-                (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0) & ~shared
-            )
+            cross = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
             for k in np.nonzero(cross)[0]:
                 # exclude same-great-circle (SoS classifies overlap as
                 # crossing, but there is no single intersection point)
@@ -278,16 +295,6 @@ class SnapBuilder:
         )
 
         # ---- site selection (snap first) ----
-        sites: list[np.ndarray] = []
-
-        def try_add(p: np.ndarray, min_sep_chord2: float) -> None:
-            if sites:
-                s = np.asarray(sites)
-                d2 = ((s - p[None, :]) ** 2).sum(axis=1)
-                if (d2 <= min_sep_chord2).any():
-                    return
-            sites.append(p)
-
         # crossing points are ordinary input vertices (the reference's
         # addEdgeCrossings feeds them through the same site selection), so
         # near-coincident crossings — e.g. two edges meeting ON a third
@@ -295,44 +302,84 @@ class SnapBuilder:
         verts = np.concatenate([A, B, forced], axis=0) if len(forced) else np.concatenate([A, B], axis=0)
         snapped = fn.snap(verts)
         sep2 = float(sphere.chord2_from_angle(fn.min_vertex_separation())) if fn.min_vertex_separation() > 0 else 0.0
+        # greedy admission in deterministic order; the buffer grows in
+        # place (appending to a list and re-building an array per vertex
+        # is quadratic in allocations)
+        buf = np.empty((len(verts), 3))
+        cnt = 0
         for k in _sort_key(verts):
-            try_add(snapped[k], sep2)
-        S = np.asarray(sites)
+            p = snapped[k]
+            if cnt:
+                d2 = ((buf[:cnt] - p[None, :]) ** 2).sum(axis=1)
+                if (d2 <= sep2).any():
+                    continue
+            buf[cnt] = p
+            cnt += 1
+        S = buf[:cnt].copy()
 
-        # ---- edge snapping ----
+        # ---- edge snapping (vectorized over edges) ----
         edge_r = fn.snap_radius + INTERSECTION_ERROR if self.split_crossing_edges else fn.snap_radius
         edge_r2 = float(sphere.chord2_from_angle(edge_r)) + 16.0 * DBL_EPSILON
 
-        def nearest_site(p: np.ndarray) -> int:
-            d2 = ((S - p[None, :]) ** 2).sum(axis=1)
-            return int(np.argmin(d2))
-
+        snapA = fn.snap(A)
+        snapB = fn.snap(B)
+        n_e = len(A)
+        n_s = len(S)
         chains: list[list[int]] = []
-        for i in range(len(A)):
-            a, b = A[i], B[i]
-            sx = nearest_site(fn.snap(a[None])[0])
-            sy = nearest_site(fn.snap(b[None])[0])
-            d2 = ek.min_chord2_points_to_chain(S, a[None], b[None])
-            cand = np.nonzero(d2 <= edge_r2)[0]
-            # order candidates by arc parameter along AB: angle of the
-            # projection within the (a, t) tangent frame
-            t = b - float(b @ a) * a
-            tn = float(np.sqrt(t @ t))
-            if tn == 0.0:
-                chains.append([sx, sy] if sx != sy else [sx])
-                continue
-            t = t / tn
-            order = np.arctan2(S[cand] @ t, S[cand] @ a)
-            cand = [int(c) for c in cand[np.argsort(order, kind="stable")]]
-            chain = [sx] + [c for c in cand if c != sx and c != sy] + (
-                [sy] if sy != sx else []
+        # chunk edges so the (blk, n_s) distance matrices stay ~4M entries
+        blk = max(1, 4_000_000 // max(n_s, 1))
+        rcp_all = ek.robust_cross_prod(A, B)
+        for lo in range(0, n_e, blk):
+            hi = min(n_e, lo + blk)
+            Sx = S[None, :, :]
+            sx_blk = (
+                ((snapA[lo:hi, None, :] - Sx) ** 2).sum(axis=-1).argmin(axis=1)
             )
-            # drop consecutive duplicates (paranoia; ids are unique here)
-            dedup = [chain[0]]
-            for c in chain[1:]:
-                if c != dedup[-1]:
-                    dedup.append(c)
-            chains.append(dedup)
+            sy_blk = (
+                ((snapB[lo:hi, None, :] - Sx) ** 2).sum(axis=-1).argmin(axis=1)
+            )
+            # site-to-edge near matrix (blk, n_s). Cheap prefilter first:
+            # by the chord (Euclidean) triangle inequality a site within
+            # edge_r of edge AB must lie within edge_r + |AB| of A, so the
+            # expensive interior-distance formula only runs on the sparse
+            # survivor pairs.
+            d2_a = ((A[lo:hi, None, :] - Sx) ** 2).sum(axis=-1)
+            elen = np.sqrt(((A[lo:hi] - B[lo:hi]) ** 2).sum(axis=-1))
+            thresh = (np.sqrt(edge_r2) + elen) ** 2 + 64.0 * DBL_EPSILON
+            cand_e, cand_s = np.nonzero(d2_a <= thresh[:, None])
+            near = np.zeros(d2_a.shape, dtype=bool)
+            if len(cand_e):
+                d2_pairs = ek.min_chord2_to_edges(
+                    S[cand_s],
+                    A[lo + cand_e],
+                    B[lo + cand_e],
+                    c=rcp_all[lo + cand_e],
+                )
+                near[cand_e, cand_s] = d2_pairs <= edge_r2
+            for i in range(lo, hi):
+                a, b = A[i], B[i]
+                sx = int(sx_blk[i - lo])
+                sy = int(sy_blk[i - lo])
+                cand = np.nonzero(near[i - lo])[0]
+                # order candidates by arc parameter along AB: angle of the
+                # projection within the (a, t) tangent frame
+                t = b - float(b @ a) * a
+                tn = float(np.sqrt(t @ t))
+                if tn == 0.0:
+                    chains.append([sx, sy] if sx != sy else [sx])
+                    continue
+                t = t / tn
+                order = np.arctan2(S[cand] @ t, S[cand] @ a)
+                cand = [int(c) for c in cand[np.argsort(order, kind="stable")]]
+                chain = [sx] + [c for c in cand if c != sx and c != sy] + (
+                    [sy] if sy != sx else []
+                )
+                # drop consecutive duplicates (paranoia; ids are unique here)
+                dedup = [chain[0]]
+                for c in chain[1:]:
+                    if c != dedup[-1]:
+                        dedup.append(c)
+                chains.append(dedup)
         return Graph(S, chains, layers)
 
 

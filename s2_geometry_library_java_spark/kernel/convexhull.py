@@ -16,24 +16,38 @@ import numpy as np
 from . import predicates
 
 
-def convex_hull(points: np.ndarray) -> np.ndarray | None:
+#: The reference's full loop: a single fake vertex at Z_NEG
+#: (S2Loop.java:103 FULL_VERTEX, S2Loop.full()).
+FULL_LOOP = np.array([[0.0, 0.0, -1.0]])
+
+
+def is_full_hull(hull: np.ndarray | None) -> bool:
+    """True iff ``hull`` is the full-sphere loop sentinel."""
+    return (
+        hull is not None and len(hull) == 1 and bool((hull[0] == FULL_LOOP[0]).all())
+    )
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
     """(m,3) hull loop vertices in CCW order, a superset-free subset of
-    the inputs; None when no convex hull exists (points span a hemisphere
-    or more — the reference returns the full loop). Fewer than 3 distinct
-    points return them as-is (callers pad like getSinglePointLoop if a
-    valid loop is required)."""
+    the inputs. When the points span a hemisphere or more, returns the
+    FULL loop — a single Z_NEG vertex, exactly the reference's semantics
+    (S2ConvexHullQuery.java:137-153: geometry spanning more than half the
+    sphere hulls to S2Loop.full(); :255-265 antipodal pairs likewise).
+    Fewer than 3 distinct points return them as-is (callers pad like
+    getSinglePointLoop if a valid loop is required)."""
     pts = np.asarray(points, dtype=np.float64)
     if len(pts) == 0:
         return pts
     centroid = pts.mean(axis=0)
     n = float(np.sqrt(centroid @ centroid))
     if n < 1e-12:
-        return None
+        return FULL_LOOP.copy()
     axis = centroid / n
     # convexity precondition (cap height < 1): every point strictly within
     # 90 degrees of the axis
     if float((pts @ axis).min()) <= 0:
-        return None
+        return FULL_LOOP.copy()
     origin = predicates.ortho(axis)
 
     def cmp(x, y):

@@ -19,6 +19,7 @@ from fractions import Fraction
 import numpy as np
 
 from . import predicates
+from .sphere import cross3
 
 DBL_EPSILON = float(np.finfo(np.float64).eps)
 DBL_ERROR = 0.5 * DBL_EPSILON
@@ -89,7 +90,7 @@ def robust_cross_prod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a = np.atleast_2d(np.asarray(a, dtype=np.float64))
     b = np.atleast_2d(np.asarray(b, dtype=np.float64))
     a, b = np.broadcast_arrays(a, b)
-    out = np.cross(b + a, b - a)
+    out = cross3(b + a, b - a)
     n2 = (out * out).sum(axis=-1)
     bad = n2 < MIN_NORM2
     if np.any(bad):
@@ -136,7 +137,7 @@ def min_chord2_to_edges(x: np.ndarray, a: np.ndarray, b: np.ndarray,
     c2 = (c * c).sum(axis=-1)
     x_dot_c = (x * c).sum(axis=-1)
     x_dot_c2 = x_dot_c * x_dot_c
-    cx = np.cross(np.broadcast_to(c, np.broadcast_shapes(c.shape, x.shape)), x)
+    cx = cross3(np.broadcast_to(c, np.broadcast_shapes(c.shape, x.shape)), x)
     interior = (
         planar_ok
         & (((a - x) * cx).sum(axis=-1) < 0)
@@ -191,7 +192,7 @@ def project_to_edges(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     c = robust_cross_prod(a.reshape(-1, 3), b.reshape(-1, 3)).reshape(x.shape)
     n = c / np.sqrt((c * c).sum(axis=-1, keepdims=True))
     nx = robust_cross_prod(n.reshape(-1, 3), x.reshape(-1, 3)).reshape(x.shape)
-    p = np.cross(nx, n)
+    p = cross3(nx, n)
     p = p / np.sqrt((p * p).sum(axis=-1, keepdims=True))
     # interior iff sign(p,n,a) > 0 and sign(p,n,b) < 0
     sa = predicates.sign_batch(p.reshape(-1, 3), n.reshape(-1, 3), a.reshape(-1, 3))
@@ -222,7 +223,7 @@ def interpolate_at_distance(ax_radians, a: np.ndarray, b: np.ndarray) -> np.ndar
     a, b = np.broadcast_arrays(a, b)
     ax = np.asarray(ax_radians, dtype=np.float64)
     n = robust_cross_prod(a.reshape(-1, 3), b.reshape(-1, 3)).reshape(a.shape)
-    d = np.cross(n, a)
+    d = cross3(n, a)
     norm = np.sqrt((d * d).sum(axis=-1, keepdims=True))
     with np.errstate(divide="ignore", invalid="ignore"):
         d = d / norm

@@ -27,6 +27,21 @@ MAX_DIAG_DERIV = 2.438654594434021032
 AVG_DIAG_DERIV = 2.060422738998471683
 
 
+def cross3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Component cross product, broadcast over leading axes — bit-equal to
+    np.cross on float64 but without its moveaxis/axis-normalization Python
+    overhead (np.cross dominates kernel profiles at small batch sizes)."""
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    out = np.empty(
+        np.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (3,), dtype=np.float64
+    )
+    out[..., 0] = ay * bz - az * by
+    out[..., 1] = az * bx - ax * bz
+    out[..., 2] = ax * by - ay * bx
+    return out
+
+
 def metric_value(deriv: float, level, dim: int = 1):
     """Metric.getValue (S2.java:210-214): deriv * 2^(-dim*level)."""
     return deriv * np.power(2.0, -dim * np.asarray(level, dtype=np.float64))
@@ -177,7 +192,7 @@ def triangle_true_centroid(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.nd
     r = np.stack([ra, rb - ra, rc - ra], axis=-1)
 
     def triple(u, v, w):
-        return (u * np.cross(v, w)).sum(axis=-1)
+        return (u * cross3(v, w)).sum(axis=-1)
 
     return 0.5 * np.stack(
         [triple(r, y, z), triple(r, z, x), triple(r, x, y)], axis=-1
@@ -200,25 +215,29 @@ def loop_centroid(vertices: np.ndarray) -> np.ndarray:
 def signed_loop_area(vertices: np.ndarray) -> float:
     """Signed area of a loop: sum of signed triangle areas from an origin
     vertex (S2Loop.getArea semantics: CCW interior -> positive, in
-    [0, 4pi); computed via the shoelace-on-sphere Girard sum)."""
+    [0, 4pi); computed via the shoelace-on-sphere Girard sum).
+    Vectorized over the fan triangles (one pass, no per-triangle loop)."""
     v = np.asarray(vertices, dtype=np.float64)
-    origin = v[0]
-    total = 0.0
-    for k in range(1, len(v) - 1):
-        a, b, c = origin, v[k], v[k + 1]
-        # signed spherical excess via the dihedral-angle (Girard) formula
-        ab = np.cross(a, b)
-        bc = np.cross(b, c)
-        ca = np.cross(c, a)
+    if len(v) < 3:
+        return 0.0
+    a = np.broadcast_to(v[0], (len(v) - 2, 3))
+    b = v[1:-1]
+    c = v[2:]
+    # signed spherical excess via the dihedral-angle (Girard) formula
+    ab = cross3(a, b)
+    bc = cross3(b, c)
+    ca = cross3(c, a)
 
-        def ang(u, w):
-            nu = u / np.linalg.norm(u)
-            nw = w / np.linalg.norm(w)
-            return np.arctan2(np.linalg.norm(np.cross(nu, nw)), -float(nu @ nw))
+    def ang(u, w):
+        nu = u / np.sqrt((u * u).sum(axis=-1, keepdims=True))
+        nw = w / np.sqrt((w * w).sum(axis=-1, keepdims=True))
+        return np.arctan2(
+            np.sqrt((cross3(nu, nw) ** 2).sum(axis=-1)), -(nu * nw).sum(axis=-1)
+        )
 
-        area = ang(ab, ca) + ang(bc, ab) + ang(ca, bc) - np.pi
-        sign = 1.0 if float(np.cross(a, b) @ c) > 0 else -1.0
-        total += sign * abs(area)
+    area = ang(ab, ca) + ang(bc, ab) + ang(ca, bc) - np.pi
+    sign = np.where((ab * c).sum(axis=-1) > 0, 1.0, -1.0)
+    total = float((sign * np.abs(area)).sum())
     if total < 0:
         total += 4.0 * np.pi
     return float(total)

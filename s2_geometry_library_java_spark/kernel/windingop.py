@@ -99,22 +99,11 @@ def winding_operation(
     if not segs:
         return rg.Polygon([])
 
+    from .booleanop import _side_probes
+
     eps = max(snap_radius * 0.25, 64.0 * np.finfo(np.float64).eps)
-    probes = []
-    for u, v in segs:
-        su, sv = S[u], S[v]
-        m = su + sv
-        mn = float(np.sqrt(m @ m))
-        if mn < 1e-9:
-            raise ValueError("antipodal snapped sub-edge")
-        m = m / mn
-        n = np.cross(su, sv)
-        n = n / float(np.sqrt(n @ n))
-        pl = m + eps * n
-        pr = m - eps * n
-        probes.append(pl / np.sqrt(pl @ pl))
-        probes.append(pr / np.sqrt(pr @ pr))
-    probes = np.asarray(probes)
+    # (2k,3): left probes first then right (boolean_op's probe layout)
+    probes = _side_probes(np.asarray(S), segs, eps)
 
     # Winding numbers are evaluated against the SNAPPED chains (the probes
     # sit just off the snapped edges, and snapped chains can deviate from
@@ -150,7 +139,7 @@ def winding_operation(
     keep = rule_fn(w)
     out_edges = []
     for k, (u, v) in enumerate(segs):
-        left, right = bool(keep[2 * k]), bool(keep[2 * k + 1])
+        left, right = bool(keep[k]), bool(keep[len(segs) + k])
         if left and not right:
             out_edges.append((u, v))
         elif right and not left:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import columns as cc
 from .shapes import _parse_polygon, coverings_df
+from ..localdf import local_df
 
 
 def _levels(cov: DataFrame) -> list[int]:
@@ -38,22 +39,33 @@ def _levels(cov: DataFrame) -> list[int]:
     ]
 
 
+SMALL_SHAPES_THRESHOLD = 1000
+
+
 def candidate_pairs(
     shapes_a: DataFrame,
     shapes_b: DataFrame,
     max_cells: int = 8,
-    small_shapes: bool = True,
+    small_shapes: bool | None = None,
 ) -> DataFrame:
     """(a_id, b_id) for every pair whose coverings share sphere area —
     the covering-intersection join (a cell of one side contained in a
     cell of the other, tested as ancestor equi-joins both ways).
 
-    ``small_shapes`` (default): BOTH sides' coverings come from a single
+    ``small_shapes`` True: BOTH sides' coverings come from a single
     distributed coverer pass over the union of the shape tables, collected
     once, and the range-overlap pairing runs driver-side on the tiny cell
     lists — one Python-stage job instead of two persisted covering jobs
-    plus level probes. Set False for very large shape tables, where the
-    ancestor equi-join form below stays fully distributed."""
+    plus level probes. False: the ancestor equi-join form below stays
+    fully distributed. Default None AUTO-selects: the driver-side
+    O(|covA|*|covB|) pairing is only taken when both sides count at most
+    SMALL_SHAPES_THRESHOLD shapes, so large tables can never hit the
+    collect path by default."""
+    if small_shapes is None:
+        small_shapes = (
+            shapes_a.count() <= SMALL_SHAPES_THRESHOLD
+            and shapes_b.count() <= SMALL_SHAPES_THRESHOLD
+        )
     if small_shapes:
         import numpy as _np
 
@@ -83,9 +95,13 @@ def candidate_pairs(
                 if alo <= bhi and blo <= ahi
             }
         )
-        return spark.createDataFrame(
+        # coalesce to the pair count: a driver-local list parallelizes to
+        # defaultParallelism slices, and every downstream mapInPandas task
+        # costs a Python worker — 32 near-empty workers for 2 pairs is
+        # pure scheduling overhead on the pair-kernel stage
+        return local_df(spark, 
             pairs or [], "a_id string, b_id string"
-        )
+        ).coalesce(max(1, min(len(pairs), 32)))
     cov_a = coverings_df(shapes_a, max_cells=max_cells).select(
         F.col("shape_id").alias("a_id"), "cell_id"
     ).persist()

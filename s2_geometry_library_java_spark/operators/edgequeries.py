@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import udfs
 from .closestedge import edge_min_chord2_cols
+from ..localdf import local_df
 
 
 def _det(px, py, pz, qx, qy, qz, rx, ry, rz) -> Column:
@@ -427,7 +428,7 @@ def chain_interpolate(
             F.sum("elen").over(we.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)
         ),
     ).withColumn("total", F.sum("elen").over(we.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    fr = chains.sparkSession.createDataFrame(
+    fr = local_df(chains.sparkSession, 
         [(int(round(f * 100)), float(f)) for f in fractions], "frac_pct int, frac double"
     )
     cand = e.crossJoin(F.broadcast(fr)).where(
@@ -471,8 +472,10 @@ def convex_hull_per_group(
     """G5 as a per-group kernel after grouping: the convex hull of each
     group's points, emitted as (group_id, seq, point_id) hull-vertex rows
     in CCW loop order (hull vertices ARE input points, so ids are exact
-    integers — no FP in the output). Groups spanning a hemisphere yield
-    no rows (no convex hull exists; the reference returns the full loop)."""
+    integers — no FP in the output). Groups spanning a hemisphere hull to
+    the reference's FULL loop (S2ConvexHullQuery.java:137-153) and emit
+    ONE marker row with point_id = -1 (the full loop's single vertex is
+    the fake Z_NEG, not an input point)."""
     import numpy as np
     import pandas as pd
 
@@ -485,6 +488,14 @@ def convex_hull_per_group(
         x, y, z = s2.latlng_to_xyz(lat_r, lng_r)
         pts = np.stack([x, y, z], axis=1)
         hull = ch.convex_hull(pts)
+        if ch.is_full_hull(hull):
+            return pd.DataFrame(
+                {
+                    "group_id": np.array([key[0]], dtype=np.int64),
+                    "seq": np.array([0], dtype=np.int32),
+                    "point_id": np.array([-1], dtype=np.int64),
+                }
+            )
         if hull is None or len(hull) == 0:
             return pd.DataFrame({"group_id": [], "seq": [], "point_id": []}).astype(
                 {"group_id": "int64", "seq": "int32", "point_id": "int64"}

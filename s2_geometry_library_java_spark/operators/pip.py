@@ -34,6 +34,7 @@ from ..kernel import cellid as s2
 from ..kernel import coverer as cov
 from ..kernel import region as rg
 from ..kernel.cell import Cell
+from ..localdf import local_df
 
 
 def covering_rows(
@@ -128,7 +129,7 @@ def pip_join(
     rows = covering_rows(polygons, max_cells=max_cells)
     levels = sorted({int(s2.level(np.uint64(np.int64(r[1]).view(np.uint64)))) for r in rows})
     cov_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             rows,
             "polygon_id string, cell_id long, range_min_b long, range_max_b long, is_interior boolean",
         ).select("polygon_id", "cell_id", "is_interior")
@@ -210,7 +211,7 @@ def pip_join_convex(
     rows = covering_rows(polygons, max_cells=max_cells)
     levels = sorted({int(s2.level(np.uint64(np.int64(r[1]).view(np.uint64)))) for r in rows})
     cov_df = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             rows,
             "polygon_id string, cell_id long, range_min_b long, range_max_b long, is_interior boolean",
         ).select("polygon_id", "cell_id", "is_interior")

@@ -26,6 +26,7 @@ from pyspark.sql.types import BooleanType
 from ..functions import columns as cc
 from ..functions import udfs
 from ..kernel import cellid as s2
+from ..localdf import local_df
 
 
 @lru_cache(maxsize=4096)
@@ -198,7 +199,7 @@ def pip_join_indexed(
             }
         )
         cov_b = F.broadcast(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(r["shape_id"], r["cell_id"], r["is_interior"]) for r in collected],
                 "polygon_id string, cell_id long, is_interior boolean",
             )

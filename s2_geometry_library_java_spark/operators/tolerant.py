@@ -40,6 +40,7 @@ from ..kernel import cellid as s2
 from ..kernel import coverer as cov
 from ..kernel import region as rg
 from ..kernel import sphere
+from ..localdf import local_df
 
 
 #: Max radius for which the level-0 (face) 3x3-ring adjacency guarantee
@@ -207,7 +208,7 @@ def within_distance_of_polygons(
         {int(s2.level(np.uint64(np.int64(r[1]).view(np.uint64)))) for r in rows}
     )
     cov_df = F.broadcast(
-        spark.createDataFrame(rows, "polygon_id string, cell_id long")
+        local_df(spark, rows, "polygon_id string, cell_id long")
     )
     threshold = float(sphere.chord2_from_angle(radius_rad))
     pts = points.select(

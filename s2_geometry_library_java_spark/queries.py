@@ -28,6 +28,7 @@ from .kernel import sphere
 from .operators import dedup, knn, pip, similarity, textstats, tiling, tolerant
 from .sources import docs as docsrc
 from .sources import geo, tables
+from .localdf import local_df
 
 # ---------------------------------------------------------------------------
 # Fixed query geometry (deterministic, defined once; convex CCW quads so the
@@ -165,7 +166,7 @@ def q_composite_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = rg.RegionIntersection([_CAP, _RECT2])
     coverer = cov.RegionCoverer(max_cells=12)
     ids = coverer.get_covering(region)
-    union = spark.createDataFrame(
+    union = local_df(spark, 
         [(int(np.int64(np.uint64(c))),) for c in ids], "cell_id long"
     )
     pts = tables.load_table(spark, sf_dir, "customer").select(
@@ -446,7 +447,7 @@ def q_pip_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver loop. Same oracle as pip_contains."""
     from .operators import shapes as shape_ops
 
-    shapes = spark.createDataFrame(
+    shapes = local_df(spark, 
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
     ).coalesce(1)
@@ -667,7 +668,7 @@ def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import closestedge
     from .operators import shapes as shape_ops
 
-    shapes = spark.createDataFrame(
+    shapes = local_df(spark, 
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
     ).coalesce(1)
@@ -708,11 +709,11 @@ def q_crossing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import edgequeries
     from .operators import shapes as shape_ops
 
-    shapes_a = spark.createDataFrame(
+    shapes_a = local_df(spark, 
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
     ).coalesce(1)
-    shapes_b = spark.createDataFrame(
+    shapes_b = local_df(spark, 
         [(pid + "s", _shifted_quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
     ).coalesce(1)
@@ -772,7 +773,7 @@ def q_hausdorff_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import edgequeries
     from .operators import shapes as shape_ops
 
-    shapes = spark.createDataFrame(
+    shapes = local_df(spark, 
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
     ).coalesce(1)
@@ -878,7 +879,7 @@ def q_buffered_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     poly = _quad_polygon(*PIP_QUADS["p0"])
     reg = rg.BufferedRegion(poly, NEAR_POLY_RADIUS_RAD)
     ids = cov.RegionCoverer(max_cells=16).get_covering(reg)
-    union = spark.createDataFrame(
+    union = local_df(spark, 
         [(int(np.int64(np.uint64(c))),) for c in ids], "cell_id long"
     )
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
@@ -1059,16 +1060,16 @@ def q_boolean_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # tiny fixture tables: coalesce(1) so the covering/pair mapInPandas
     # stages pay one Python worker, not shuffle.partitions near-empty ones
-    sa = spark.createDataFrame(
+    sa = local_df(spark, 
         [(k, _bp_quad_text(*v)) for k, v in _BP_QUADS.items() if k.startswith("a")],
         "shape_id string, text string",
     ).coalesce(1)
-    sb = spark.createDataFrame(
+    sb = local_df(spark, 
         [(k, _bp_quad_text(*v)) for k, v in _BP_QUADS.items() if k.startswith("b")],
         "shape_id string, text string",
     ).coalesce(1)
     probes = F.broadcast(
-        spark.createDataFrame(_BP_PROBES, "probe_id int, plat double, plng double")
+        local_df(spark, _BP_PROBES, "probe_id int, plat double, plng double")
     )
     # both ops in ONE pair-kernel pass and ONE probe-membership pass:
     # Python stages carry a fixed scheduling cost (several seconds at
@@ -1078,7 +1079,7 @@ def q_boolean_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     allp = (
         sa.select(F.col("shape_id").alias("a_id"), F.col("text").alias("a_text"))
         .crossJoin(sb.select(F.col("shape_id").alias("b_id")))
-        .crossJoin(spark.createDataFrame([(o,) for o in ops], "op string"))
+        .crossJoin(local_df(spark, [(o,) for o in ops], "op string"))
     )
     default = F.when(F.col("op") == "difference", F.col("a_text")).otherwise(F.lit(""))
     res = (
@@ -1228,34 +1229,67 @@ def q_winding_union_oracle() -> str:
     """
 
 
+#: hemisphere-spanning fixture group for the FULL-loop semantics
+#: (S2ConvexHullQuery.java:137-153): group 99's points surround the whole
+#: sphere, so its hull is the full loop and NO point is a hull vertex.
+_HULL_FULL_GROUP = [
+    (99, 1000000 + k, la, ln)
+    for k, (la, ln) in enumerate(
+        [(85.0, 0.0), (85.0, 120.0), (85.0, 240.0),
+         (-80.0, 60.0), (-80.0, 190.0), (-80.0, 310.0),
+         (0.0, 0.0), (0.0, 90.0), (0.0, 185.0), (0.0, 280.0)]
+    )
+]
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 with a VALUE oracle: per customer point, whether it is a vertex
-    of its nation's spherical convex hull. The hull comes from the
-    distributed Graham-scan kernel (convex_hull_per_group); the DuckDB
-    oracle characterizes hull vertices independently via supporting planes
-    (p is on the hull iff some great-circle plane through p and another
-    group point has the whole group on one side). Points are shrunk into a
-    sub-hemispheric cap (lat/4+20, lng/4) so every group has a hull."""
+    of its nation's spherical convex hull, plus the group's FULL-loop flag.
+    The hull comes from the distributed Graham-scan kernel
+    (convex_hull_per_group); the DuckDB oracle characterizes hull vertices
+    independently via supporting planes (p is on the hull iff some
+    great-circle plane through p and another group point has the whole
+    group on one side), and a group is full iff NO point has a supporting
+    plane. Customer points are shrunk into a sub-hemispheric cap
+    (lat/4+20, lng/4) so every nation group has a proper hull; fixture
+    group 99 spans the sphere and must hull to the full loop."""
     from .operators import edgequeries
 
     pts = tables.load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("group_id"),
-        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("group_id"),
+        F.col("c_custkey").cast("long").alias("id"),
         (geo.lat_col("c_custkey") / 4 + 20).alias("lat"),
         (geo.lng_col("c_custkey") / 4).alias("lng"),
+    ).unionByName(
+        local_df(
+            spark, _HULL_FULL_GROUP, "group_id int, id long, lat double, lng double"
+        ).select(
+            F.col("group_id").cast("long").alias("group_id"),
+            "id",
+            "lat",
+            "lng",
+        )
     )
     hull = edgequeries.convex_hull_per_group(pts)
-    flags = pts.select("group_id", F.col("id").alias("point_id")).join(
-        hull.select(
-            "group_id", "point_id", F.lit(True).alias("is_hull")
-        ).dropDuplicates(["group_id", "point_id"]),
-        ["group_id", "point_id"],
-        "left",
+    full_flags = hull.groupBy("group_id").agg(
+        F.max(F.col("point_id") == -1).alias("group_full")
+    )
+    flags = (
+        pts.select("group_id", F.col("id").alias("point_id"))
+        .join(
+            hull.select(
+                "group_id", "point_id", F.lit(True).alias("is_hull")
+            ).dropDuplicates(["group_id", "point_id"]),
+            ["group_id", "point_id"],
+            "left",
+        )
+        .join(F.broadcast(full_flags), ["group_id"], "left")
     )
     return flags.select(
         "group_id",
         "point_id",
         F.coalesce(F.col("is_hull"), F.lit(False)).alias("is_hull"),
+        F.coalesce(F.col("group_full"), F.lit(False)).alias("group_full"),
     )
 
 
@@ -1264,10 +1298,17 @@ def q_convex_hull_oracle() -> str:
         "(a.x*(b.y*r.z-b.z*r.y) + a.y*(b.z*r.x-b.x*r.z) "
         "+ a.z*(b.x*r.y-b.y*r.x))"
     )
+    fixture = ", ".join(
+        f"({g}, {k}, {la!r}, {ln!r})" for g, k, la, ln in _HULL_FULL_GROUP
+    )
     return f"""
-    WITH p0 AS (SELECT c_nationkey AS group_id, c_custkey AS k,
+    WITH p0 AS (
+        SELECT c_nationkey AS group_id, c_custkey AS k,
             ({geo.lat_sql('c_custkey')}) / 4 + 20 AS lat,
-            ({geo.lng_sql('c_custkey')}) / 4 AS lng FROM customer),
+            ({geo.lng_sql('c_custkey')}) / 4 AS lng FROM customer
+        UNION ALL
+        SELECT group_id, k, lat, lng
+        FROM (VALUES {fixture}) AS fx(group_id, k, lat, lng)),
     p AS (SELECT group_id, k, {_XYZ_SQL} FROM p0),
     support AS (
         SELECT a.group_id, a.k AS pid, b.k AS qid,
@@ -1277,10 +1318,17 @@ def q_convex_hull_oracle() -> str:
         JOIN p b ON b.group_id = a.group_id AND b.k <> a.k
         JOIN p r ON r.group_id = a.group_id
         GROUP BY a.group_id, a.k, b.k),
-    verts AS (SELECT DISTINCT group_id, pid FROM support WHERE allp OR alln)
+    verts AS (SELECT DISTINCT group_id, pid FROM support WHERE allp OR alln),
+    gfull AS (SELECT p.group_id, count(verts.pid) = 0 AS group_full
+              FROM p LEFT JOIN verts
+                ON verts.group_id = p.group_id AND verts.pid = p.k
+              GROUP BY p.group_id)
     SELECT p.group_id AS group_id, p.k AS point_id,
-           (verts.pid IS NOT NULL) AS is_hull
-    FROM p LEFT JOIN verts ON verts.group_id = p.group_id AND verts.pid = p.k
+           (verts.pid IS NOT NULL) AS is_hull,
+           gfull.group_full AS group_full
+    FROM p
+    LEFT JOIN verts ON verts.group_id = p.group_id AND verts.pid = p.k
+    JOIN gfull ON gfull.group_id = p.group_id
     """
 
 
@@ -1422,7 +1470,7 @@ def q_pip_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         _MODELS_PROBES, "point_id long, lat double, lng double"
     )
     cust = tables.load_table(spark, sf_dir, "customer").select(
@@ -1500,7 +1548,7 @@ def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     syd_coverer = cov.RegionCoverer(min_level=0, max_level=22, max_cells=2**31 - 1)
     for seq, tok in enumerate(syd_coverer.get_covering_tokens(line_syd)):
         rows.append(("line_syd", seq, tok))
-    return spark.createDataFrame(rows, "region_id string, seq int, token string")
+    return local_df(spark, rows, "region_id string, seq int, token string")
 
 
 def q_covering_tokens_oracle() -> str:
@@ -2165,10 +2213,10 @@ def q_union_intersection_membership(spark: SparkSession, sf_dir: str) -> DataFra
     cap_a = rg.Cap.from_latlng_deg(20.0, 30.0, 12.0)
     cap_b = rg.Cap.from_latlng_deg(24.0, 36.0, 12.0)
     coverer = cov.RegionCoverer(max_cells=24)
-    ua = spark.createDataFrame(
+    ua = local_df(spark, 
         [(int(np.int64(np.uint64(c))),) for c in coverer.get_covering(cap_a)], "cell_id long"
     )
-    ub = spark.createDataFrame(
+    ub = local_df(spark, 
         [(int(np.int64(np.uint64(c))),) for c in coverer.get_covering(cap_b)], "cell_id long"
     )
     inter = cellunion.intersection_df(ua, ub)

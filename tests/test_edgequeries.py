@@ -46,9 +46,19 @@ def test_convex_hull_properties():
                 assert isin, p
 
 
-def test_convex_hull_hemisphere_none():
+def test_convex_hull_hemisphere_full_loop():
+    """S2ConvexHullQuery.java:137-153: geometry spanning more than half
+    the sphere hulls to the FULL loop (single Z_NEG vertex), not None."""
     pts = np.array([[1.0, 0, 0], [-1.0, 0, 0], [0, 1.0, 0], [0, -1.0, 0]])
-    assert ch.convex_hull(pts) is None
+    hull = ch.convex_hull(pts)
+    assert ch.is_full_hull(hull)
+    # exactly antipodal pair -> full loop (S2ConvexHullQuery.java:255-265)
+    anti = np.array([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0]])
+    assert ch.is_full_hull(ch.convex_hull(anti))
+    # a normal cap-bounded set is NOT full
+    cap = np.array([[1.0, 0, 0], [0.99, 0.1, 0], [0.99, 0, 0.1]])
+    cap = cap / np.sqrt((cap ** 2).sum(axis=1))[:, None]
+    assert not ch.is_full_hull(ch.convex_hull(cap))
 
 
 def test_crossing_pairs_matches_kernel(spark):

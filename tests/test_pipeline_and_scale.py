@@ -343,3 +343,54 @@ def test_streaming_first_seen_stateful(spark, tmp_path):
     # hit the even location, 1 the odd one; expect 4 distinct pairs? derive:
     want = {(k % 3, (10.0, 20.0) if k % 2 == 0 else (-40.0, 100.0)) for k in range(30)}
     assert len(pairs) == len(want)
+
+
+def test_candidate_pairs_auto_guard(spark, monkeypatch):
+    """candidate_pairs default (auto) must flip to the fully distributed
+    ancestor equi-join when a side exceeds SMALL_SHAPES_THRESHOLD, and
+    both paths must produce identical pair sets."""
+    from s2_geometry_library_java_spark.operators import booleanops as bpo
+
+    def quad(lat0, lng0, d=3.0):
+        pts = [(lat0, lng0), (lat0, lng0 + d), (lat0 + d, lng0 + d), (lat0 + d, lng0)]
+        return ", ".join(f"{float(la)!r}:{float(ln)!r}" for la, ln in pts)
+
+    sa = spark.createDataFrame(
+        [(f"a{k}", quad(10.0 + 4 * k, 20.0)) for k in range(4)],
+        "shape_id string, text string",
+    )
+    sb = spark.createDataFrame(
+        [(f"b{k}", quad(11.0 + 4 * k, 21.0)) for k in range(4)],
+        "shape_id string, text string",
+    )
+
+    def pairs_of(df):
+        return sorted((r["a_id"], r["b_id"]) for r in df.collect())
+
+    small = pairs_of(bpo.candidate_pairs(sa, sb, small_shapes=True))
+    dist = pairs_of(bpo.candidate_pairs(sa, sb, small_shapes=False))
+    assert small == dist and len(small) >= 4  # overlapping ladder pairs
+
+    # force the threshold below the table size: auto must take the
+    # distributed path (collect() on coverings would raise if called)
+    monkeypatch.setattr(bpo, "SMALL_SHAPES_THRESHOLD", 2)
+    called = {"collect": False}
+    import s2_geometry_library_java_spark.operators.shapes as shp
+
+    real_coverings = shp.coverings_df
+
+    def spy(df, **kw):
+        out = real_coverings(df, **kw)
+        orig_collect = out.collect
+
+        def marked():
+            called["collect"] = True
+            return orig_collect()
+
+        out.collect = marked
+        return out
+
+    monkeypatch.setattr(bpo, "coverings_df", spy)
+    auto = pairs_of(bpo.candidate_pairs(sa, sb))
+    assert auto == dist
+    assert not called["collect"], "auto took the driver-side collect path"
