@@ -376,9 +376,20 @@ def boolean_op_snapped(
     Implements REGULARIZED (area-interior) semantics: degenerate outputs
     — isolated points/edges where the inputs merely touch — are discarded,
     matching S2BooleanOperation's default polygon layer with semi-open
-    boundaries. Requires the parity reference point (Loop.ORIGIN) to be
-    farther than snap_radius from every input boundary.
+    boundaries (boolean_op_mixed emits them). Requires the parity
+    reference point (Loop.ORIGIN) to be farther than snap_radius from
+    every input boundary.
     """
+    return _snapped_core(a, b, op, snap_radius)["polygon"]
+
+
+def _snapped_core(
+    a: "rg.Polygon", b: "rg.Polygon", op: str, snap_radius: float = 1e-10
+) -> dict:
+    """Shared engine for boolean_op_snapped / boolean_op_mixed: builds the
+    snapped arrangement, classifies every sub-edge's two sides under the
+    op, assembles the regularized polygon, and returns all intermediates
+    (sites, segs, per-side input/result memberships, layer edge sets)."""
     from . import builder as bu
     from . import predicates
 
@@ -418,13 +429,23 @@ def boolean_op_snapped(
     a_origin_in = origin_in(a)
     b_origin_in = origin_in(b)
 
-    segs = set()
-    for layer in (0, 1):
-        for s, e in g.layer_edges(layer, dedupe=True):
-            segs.add((min(s, e), max(s, e)))
-    segs = sorted(segs)
+    a_edge_set = {(min(s, e), max(s, e)) for s, e in g.layer_edges(0, dedupe=True)}
+    b_edge_set = {(min(s, e), max(s, e)) for s, e in g.layer_edges(1, dedupe=True)}
+    segs = sorted(a_edge_set | b_edge_set)
+    empty = {
+        "polygon": rg.Polygon([]),
+        "sites": S,
+        "segs": [],
+        "a_edge_set": a_edge_set,
+        "b_edge_set": b_edge_set,
+        "in_a": np.zeros(0, dtype=bool),
+        "in_b": np.zeros(0, dtype=bool),
+        "r_left": np.zeros(0, dtype=bool),
+        "r_right": np.zeros(0, dtype=bool),
+        "out_edges": [],
+    }
     if not segs:
-        return rg.Polygon([])
+        return empty
 
     eps = max(snap_radius * 0.25, 64.0 * np.finfo(np.float64).eps)
     probes = _side_probes(S, segs, eps)
@@ -447,15 +468,140 @@ def boolean_op_snapped(
             out_edges.append((u, v))
         elif r_right[k] and not r_left[k]:
             out_edges.append((v, u))
-    if not out_edges:
-        return rg.Polygon([])
     loops = []
-    for verts in bu.assemble_loops(S, out_edges):
-        lp = rg.Loop(np.asarray(verts))
-        if sphere.signed_loop_area(lp.vertices) > 2.0 * np.pi:
-            lp = rg.Loop(np.asarray(verts[::-1]))
-        loops.append(lp)
-    return rg.Polygon(loops)
+    if out_edges:
+        for verts in bu.assemble_loops(S, out_edges):
+            lp = rg.Loop(np.asarray(verts))
+            if sphere.signed_loop_area(lp.vertices) > 2.0 * np.pi:
+                lp = rg.Loop(np.asarray(verts[::-1]))
+            loops.append(lp)
+    return {
+        "polygon": rg.Polygon(loops),
+        "sites": S,
+        "segs": segs,
+        "a_edge_set": a_edge_set,
+        "b_edge_set": b_edge_set,
+        "in_a": in_a,
+        "in_b": in_b,
+        "r_left": r_left,
+        "r_right": r_right,
+        "out_edges": out_edges,
+    }
+
+
+def boolean_op_mixed(
+    a: "rg.Polygon", b: "rg.Polygon", op: str, snap_radius: float = 1e-10
+) -> tuple["rg.Polygon", list, list]:
+    """Mixed-dimension boolean op: (polygon, degenerate_edges,
+    degenerate_points) under the CLOSED polygon model
+    (S2BooleanOperation.java:268-273 polygon model options;
+    S2ClosedSetNormalizer.java semantics).
+
+    The regularized polygon is exactly boolean_op_snapped's. Additionally:
+
+    * a snapped sub-edge whose two sides are BOTH excluded from the
+      regularized result but which belongs to the op's closed combination
+      — e.g. the shared edge of two tangent polygons under intersection
+      (closure of A and closure of B both contain it), or A's boundary
+      edge flush against B's under difference (closed(A) minus open(B)
+      keeps it) — is emitted as a DEGENERATE EDGE (pair of site points);
+    * a snapped site that belongs to the closed combination but has no
+      incident polygon or degenerate edge in the output — a vertex-only
+      tangency — is emitted as a DEGENERATE POINT.
+
+    Per S2ClosedSetNormalizer, degeneracies contained in a
+    higher-dimension output element are suppressed (edge endpoints are
+    never also points; edges on the result polygon's boundary are never
+    degenerate)."""
+    from . import predicates
+
+    core = _snapped_core(a, b, op, snap_radius)
+    S = core["sites"]
+    segs = core["segs"]
+    a_set, b_set = core["a_edge_set"], core["b_edge_set"]
+    in_a, in_b = core["in_a"], core["in_b"]
+    r_left, r_right = core["r_left"], core["r_right"]
+    n = len(segs)
+
+    def closed_edge_member(k, on_set, side_member):
+        # edge in the CLOSED operand region: covers a side, or lies on
+        # the operand's own boundary
+        return bool(side_member[k] or side_member[n + k] or (segs[k] in on_set))
+
+    def open_edge_member(k, on_set, side_member):
+        # strictly interior: covers both sides and is not boundary
+        return bool(
+            side_member[k] and side_member[n + k] and (segs[k] not in on_set)
+        )
+
+    def combine_closed(ca, cb, oa, ob):
+        if op == "intersection":
+            return ca and cb
+        if op == "union":
+            return ca or cb
+        if op == "difference":
+            return ca and not ob
+        return (ca and not ob) or (cb and not oa)  # symmetric_difference
+
+    degen_edges = []
+    degen_edge_sites = set()
+    for k in range(n):
+        if r_left[k] or r_right[k]:
+            continue  # a side survives: the edge is ordinary boundary
+        ca = closed_edge_member(k, a_set, in_a)
+        cb = closed_edge_member(k, b_set, in_b)
+        oa = open_edge_member(k, a_set, in_a)
+        ob = open_edge_member(k, b_set, in_b)
+        if combine_closed(ca, cb, oa, ob):
+            u, v = segs[k]
+            degen_edges.append((S[u].copy(), S[v].copy()))
+            degen_edge_sites.update((u, v))
+
+    # sites used by the output polygon boundary
+    poly_sites = {u for u, _ in core["out_edges"]} | {
+        v for _, v in core["out_edges"]
+    }
+    a_sites = {s for e in a_set for s in e}
+    b_sites = {s for e in b_set for s in e}
+    cand_sites = sorted((a_sites | b_sites) - poly_sites - degen_edge_sites)
+    degen_points = []
+    if cand_sites:
+        pts = S[np.asarray(cand_sites, dtype=np.int64)]
+        origin = rg.Loop.ORIGIN
+
+        def strict_inside(poly, edge_set, site_ids):
+            # parity membership; ill-defined exactly ON the boundary, but
+            # candidate sites that are vertices of this operand are
+            # resolved by the vertex rule below, not by parity
+            if not edge_set:
+                return np.zeros(len(site_ids), dtype=bool)
+            es = sorted(edge_set)
+            ea = S[np.asarray([u for u, _ in es])]
+            eb = S[np.asarray([v for _, v in es])]
+            cr = predicates.count_crossings_edges(origin, pts, ea, eb)
+            oin = False
+            for lp in poly.loops:
+                oin ^= bool(lp.origin_inside)
+            return np.where((cr & 1) == 1, not oin, oin)
+
+        ins_a = strict_inside(a, a_set, cand_sites)
+        ins_b = strict_inside(b, b_set, cand_sites)
+        for idx, sid in enumerate(cand_sites):
+            va = sid in a_sites
+            vb = sid in b_sites
+            ca = va or bool(ins_a[idx])
+            cb = vb or bool(ins_b[idx])
+            oa = bool(ins_a[idx]) and not va
+            ob = bool(ins_b[idx]) and not vb
+            if combine_closed(ca, cb, oa, ob):
+                # the closed combination holds at the site but no output
+                # element of higher dimension contains it
+                poly_covers = core["polygon"].contains_points(
+                    pts[idx : idx + 1, 0], pts[idx : idx + 1, 1], pts[idx : idx + 1, 2]
+                )
+                if not bool(poly_covers[0]):
+                    degen_points.append(S[sid].copy())
+    return core["polygon"], degen_edges, degen_points
 
 
 def boolean_op(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":

@@ -973,6 +973,20 @@ def _q_boolean_oracle(op: str) -> str:
 # handled by the snap-rounding path.
 _BOOL_DEGEN_A = [(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)]
 _BOOL_DEGEN_B = [(14.0, 36.0), (14.0, 48.0), (26.0, 48.0), (26.0, 36.0)]
+# C shares exactly ONE vertex with A (26,36); its left meridian edge is the
+# collinear continuation of A's right edge, so the closed intersection of
+# A and C is exactly that point.
+_BOOL_DEGEN_C = [(26.0, 36.0), (26.0, 44.0), (32.0, 44.0), (32.0, 36.0)]
+
+#: probes for the mixed-output (CLOSED-model) tier: on the shared edge,
+#: at its endpoints, at the shared vertex, and clearly off on every side.
+_DEGEN_PROBES = [
+    (0, 16.0, 36.0), (1, 18.0, 36.0), (2, 20.0, 36.0), (3, 24.0, 36.0),
+    (4, 14.0, 36.0), (5, 26.0, 36.0),       # shared-edge endpoints
+    (6, 20.0, 30.0), (7, 20.0, 42.0),       # strictly inside A / B only
+    (8, 8.0, 36.0), (9, 29.0, 40.0),        # outside A&B / inside C only
+    (10, 28.0, 36.0),                        # on C's left edge, not on A
+]
 
 
 def _degen_poly(pts):
@@ -985,11 +999,22 @@ def q_boolean_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap-rounding path, then membership-checked against the orders points
     via the standard PIP join. Rows: (k, op) for each op whose result
     contains the point; intersection is empty by construction (the shared
-    edge regularizes away) and contributes no rows on either side."""
+    edge regularizes away) and contributes no rows on either side.
+
+    MIXED-OUTPUT tier (round 4): boolean_op_mixed under the CLOSED model
+    (S2BooleanOperation polygon models + S2ClosedSetNormalizer) on the
+    shared-edge pair (a,b) and the shared-vertex pair (a,c). The emitted
+    degenerate edges/points are value-checked by probe membership: a probe
+    is in the closed intersection iff it lies on an emitted degenerate
+    element (or in the regularized polygon) — compared against the SQL
+    closed-membership (dets >= -eps) of both inputs. Probe k-space is
+    offset by 1e9/2e9 to stay disjoint from order keys."""
     from .kernel import booleanop as bo
+    from .kernel import edges as ekr
 
     a = _degen_poly(_BOOL_DEGEN_A)
     b = _degen_poly(_BOOL_DEGEN_B)
+    c = _degen_poly(_BOOL_DEGEN_C)
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
     out = None
     for op in ("union", "difference", "symmetric_difference", "intersection"):
@@ -1000,22 +1025,57 @@ def q_boolean_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("point_id").alias("k"), F.col("polygon_id").alias("op")
         )
         out = rows if out is None else out.unionByName(rows)
-    return out
+
+    mixed_rows = []
+    for tag, other, base in (("ab", b, 10**9), ("ac", c, 2 * 10**9)):
+        poly_m, de, dp = bo.boolean_op_mixed(a, other, "intersection")
+        for pid, la, ln in _DEGEN_PROBES:
+            p = np.ravel(s2.latlng_to_xyz(np.radians(la), np.radians(ln)))
+            inside = bool(
+                poly_m.loops
+                and poly_m.contains_points(p[0:1], p[1:2], p[2:3])[0]
+            )
+            for e0, e1 in de:
+                if inside:
+                    break
+                d2 = float(np.atleast_1d(ekr.min_chord2_to_edges(p, e0, e1))[0])
+                inside = d2 < 1e-24
+            for q in dp:
+                if inside:
+                    break
+                inside = float(((p - q) ** 2).sum()) < 1e-24
+            if inside:
+                mixed_rows.append((base + pid, f"degen_{tag}"))
+    return out.unionByName(local_df(spark, mixed_rows, "k long, op string"))
 
 
 def q_boolean_degenerate_oracle() -> str:
     ea = _poly_edges_values(_degen_poly(_BOOL_DEGEN_A), "a")
     eb = _poly_edges_values(_degen_poly(_BOOL_DEGEN_B), "b")
+    ec = _poly_edges_values(_degen_poly(_BOOL_DEGEN_C), "c")
+    probes = ", ".join(f"({pid}, {la!r}, {ln!r})" for pid, la, ln in _DEGEN_PROBES)
+    det = "(ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x))"
     return f"""
     WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('orders', 'o_orderkey')})),
     ea(pid, ax, ay, az, bx, by, bz) AS (VALUES {ea}),
     eb(pid, ax, ay, az, bx, by, bz) AS (VALUES {eb}),
-    ia AS (SELECT k FROM (SELECT p.k,
-            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+    ec(pid, ax, ay, az, bx, by, bz) AS (VALUES {ec}),
+    ia AS (SELECT k FROM (SELECT p.k, {det} AS det
             FROM p CROSS JOIN ea) GROUP BY k HAVING bool_and(det > 0)),
-    ib AS (SELECT k FROM (SELECT p.k,
-            (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
-            FROM p CROSS JOIN eb) GROUP BY k HAVING bool_and(det > 0))
+    ib AS (SELECT k FROM (SELECT p.k, {det} AS det
+            FROM p CROSS JOIN eb) GROUP BY k HAVING bool_and(det > 0)),
+    dprobes0(pid, lat, lng) AS (VALUES {probes}),
+    dp AS (SELECT pid AS k, {_XYZ_SQL} FROM dprobes0 p0
+           -- reuse the shared lat/lng->xyz expression via aliasing
+           ),
+    -- CLOSED membership: every edge determinant >= -eps (boundary points
+    -- have det ~ 0 in FP; off probes are degrees away)
+    ca AS (SELECT k FROM (SELECT dp.k, {det} AS det
+            FROM dp CROSS JOIN ea) GROUP BY k HAVING bool_and(det >= -1e-12)),
+    cb AS (SELECT k FROM (SELECT dp.k, {det} AS det
+            FROM dp CROSS JOIN eb) GROUP BY k HAVING bool_and(det >= -1e-12)),
+    cc AS (SELECT k FROM (SELECT dp.k, {det} AS det
+            FROM dp CROSS JOIN ec) GROUP BY k HAVING bool_and(det >= -1e-12))
     SELECT k, 'union' AS op FROM (SELECT k FROM ia UNION SELECT k FROM ib)
     UNION ALL
     SELECT k, 'difference' AS op FROM (SELECT k FROM ia EXCEPT SELECT k FROM ib)
@@ -1023,6 +1083,12 @@ def q_boolean_degenerate_oracle() -> str:
     SELECT k, 'symmetric_difference' AS op FROM (
         (SELECT k FROM ia EXCEPT SELECT k FROM ib)
         UNION (SELECT k FROM ib EXCEPT SELECT k FROM ia))
+    UNION ALL
+    SELECT 1000000000 + k, 'degen_ab' AS op FROM
+        (SELECT k FROM ca INTERSECT SELECT k FROM cb)
+    UNION ALL
+    SELECT 2000000000 + k, 'degen_ac' AS op FROM
+        (SELECT k FROM ca INTERSECT SELECT k FROM cc)
     """
 
 

@@ -313,3 +313,97 @@ def test_clip_boundary_batch_bit_equal_scalar():
             got_b = bo._clip_boundary_batch(Ba, Bb, jj, X, a, keep, rev)
             assert got_a == want_a
             assert got_b == want_b
+
+
+def test_boolean_op_mixed_shared_edge():
+    """CLOSED-model mixed outputs (S2BooleanOperation polygon models +
+    S2ClosedSetNormalizer): two quads tangent along a full shared edge.
+    Intersection of their closures is exactly that edge -> degenerate
+    edge(s), empty polygon, no points; union has no degeneracies."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import booleanop as bo
+    from s2_geometry_library_java_spark.kernel import edges as ek
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    A = rg.Polygon([rg.Loop.from_latlng_degrees(
+        [(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)])])
+    B = rg.Polygon([rg.Loop.from_latlng_degrees(
+        [(14.0, 36.0), (14.0, 48.0), (26.0, 48.0), (26.0, 36.0)])])
+
+    poly, edges, points = bo.boolean_op_mixed(A, B, "intersection")
+    assert not poly.loops
+    assert edges and not points
+    # every degenerate edge lies on the shared meridian lng=36 (strictly:
+    # on the great circle through the shared edge's endpoints), between
+    # lat 14 and 26
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+
+    sa = np.ravel(ci.latlng_to_xyz(np.radians(14.0), np.radians(36.0)))
+    sb = np.ravel(ci.latlng_to_xyz(np.radians(26.0), np.radians(36.0)))
+    for p0, p1 in edges:
+        for p in (p0, p1):
+            d2 = float(np.atleast_1d(ek.min_chord2_to_edges(p, sa, sb))[0])
+            assert d2 < 1e-18
+    # the union of the emitted degenerate edges spans the whole shared
+    # edge: total arc length equals the full edge's
+    import numpy as np
+    total = sum(
+        float(np.arctan2(np.linalg.norm(np.cross(p0, p1)), p0 @ p1))
+        for p0, p1 in edges
+    )
+    full = float(np.arctan2(np.linalg.norm(np.cross(sa, sb)), sa @ sb))
+    assert abs(total - full) < 1e-9
+
+    # union: tangent edge is interior, no degeneracies
+    polyu, eu, pu = bo.boolean_op_mixed(A, B, "union")
+    assert polyu.loops and not eu and not pu
+
+    # tangent-exterior difference: the shared edge is REGULAR boundary of
+    # A \ B (= A), not degenerate
+    polyd, edd, pd = bo.boolean_op_mixed(A, B, "difference")
+    assert polyd.loops and not edd and not pd
+
+    # flush-interior difference: A2 inside B sharing a sub-segment of B's
+    # left MERIDIAN edge (meridians are true geodesics, so the shared
+    # piece is exactly collinear). closed(A2) \ open(B) leaves exactly
+    # that flush piece as degenerate edges
+    # (S2ClosedSetNormalizer difference degeneracy).
+    A2 = rg.Polygon([rg.Loop.from_latlng_degrees(
+        [(16.0, 36.0), (16.0, 42.0), (22.0, 42.0), (22.0, 36.0)])])
+    polyf, edf, pf = bo.boolean_op_mixed(A2, B, "difference")
+    assert not polyf.loops and edf and not pf
+    # flush pieces lie on the lng-36 meridian between lat 16 and 22
+    m0 = np.ravel(ci.latlng_to_xyz(np.radians(16.0), np.radians(36.0)))
+    m1 = np.ravel(ci.latlng_to_xyz(np.radians(22.0), np.radians(36.0)))
+    total_f = 0.0
+    for p0, p1 in edf:
+        for p in (p0, p1):
+            d2 = float(np.atleast_1d(ek.min_chord2_to_edges(p, m0, m1))[0])
+            assert d2 < 1e-18
+        total_f += float(np.arctan2(np.linalg.norm(np.cross(p0, p1)), p0 @ p1))
+    full_f = float(np.arctan2(np.linalg.norm(np.cross(m0, m1)), m0 @ m1))
+    assert abs(total_f - full_f) < 1e-9
+
+
+def test_boolean_op_mixed_shared_vertex():
+    """Two quads touching at exactly one vertex: closed intersection is
+    that point -> one degenerate point, no edges, empty polygon."""
+    from s2_geometry_library_java_spark.kernel import booleanop as bo
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import region as rg
+    import numpy as np
+
+    A = rg.Polygon([rg.Loop.from_latlng_degrees(
+        [(10.0, 10.0), (10.0, 20.0), (20.0, 20.0), (20.0, 10.0)])])
+    B = rg.Polygon([rg.Loop.from_latlng_degrees(
+        [(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0)])])
+    poly, edges, points = bo.boolean_op_mixed(A, B, "intersection")
+    assert not poly.loops and not edges
+    assert len(points) == 1
+    want = np.ravel(ci.latlng_to_xyz(np.radians(20.0), np.radians(20.0)))
+    got = points[0]
+    assert float(((got - want) ** 2).sum()) < 1e-18
+
+    # regularized polygon path unchanged: plain boolean_op gives empty
+    assert not bo.boolean_op(A, B, "intersection").loops
