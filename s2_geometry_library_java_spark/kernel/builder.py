@@ -15,13 +15,18 @@ kernel, scoped to what the engine's constructive ops need:
   interior crossing becomes a forced site, so downstream layers see a
   planar arrangement;
 * edge snapping: each input edge is replaced by the chain of sites within
-  edgeSnapRadius of it, ordered along the edge (S2Builder.snapEdge
-  S2Builder.java:1588-1701). SIMPLIFICATION vs the reference: sites are
-  ordered by their projection parameter along the edge and none are
-  excluded by the Voronoi-region tests (getVoronoiSiteExclusion); this is
-  exact when site separation >= snap radius holds, which site selection
-  enforces, and trades the reference's worst-case separation guarantees
-  for simplicity (documented gap);
+  edgeSnapRadius of it, ordered along the edge, with the reference's
+  Voronoi site-exclusion rules (S2Builder.snapEdge S2Builder.java:
+  1588-1701 / S2Predicates.getVoronoiSiteExclusion): a site whose
+  coverage interval on the edge nests inside a nearer site's is dropped,
+  and the three-site circumcenter rule prunes sites shadowed by their two
+  neighbors — float interval arithmetic with a stable 2*asin formulation
+  rather than the reference's exact predicates (documented precision
+  difference; exclusion decisions within ~1e-15 of a tie may differ);
+* simplify_edge_chains (S2Builder.java:20-80): Graph.simplified_layer_
+  edges subsamples maximal degree-2 paths of the output graph under the
+  snap radius, preserving junctions — snap + simplify in one
+  topology-preserving pass;
 * a polygon layer: assembly of directed region-on-the-left edges into
   loops with a tangent-plane "first outgoing edge clockwise of the
   reversed incoming direction" walk — the face traversal that keeps the
@@ -161,10 +166,13 @@ class Graph:
     need)."""
 
     def __init__(self, sites: np.ndarray, chains: list[list[int]],
-                 layers: np.ndarray):
+                 layers: np.ndarray, simplify_tolerance: float | None = None):
         self.sites = sites
         self.chains = chains
         self.layers = layers
+        #: set when the builder ran with simplify_edge_chains; the default
+        #: tolerance for simplified_layer_edges
+        self.simplify_tolerance = simplify_tolerance
 
     def layer_edges(self, layer: int, dedupe: bool = True) -> list[tuple[int, int]]:
         """Directed (src_site, dst_site) pairs of one layer; degenerate
@@ -184,13 +192,229 @@ class Graph:
                 out.append((s, e))
         return out
 
+    def simplified_layer_edges(self, layer: int, tolerance: float | None = None
+                               ) -> list[tuple[int, int]]:
+        """simplifyEdgeChains (S2Builder.java:20-80) over one layer's
+        output graph: maximal paths of DEGREE-2 sites (degree counted
+        across ALL layers, so split crossings, shared vertices and
+        multi-layer junctions are always kept) are subsampled with
+        S2Polyline.subsampleVertices under ``tolerance`` (defaults to the
+        builder's snap radius recorded at build time). Every removed site
+        lies within the tolerance of the replacement edge — the
+        reference's simplification guarantee; vertices are never moved."""
+        from . import simplify as simp
+
+        tol = self.simplify_tolerance if tolerance is None else float(tolerance)
+        if tol is None:
+            raise ValueError("no tolerance: build with simplify_edge_chains"
+                             " or pass tolerance=")
+        edges = self.layer_edges(layer, dedupe=True)
+        if not edges:
+            return edges
+        # degree across ALL layers (undirected, deduped)
+        from collections import defaultdict
+
+        deg: dict[int, set] = defaultdict(set)
+        for lay in set(int(l) for l in self.layers):
+            for s, e in self.layer_edges(lay, dedupe=True):
+                deg[s].add((min(s, e), max(s, e)))
+                deg[e].add((min(s, e), max(s, e)))
+        nbrs: dict[int, list[int]] = defaultdict(list)
+        for s, e in edges:
+            nbrs[s].append(e)
+            nbrs[e].append(s)
+        removable = {
+            v for v in nbrs
+            if len(deg[v]) == 2 and len(nbrs[v]) == 2
+        }
+        out: list[tuple[int, int]] = []
+        visited = set()
+
+        def walk(start, first):
+            """Follow removable degree-2 sites from start through first."""
+            path = [start, first]
+            while path[-1] in removable and path[-1] != start:
+                a, b = nbrs[path[-1]]
+                nxt = b if a == path[-2] else a
+                path.append(nxt)
+            return path
+
+        for s, e in edges:
+            key = (min(s, e), max(s, e))
+            if key in visited:
+                continue
+            if s in removable and e in removable:
+                continue  # reached from a path endpoint later
+            if s in removable:
+                s, e = e, s  # start from the junction end
+            if e not in removable:
+                visited.add(key)
+                out.append((s, e))
+                continue
+            path = walk(s, e)
+            for u, v in zip(path, path[1:]):
+                visited.add((min(u, v), max(u, v)))
+            keep = simp.subsample_vertices(
+                self.sites[np.asarray(path, dtype=np.int64)], tol
+            )
+            kept = [path[k] for k in keep]
+            if kept[-1] != path[-1]:
+                kept.append(path[-1])
+            out.extend(zip(kept, kept[1:]))
+        # isolated all-removable cycles (closed degree-2 loops): anchor at
+        # the smallest site id and subsample the ring
+        for s, e in edges:
+            key = (min(s, e), max(s, e))
+            if key in visited:
+                continue
+            ring = walk(s, e)
+            for u, v in zip(ring, ring[1:]):
+                visited.add((min(u, v), max(u, v)))
+            cyc = ring[:-1] if ring[0] == ring[-1] else ring
+            amin = int(np.argmin(cyc))
+            cyc = cyc[amin:] + cyc[:amin]
+            pts = self.sites[np.asarray(cyc + [cyc[0]], dtype=np.int64)]
+            keep = simp.subsample_vertices(pts, tol)
+            kept = [(cyc + [cyc[0]])[k] for k in keep]
+            if kept[-1] != kept[0]:
+                kept.append(kept[0])
+            if len(kept) > 3:
+                out.extend(zip(kept, kept[1:]))
+            else:
+                out.extend(zip(ring, ring[1:]))  # too small to simplify
+        return out
+
+
+def _coverage_intervals(cand_pts: np.ndarray, x: np.ndarray, y: np.ndarray,
+                        r_chord2: float):
+    """Arc-parameter intervals of edge XY covered by each site's
+    snap-radius disc (S2Builder.getCoverageEndpoint geometry): the edge is
+    parametrized by angle theta from X toward Y; site p covers
+    theta in [phi - delta, phi + delta] clipped to [0, theta_max], where
+    phi is the arc parameter of p's projection and delta comes from the
+    law of cosines on the coverage chord. Returns (lo, hi) arrays; empty
+    intervals have lo > hi."""
+    t = y - float(y @ x) * x
+    tn = float(np.sqrt(t @ t))
+    if tn == 0.0:
+        z = np.zeros(len(cand_pts))
+        return z, z - 1.0
+    t = t / tn
+    theta_max = float(np.arctan2(y @ t, y @ x))
+    px = cand_pts @ x
+    pt = cand_pts @ t
+    R = np.hypot(px, pt)
+    phi = np.arctan2(pt, px)
+    # Want cos(theta - phi) >= (1 - r2/2) / R, i.e. 1 - cos(delta) <= u
+    # with u = 1 - (1 - r2/2)/R. Computed stably: R - 1 = -pn^2/(R+1)
+    # where pn is the site's component normal to the edge plane (unit
+    # vectors: px^2 + pt^2 + pn^2 = 1), so u = (r2/2 - pn^2/(R+1)) / R —
+    # no 1-ulp cancellation, and delta = 2*asin(sqrt(u/2)) stays accurate
+    # down to delta ~ 1e-15 (plain arccos floors at ~1e-8).
+    pn2 = np.maximum(0.0, 1.0 - (px * px + pt * pt))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = (0.5 * r_chord2 - pn2 / (R + 1.0)) / R
+    empty = u < 0.0
+    delta = 2.0 * np.arcsin(np.sqrt(np.clip(u, 0.0, 2.0) / 2.0))
+    lo = np.maximum(phi - delta, 0.0)
+    hi = np.minimum(phi + delta, theta_max)
+    lo = np.where(empty, 1.0, lo)
+    hi = np.where(empty, 0.0, hi)
+    return lo, hi
+
+
+def _voronoi_filter(S: np.ndarray, cand: list[int], d2_cand: np.ndarray,
+                    x: np.ndarray, y: np.ndarray, r_chord2: float) -> list[int]:
+    """S2Builder.snapEdge's Voronoi site exclusion over an ordered
+    candidate list (S2Builder.java:1588-1701): a site whose coverage
+    interval on XY is contained in another's cannot have its Voronoi
+    region intersect the edge and is dropped
+    (S2Predicates.getVoronoiSiteExclusion); a site B is also dropped when
+    the circumcenter of (A, B, C) for its neighbors lies on the opposite
+    side of XY (the two adjacent Voronoi regions shadow B's).
+    ``d2_cand``: chord2 from each candidate to the edge (tie-break)."""
+    from . import predicates
+
+    pts = S[np.asarray(cand, dtype=np.int64)]
+    lo, hi = _coverage_intervals(pts, x, y, r_chord2)
+
+    def contains(i, j) -> bool:
+        # interval of cand[i] contains interval of cand[j]
+        return lo[i] <= lo[j] and hi[j] <= hi[i]
+
+    def s1(u, v, w) -> int:
+        return int(
+            predicates.sign_batch(u[None, :], v[None, :], w[None, :])[0]
+        )
+
+    chain: list[int] = []  # indices into cand
+    for ci in range(len(cand)):
+        add_c = True
+        while chain:
+            bi = chain[-1]
+            b_in_c = contains(ci, bi)
+            c_in_b = contains(bi, ci)
+            if b_in_c and c_in_b:
+                # identical coverage: keep the site nearer the edge
+                if d2_cand[bi] > d2_cand[ci]:
+                    chain.pop()
+                    continue
+                add_c = False
+                break
+            if b_in_c:
+                chain.pop()
+                continue
+            if c_in_b:
+                add_c = False
+                break
+            if len(chain) >= 2:
+                ai = chain[-2]
+                a_p, b_p, c_p = pts[ai], pts[bi], pts[ci]
+                # A too far from C to clip B's Voronoi region
+                # (maxAdjacentSiteSeparation guard, S2Builder.java:1668)
+                ac2 = float(((a_p - c_p) ** 2).sum())
+                if ac2 >= 4.0 * r_chord2:
+                    break
+                xyb = s1(x, y, b_p)
+                abc = s1(a_p, b_p, c_p)
+                if abc != xyb and xyb != 0 and abc != 0:
+                    # circumcenter of ABC (plane-normal direction through
+                    # the three sites) vs the XY great circle
+                    z = np.cross(b_p - a_p, c_p - a_p)
+                    zn = float(np.sqrt(z @ z))
+                    if zn > 1e-30:
+                        z = z / zn
+                        if float(z @ b_p) < 0:
+                            z = -z
+                        if s1(x, y, z) != xyb:
+                            chain.pop()
+                            continue
+            break
+        if add_c:
+            chain.append(ci)
+    return [cand[i] for i in chain]
+
 
 class SnapBuilder:
-    """Gathers edges, snaps them onto a shared site set, returns a Graph."""
+    """Gathers edges, snaps them onto a shared site set, returns a Graph.
 
-    def __init__(self, snap_function=None, split_crossing_edges: bool = False):
+    ``voronoi_exclusion`` (default True) applies the reference's snapEdge
+    site-exclusion rules, so near-coincident sites along an edge keep the
+    separation guarantees instead of all landing in the chain.
+    ``simplify_edge_chains`` mirrors S2Builder's simplifyEdgeChains
+    option (S2Builder.java:20-80): after snapping, each input edge's site
+    chain is subsampled (S2Polyline.subsampleVertices) under the snap
+    radius, keeping every junction site shared with another input edge,
+    so topology at shared vertices is preserved and the simplified chain
+    deviates from the snapped one by at most the snap radius."""
+
+    def __init__(self, snap_function=None, split_crossing_edges: bool = False,
+                 voronoi_exclusion: bool = True,
+                 simplify_edge_chains: bool = False):
         self.snap_function = snap_function or IdentitySnapFunction(0.0)
         self.split_crossing_edges = split_crossing_edges
+        self.voronoi_exclusion = voronoi_exclusion
+        self.simplify_edge_chains = simplify_edge_chains
         self._a: list[np.ndarray] = []
         self._b: list[np.ndarray] = []
         self._layers: list[int] = []
@@ -348,6 +572,7 @@ class SnapBuilder:
             thresh = (np.sqrt(edge_r2) + elen) ** 2 + 64.0 * DBL_EPSILON
             cand_e, cand_s = np.nonzero(d2_a <= thresh[:, None])
             near = np.zeros(d2_a.shape, dtype=bool)
+            nearval = np.full(d2_a.shape, np.inf)
             if len(cand_e):
                 d2_pairs = ek.min_chord2_to_edges(
                     S[cand_s],
@@ -355,6 +580,7 @@ class SnapBuilder:
                     B[lo + cand_e],
                     c=rcp_all[lo + cand_e],
                 )
+                nearval[cand_e, cand_s] = d2_pairs
                 near[cand_e, cand_s] = d2_pairs <= edge_r2
             for i in range(lo, hi):
                 a, b = A[i], B[i]
@@ -371,6 +597,9 @@ class SnapBuilder:
                 t = t / tn
                 order = np.arctan2(S[cand] @ t, S[cand] @ a)
                 cand = [int(c) for c in cand[np.argsort(order, kind="stable")]]
+                if self.voronoi_exclusion and len(cand) > 1:
+                    d2c = nearval[i - lo][np.asarray(cand, dtype=np.int64)]
+                    cand = _voronoi_filter(S, cand, d2c, a, b, edge_r2)
                 chain = [sx] + [c for c in cand if c != sx and c != sy] + (
                     [sy] if sy != sx else []
                 )
@@ -380,7 +609,13 @@ class SnapBuilder:
                     if c != dedup[-1]:
                         dedup.append(c)
                 chains.append(dedup)
-        return Graph(S, chains, layers)
+        tol = (
+            float(self.snap_function.snap_radius)
+            if self.simplify_edge_chains
+            else None
+        )
+        return Graph(S, chains, layers, simplify_tolerance=tol)
+
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,12 @@ def furthest_edges(
         lng="lng",
         fallback_level_step=fallback_level_step,
         max_rounds=max_rounds,
+        # antipode points of real queries are usually FAR from a
+        # clustered index: the max-distance covering seed routes them
+        # straight to the covering-pruned exact path instead of empty
+        # ring rounds (NOTES_ROUND3 gap; S2FurthestEdgeQuery's
+        # max-distance covering traversal)
+        covering_seed=True,
     )
     return near.select(
         "query_id",
@@ -147,6 +153,7 @@ def closest_edges(
     lng: str = "lng",
     fallback_level_step: int = 3,
     max_rounds: int = 3,
+    covering_seed: bool = False,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k nearest indexed
     edges per query. ``index`` is shape_index_df output built with
@@ -171,6 +178,38 @@ def closest_edges(
     )
     results = None
     remaining = qpts
+    if covering_seed:
+        # Route queries whose 3x3 ring at the seed level certainly holds
+        # no index cell (min distance to the whole covering exceeds the
+        # ring's completeness bound) straight to the covering-pruned exact
+        # path — their ring rounds would all come up empty (the clustered-
+        # index / antipode regime of S2FurthestEdgeQuery).
+        cover = index.select(
+            cc.parent("cell_id", level).alias("ccell")
+        ).distinct()
+        ring_reach = float(
+            sphere.chord2_from_angle(
+                3.0 * sphere.metric_value(sphere.MAX_ANGLE_SPAN_DERIV, level)
+            )
+        )
+        qmin = (
+            qpts.crossJoin(F.broadcast(cover))
+            .select(
+                "query_id",
+                _cell_udf("min")("ccell", "px", "py", "pz").alias("minb"),
+            )
+            .groupBy("query_id")
+            .agg(F.min("minb").alias("minb_min"))
+        )
+        far_ids = qmin.where(F.col("minb_min") > F.lit(ring_reach)).select(
+            "query_id"
+        )
+        far_q = qpts.join(far_ids, "query_id")
+        remaining = qpts.join(far_ids, "query_id", "left_anti")
+        if not far_q.isEmpty():
+            results = covering_pruned_edges(index, far_q, k, level, w)
+        if remaining.isEmpty():
+            return results
     lvl = level
     for round_no in range(max_rounds):
         if round_no > 0 and remaining.isEmpty():
@@ -261,3 +300,147 @@ def closest_edges(
         .select("query_id", "rank", "shape_id", "edge_id", "chord2")
     )
     return results.unionByName(brute) if results is not None else brute
+
+
+# ---------------------------------------------------------------------------
+# Max-distance covering seed (S2FurthestEdgeQuery over S2BestEdgesQueryBase
+# max-distance targets): queries far from the whole index skip the ring
+# rounds — their rings can never contain an index cell — and instead prune
+# through the index's covering with exact cell chord bounds.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.functions import pandas_udf as _pandas_udf  # noqa: E402
+import pandas as _pd  # noqa: E402
+
+
+def _cell_bounds_udf(which: str):
+    @_pandas_udf("double")
+    def f(cell_id: _pd.Series, px: _pd.Series, py: _pd.Series,
+          pz: _pd.Series) -> _pd.Series:
+        from ..kernel.cell import Cell
+
+        out = np.empty(len(cell_id), dtype=np.float64)
+        x = px.to_numpy(np.float64)
+        y = py.to_numpy(np.float64)
+        z = pz.to_numpy(np.float64)
+        pts = np.stack([x, y, z], axis=1)
+        cids = cell_id.to_numpy(np.int64)
+        for cid in np.unique(cids):
+            m = cids == cid
+            cell = Cell(int(np.uint64(np.int64(cid))))
+            vals = (
+                cell.distance_chord2(pts[m])
+                if which == "min"
+                else cell.max_distance_chord2(pts[m])
+            )
+            out[m] = vals
+        return _pd.Series(out)
+
+    return f
+
+
+_cell_udf_cache: dict = {}
+
+
+def _cell_udf(which: str):
+    """Lazy pandas_udf creation: registration needs an active session,
+    which doesn't exist at import time."""
+    if which not in _cell_udf_cache:
+        _cell_udf_cache[which] = _cell_bounds_udf(which)
+    return _cell_udf_cache[which]
+
+
+def covering_pruned_edges(
+    index: DataFrame,
+    far_queries: DataFrame,
+    k: int,
+    cover_level: int,
+    w: Window,
+) -> DataFrame:
+    """Exact top-k closest edges for queries FAR from the index, pruned by
+    the index covering instead of ring joins: per (query, covering cell)
+    exact min/max chord bounds (A19, kernel/cell.py) give a threshold
+    T = min over cells of max_chord2 — the best covering cell certainly
+    contains an edge no farther than T — so only cells with
+    min_chord2 <= T contribute candidates. Completeness is verified per
+    query (k found AND k-th distance below every excluded cell's lower
+    bound); violators — possible when k exceeds the best cells' edge
+    count — fall back to the exact brute pass. This is the antipode form
+    of the reference's max-distance covering seed (S2FurthestEdgeQuery
+    visits index cells ordered by distance bound, not by location)."""
+    cover = index.select(
+        cc.parent("cell_id", cover_level).alias("ccell")
+    ).distinct()
+    bounds = (
+        far_queries.select("query_id", "px", "py", "pz")
+        .crossJoin(F.broadcast(cover))
+        .select(
+            "query_id", "px", "py", "pz", "ccell",
+            _cell_udf("min")("ccell", "px", "py", "pz").alias("minb"),
+            _cell_udf("max")("ccell", "px", "py", "pz").alias("maxb"),
+        )
+    ).persist()
+    thr = bounds.groupBy("query_id").agg(F.min("maxb").alias("thr"))
+    keep_cells = bounds.join(thr, "query_id").where(F.col("minb") <= F.col("thr"))
+    excluded_min = (
+        bounds.join(thr, "query_id")
+        .where(F.col("minb") > F.col("thr"))
+        .groupBy("query_id")
+        .agg(F.min("minb").alias("exc_min"))
+    )
+    idx_cells = index.select(
+        "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz",
+        cc.parent("cell_id", cover_level).alias("ccell"),
+    ).dropDuplicates(["shape_id", "edge_id", "ccell"])
+    cand = (
+        keep_cells.select("query_id", "px", "py", "pz", "ccell")
+        .join(idx_cells, "ccell")
+        .dropDuplicates(["query_id", "shape_id", "edge_id"])
+        .select(
+            "query_id", "shape_id", "edge_id",
+            edge_min_chord2_cols(
+                F.col("px"), F.col("py"), F.col("pz"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ).alias("chord2"),
+        )
+    )
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .persist()
+    )
+    verdict = (
+        topk.groupBy("query_id")
+        .agg(F.count("*").alias("found"), F.max("chord2").alias("kth"))
+        .join(excluded_min, "query_id", "left")
+    )
+    finished = verdict.where(
+        (F.col("found") == k)
+        & (F.col("exc_min").isNull() | (F.col("kth") < F.col("exc_min")))
+    ).select("query_id")
+    done = topk.join(finished, "query_id").select(
+        "query_id", "rank", "shape_id", "edge_id", "chord2"
+    )
+    violators = far_queries.join(finished, "query_id", "left_anti")
+    if violators.isEmpty():
+        return done
+    edges_all = index.dropDuplicates(["shape_id", "edge_id"]).select(
+        "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"
+    )
+    brute = (
+        F.broadcast(violators.select("query_id", "px", "py", "pz"))
+        .crossJoin(edges_all)
+        .select(
+            "query_id", "shape_id", "edge_id",
+            edge_min_chord2_cols(
+                F.col("px"), F.col("py"), F.col("pz"),
+                F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"),
+            ).alias("chord2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "shape_id", "edge_id", "chord2")
+    )
+    return done.unionByName(brute)

@@ -91,6 +91,19 @@ def choose_level(n_index: int, k: int) -> int:
     return max(0, min(30, int(math.log(ratio, 4))))
 
 
+def density_seed_level(w: F.Column, hist_level: int, k: int) -> F.Column:
+    """Per-query seed level from a local density weight ``w`` (points in
+    the query's histogram cell at ``hist_level``): the deepest level whose
+    3x3 ring still expects >= max(32, 8k) points given that local density
+    — the density-rollup refinement of choose_level's uniform prior."""
+    target = max(32, 8 * k)
+    raw = F.lit(hist_level) + F.floor(
+        F.log(4.0, F.lit(9.0) * w / F.lit(1.5 * target))
+    )
+    lvl = F.greatest(F.lit(0), F.least(F.lit(30), raw.cast("int")))
+    return F.when(w.isNull() | (w <= 0), F.lit(0)).otherwise(lvl)
+
+
 def knn_cell_join(
     index: DataFrame,
     queries: DataFrame,
@@ -102,15 +115,28 @@ def knn_cell_join(
     lng: str = "lng",
     fallback_level_step: int = 3,
     max_rounds: int = 3,
+    density_hist: list[tuple[int, int]] | None = None,
+    hist_level: int | None = None,
 ) -> DataFrame:
     """Scale-path kNN via cell-ring equi-joins with completeness proof.
 
-    The index is keyed once by ``parent(leaf, L)``; each round queries
-    probe their ring at L, then unfinished queries retry at L-step.
-    Exactness: a query finishes when its k-th chord2 <= the ring's
-    guaranteed min chord2 (lower bound above), mirroring the reference's
-    shrinking maxDistanceLimit (S2ClosestPointQuery.java:121-136).
+    Each query carries a seed level ``lvl``; the index is keyed by
+    ``parent(leaf, lvl)`` per active level (the distinct-level set is
+    tiny); each round queries probe their ring at their level, then
+    unfinished queries retry ``fallback_level_step`` coarser. Exactness:
+    a query finishes when its k-th chord2 <= the ring's guaranteed min
+    chord2 (lower bound above), mirroring the reference's shrinking
+    maxDistanceLimit (S2ClosestPointQuery.java:121-136).
+
+    Seed level sources, in priority order: explicit ``level``; a
+    ``density_hist`` from plans/density.density_histogram at
+    ``hist_level`` (per-query local-density levels — the skewed-data
+    path, so dense metros probe deep and sparse regions probe coarse in
+    the SAME round); else the index count under a uniform prior.
     """
+    from ..functions import columns as cc
+    from ..localdf import local_df
+
     idx = _with_xyz(index, lat, lng, "i").select(
         F.col(index_id).alias("neighbor_id"), "ix", "iy", "iz",
         udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30).alias("leaf"),
@@ -123,30 +149,51 @@ def knn_cell_join(
 
     idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     qs = qs.persist(StorageLevel.MEMORY_AND_DISK)
-    if level is None:
+    spark = index.sparkSession
+    if level is not None:
+        qs2 = qs.withColumn("lvl", F.lit(int(level)))
+    elif density_hist is not None:
+        if hist_level is None:
+            raise ValueError("density_hist requires hist_level")
+        hist_df = local_df(
+            spark,
+            [(int(np.int64(np.uint64(c))), int(w)) for c, w in density_hist],
+            "hcell long, w long",
+        )
+        qs2 = (
+            qs.withColumn("hcell", cc.parent("qleaf", hist_level))
+            .join(F.broadcast(hist_df), "hcell", "left")
+            .withColumn("lvl", density_seed_level(F.col("w"), hist_level, k))
+            .drop("hcell", "w")
+        )
+    else:
         # Seed level from the index cardinality under a uniform prior (the
-        # count doubles as the cache warm-up the joins reuse). Callers with
-        # skewed data pass an explicit level derived from the
-        # plans/density.py rollup artifacts instead.
-        level = choose_level(idx.count(), k)
+        # count doubles as the cache warm-up the joins reuse).
+        qs2 = qs.withColumn("lvl", F.lit(choose_level(idx.count(), k)))
     results = None
-    remaining = qs
-    lvl = level
+    remaining = qs2
     for round_no in range(max_rounds):
-        from ..functions import columns as cc
-
         if round_no > 0 and remaining.isEmpty():
             return results
-        idx_l = idx.withColumn("cell", cc.parent("leaf", lvl))
-        q_cells = remaining.withColumn("qcell", cc.parent("qleaf", lvl))
+        lvls = sorted(
+            int(r["lvl"]) for r in remaining.select("lvl").distinct().collect()
+        )
+        if not lvls:
+            break
+        lvl_df = F.broadcast(local_df(spark, [(L,) for L in lvls], "lvl int"))
+        idx_l = idx.crossJoin(lvl_df).withColumn(
+            "cell", cc.parent("leaf", F.col("lvl"))
+        )
+        q_cells = remaining.withColumn("qcell", cc.parent("qleaf", F.col("lvl")))
         probe = q_cells.select(
-            "query_id", "qx", "qy", "qz", "qcell",
+            "query_id", "qx", "qy", "qz", "qcell", "lvl",
             F.explode(
                 F.array_union(F.array(F.col("qcell")), udfs.all_neighbors(F.col("qcell")))
             ).alias("cell"),
         ).distinct()
-        cand = probe.join(idx_l, "cell").select(
-            "query_id", "qx", "qy", "qz", "qcell", "neighbor_id", _chord2().alias("chord2")
+        cand = probe.join(idx_l, ["lvl", "cell"]).select(
+            "query_id", "qx", "qy", "qz", "qcell", "lvl", "neighbor_id",
+            _chord2().alias("chord2"),
         )
         w = Window.partitionBy("query_id").orderBy(F.asc("chord2"), F.asc("neighbor_id"))
         topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -154,24 +201,29 @@ def knn_cell_join(
         # at least MIN_WIDTH(lvl) away (a geodesic leaving the ring fully
         # crosses one neighbor cell, whose width >= the level minimum) — the
         # DataFrame form of the reference's shrinking maxDistanceLimit.
-        bound0 = float(
-            sphere.chord2_from_angle(
-                sphere.metric_value(sphere.MIN_WIDTH_DERIV, lvl)
-            )
+        # Column form of chord2_from_angle(metric_value(MIN_WIDTH, lvl)).
+        ang = F.lit(float(sphere.MIN_WIDTH_DERIV)) * F.pow(
+            F.lit(2.0), -F.col("lvl").cast("double")
         )
+        half_sin = F.sin(F.least(F.lit(float(np.pi)), ang) / F.lit(2.0))
+        bound_col = (F.lit(2.0) * half_sin) * (F.lit(2.0) * half_sin)
         verdict = topk.groupBy("query_id").agg(
-            F.count("*").alias("found"), F.max("chord2").alias("kth")
-        )
+            F.count("*").alias("found"),
+            F.max("chord2").alias("kth"),
+            F.first("lvl").alias("lvl"),
+        ).withColumn("bound", bound_col)
         finished_q = verdict.where(
-            (F.col("found") == k) & (F.col("kth") < F.lit(bound0))
+            (F.col("found") == k) & (F.col("kth") < F.col("bound"))
         ).select("query_id")
         done = topk.join(finished_q, "query_id").select(
             "query_id", "rank", "neighbor_id", "chord2"
         )
         results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(finished_q, "query_id", "left_anti")
-        lvl = max(0, lvl - fallback_level_step)
-        if lvl == 0:
+        remaining = remaining.join(finished_q, "query_id", "left_anti").withColumn(
+            "lvl",
+            F.greatest(F.lit(0), F.col("lvl") - F.lit(int(fallback_level_step))),
+        )
+        if lvls == [0]:
             break
     # anything still unfinished: exact brute-force remnant (tiny by now)
     if not remaining.isEmpty():

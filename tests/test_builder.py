@@ -173,3 +173,119 @@ def test_assemble_polylines():
     cyc = bu.assemble_polylines(g2.sites, g2.layer_edges(0))
     assert len(cyc) == 1 and len(cyc[0]) == 5  # closed: first == last
     np.testing.assert_allclose(cyc[0][0], cyc[0][-1], atol=1e-15)
+
+
+def test_voronoi_site_exclusion_near_coincident():
+    """S2Builder.java:1588-1701 snapEdge Voronoi exclusion: a site whose
+    coverage interval on the edge is strictly contained in a nearer
+    site's cannot have its Voronoi region reach the edge and must NOT
+    appear in the chain — projection ordering alone would include it."""
+    r = 0.01
+    x = np.array([1.0, 0.0, 0.0])
+    y = np.array([np.cos(0.0873), np.sin(0.0873), 0.0])  # ~5 deg equator
+
+    def site(par, off):
+        p = np.array([np.cos(par), np.sin(par), off])
+        return p / np.sqrt(p @ p)
+
+    # p1 close to the edge (wide coverage), p2 nearly snap-radius away
+    # (narrow coverage nested inside p1's); |p1-p2| > r so both survive
+    # site selection
+    p1 = site(0.040, 0.0005)
+    p2 = site(0.044, 0.0099)
+    far = np.array([0.0, 0.0, 1.0])
+
+    def build(voronoi):
+        b = bu.SnapBuilder(
+            bu.IdentitySnapFunction(r), voronoi_exclusion=voronoi
+        )
+        b.add_edge(x, y, layer=0)
+        b.add_edge(p1, far, layer=1)
+        b.add_edge(p2, far, layer=1)
+        return b.build()
+
+    g = build(voronoi=True)
+    sid = {tuple(np.round(s, 6)): k for k, s in enumerate(g.sites)}
+    k1 = sid[tuple(np.round(p1, 6))]
+    k2 = sid[tuple(np.round(p2, 6))]
+    chain = g.chains[0]
+    assert k1 in chain, chain
+    assert k2 not in chain, chain
+
+    g0 = build(voronoi=False)
+    sid0 = {tuple(np.round(s, 6)): k for k, s in enumerate(g0.sites)}
+    chain0 = g0.chains[0]
+    assert sid0[tuple(np.round(p1, 6))] in chain0
+    assert sid0[tuple(np.round(p2, 6))] in chain0  # the disagreement
+
+
+def test_simplify_edge_chains_roundtrip():
+    """simplifyEdgeChains (S2Builder.java:20-80): an input polyline with
+    many near-collinear interior vertices (degree-2 sites in the output
+    graph) simplifies to far fewer edges; every removed site stays within
+    the snap radius of the replacement chain; junction sites (split
+    crossings, shared vertices) are never removed."""
+    from s2_geometry_library_java_spark.kernel import edges as ek
+    from s2_geometry_library_java_spark.kernel import sphere
+
+    r = 0.002
+    n = 20
+    pts = []
+    for k in range(n + 1):
+        par = 0.015 * k
+        off = 0.0004 * np.sin(3.0 * k)  # wiggle well inside r
+        p = np.array([np.cos(par), np.sin(par), off])
+        pts.append(p / np.sqrt(p @ p))
+    pts = np.asarray(pts)
+
+    b = bu.SnapBuilder(bu.IdentitySnapFunction(r), simplify_edge_chains=True)
+    b.add_polyline(pts, layer=0)
+    g = b.build()
+    raw = g.layer_edges(0)
+    simp = g.simplified_layer_edges(0)
+    assert len(simp) < len(raw) / 2, (len(raw), len(simp))
+    # endpoints preserved
+    raw_sites = [raw[0][0]] + [e for _, e in raw]
+    simp_sites = [simp[0][0]] + [e for _, e in simp]
+    assert simp_sites[0] == raw_sites[0] and simp_sites[-1] == raw_sites[-1]
+    # every removed site within r of the simplified chain
+    removed = [s for s in raw_sites if s not in simp_sites]
+    assert removed
+    S = g.sites
+    va = S[np.asarray([u for u, _ in simp])]
+    vb = S[np.asarray([v for _, v in simp])]
+    d2 = ek.min_chord2_points_to_chain(S[np.asarray(removed)], va, vb)
+    assert (d2 <= sphere.chord2_from_angle(r) * (1 + 1e-9)).all()
+
+
+def test_simplify_keeps_crossing_junction():
+    """A split-crossing site has degree 4 and must survive
+    simplification even when the polylines around it are collinear."""
+    r = 1e-6
+    n = 12
+    pts = []
+    for k in range(n + 1):
+        par = 0.02 * k
+        p = np.array([np.cos(par), np.sin(par), 0.0])
+        pts.append(p)
+    pts = np.asarray(pts)
+    b = bu.SnapBuilder(
+        bu.IdentitySnapFunction(r),
+        split_crossing_edges=True,
+        simplify_edge_chains=True,
+    )
+    b.add_polyline(pts, layer=0)
+    mid = 0.02 * n / 2
+    b.add_edge(
+        np.array([np.cos(mid), np.sin(mid) * np.cos(0.05), np.sin(0.05)]),
+        np.array([np.cos(mid), np.sin(mid) * np.cos(0.05), -np.sin(0.05)]),
+        layer=1,
+    )
+    g = b.build()
+    simp = g.simplified_layer_edges(0)
+    cross_sites = {s for e in g.layer_edges(1) for s in e} & {
+        s for e in g.layer_edges(0) for s in e
+    }
+    assert cross_sites  # the crossing was spliced into both layers
+    simp_sites = {s for e in simp for s in e}
+    assert cross_sites <= simp_sites  # junction kept through simplify

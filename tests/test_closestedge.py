@@ -146,3 +146,64 @@ def test_furthest_edges_antipode_identity(spark):
             gsid, ge, gfar = got[(qid, rank)]
             assert (gsid, ge) == (wsid, we), (qid, rank)
             assert abs(gfar - wfar) < 1e-9
+
+
+def test_furthest_covering_seed_engages_on_clustered_index(spark, monkeypatch):
+    """Max-distance covering seed (NOTES_ROUND3 gap): with a CLUSTERED
+    index, the antipode query points are far from every index cell, so
+    the covering-pruned path must handle them (zero ring rounds for those
+    queries) and the results still equal the brute max-distance ranking."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import edges as ek
+    from s2_geometry_library_java_spark.kernel import region as rg
+    from s2_geometry_library_java_spark.operators import closestedge
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    # all shapes inside one ~2-degree patch: a clustered index
+    texts = {
+        f"s{i}": f"{10 + 0.4 * i}:{20.0}, {10 + 0.4 * i}:{20.6}, "
+                 f"{10.3 + 0.4 * i}:{20.6}, {10.3 + 0.4 * i}:{20.0}"
+        for i in range(4)
+    }
+    shapes = spark.createDataFrame(
+        list(texts.items()), "shape_id string, text string"
+    )
+    idx = shape_ops.shape_index_df(shapes, min_level=4)
+    # queries near the cluster: their ANTIPODES are far from every cell
+    qs = [(1, 11.0, 20.3), (2, 12.0, 20.1)]
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lng double")
+
+    calls = {"covering": 0}
+    real = closestedge.covering_pruned_edges
+
+    def spy(*a, **k):
+        calls["covering"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(closestedge, "covering_pruned_edges", spy)
+    got = {
+        (r["query_id"], r["rank"]): (r["shape_id"], r["edge_id"], r["chord2"])
+        for r in closestedge.furthest_edges(idx, queries, k=2, level=4).collect()
+    }
+    assert calls["covering"] == 1, "covering seed did not engage"
+
+    edges = []
+    for sid, t in texts.items():
+        v = rg.Polygon.from_text(t).loops[0].vertices
+        for e in range(4):
+            edges.append((sid, e, v[e], v[(e + 1) % 4]))
+    for qid, la, ln in qs:
+        x, y, z = ci.latlng_to_xyz(np.radians(la), np.radians(ln))
+        p = np.array([float(x), float(y), float(z)])
+        scored = []
+        for sid, e, a, b in edges:
+            far = float(ek.max_chord2_to_edges(p[None], a[None], b[None])[0])
+            scored.append((4.0 - far, sid, e, far))
+        scored.sort()
+        for rank in (1, 2):
+            wsid, we, wfar = scored[rank - 1][1], scored[rank - 1][2], scored[rank - 1][3]
+            gsid, ge, gfar = got[(qid, rank)]
+            assert (gsid, ge) == (wsid, we), (qid, rank)
+            assert abs(gfar - wfar) < 1e-9

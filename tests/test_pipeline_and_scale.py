@@ -394,3 +394,71 @@ def test_candidate_pairs_auto_guard(spark, monkeypatch):
     auto = pairs_of(bpo.candidate_pairs(sa, sb))
     assert auto == dist
     assert not called["collect"], "auto took the driver-side collect path"
+
+
+def test_knn_density_seed_fewer_fallbacks(spark):
+    """knn_cell seed levels from plans/density artifacts: on skewed data
+    the per-query density seed assigns sparse-region queries a strictly
+    coarser level than the uniform count prior (fewer fallback rounds for
+    them), and both paths stay exact vs brute force."""
+    import math
+
+    import numpy as np
+
+    import s2_geometry_library_java_spark.kernel.cellid as ci
+    from s2_geometry_library_java_spark.operators import knn
+    from s2_geometry_library_java_spark.functions import udfs
+    from s2_geometry_library_java_spark.plans import density
+
+    rng = np.random.default_rng(21)
+    dense = [(int(i), float(10 + rng.uniform(0, 1)), float(20 + rng.uniform(0, 1)))
+             for i in range(1500)]
+    sparse = [(int(10000 + i), float(rng.uniform(-60, -10)), float(rng.uniform(60, 150)))
+              for i in range(60)]
+    index = spark.createDataFrame(dense + sparse, "id long, lat double, lng double")
+    queries = spark.createDataFrame(
+        [(int(i), float(10.2 + 0.05 * i), float(20.3 + 0.04 * i)) for i in range(8)]
+        + [(int(100 + i), float(-30 - 2 * i), float(90 + 3 * i)) for i in range(8)],
+        "query_id long, lat double, lng double",
+    )
+    k = 3
+    hist_level = 6
+    leafed = index.withColumn(
+        "leaf", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30)
+    )
+    hist = density.density_histogram(leafed, "leaf", hist_level)
+
+    # exactness under both seeds
+    brute = knn.knn_bruteforce(index, queries, k)
+    got_u = knn.knn_cell_join(index, queries, k)
+    got_d = knn.knn_cell_join(
+        index, queries, k, density_hist=hist, hist_level=hist_level
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    bt = rows(brute)
+    assert rows(got_u) == bt
+    assert rows(got_d) == bt
+
+    # seed-level comparison: the uniform prior treats the whole index as
+    # one density; sparse-region queries get the same deep level as metro
+    # queries and their first-round ring is empty. The density seed gives
+    # them a strictly coarser level.
+    uniform_level = knn.choose_level(len(dense) + len(sparse), k)
+    hist_map = {c: w for c, w in hist}
+    target = max(32, 8 * k)
+    for i in range(8):
+        la, ln = -30 - 2 * i, 90 + 3 * i
+        leaf = np.uint64(int(ci.latlng_degrees_to_cell_id(la, ln)))
+        h = int(np.atleast_1d(ci.parent(leaf, hist_level))[0])
+        w = hist_map.get(h, 0)
+        if w <= 0:
+            lvl = 0
+        else:
+            lvl = max(0, min(30, hist_level + int(
+                math.floor(math.log(9.0 * w / (1.5 * target), 4.0)))))
+        assert lvl < uniform_level, (i, lvl, uniform_level, w)
