@@ -40,16 +40,23 @@ _COVERING_SCHEMA = "shape_id string, cell_id long, is_interior boolean"
 
 
 def coverings_df(shapes: DataFrame, max_cells: int = 8,
-                 id_col: str = "shape_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "shape_id", text_col: str = "text",
+                 min_level: int = 0, max_level: int = 30,
+                 level_mod: int = 1) -> DataFrame:
     """(shape_id, cell_id, is_interior) covering rows, computed on the
-    executors — one coverer run per polygon row (D1 + interior flags)."""
+    executors — one coverer run per polygon row (D1 + interior flags).
+    min_level/max_level/level_mod pass through to the coverer (cells come
+    out denormalized to those valid levels — the term-indexer contract)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernel import coverer as cov
         from ..kernel import region as rg
         from ..kernel.cell import Cell
 
-        coverer = cov.RegionCoverer(max_cells=max_cells)
+        coverer = cov.RegionCoverer(
+            max_cells=max_cells, min_level=min_level, max_level=max_level,
+            level_mod=level_mod,
+        )
         for pdf in batches:
             out_sid, out_cid, out_int = [], [], []
             for sid, text in zip(pdf[id_col], pdf[text_col]):

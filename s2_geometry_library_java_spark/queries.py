@@ -1617,6 +1617,88 @@ def q_covering_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(spark, rows, "region_id string, seq int, token string")
 
 
+# region_terms gate fixtures: document and query quads covering every
+# hierarchical relationship — q0 deep inside d0 (query cells BELOW doc
+# cells), q1 containing everything (query cells ABOVE), q2 identical to
+# d1 (equal cells), q3 disjoint from all.
+_TERM_DOCS = {
+    "d0": (20.0, 20.0, 10.0),
+    "d1": (19.0, 19.0, 1.0),
+    "d2": (33.0, 31.0, 4.0),
+    "d3": (-40.0, -120.0, 3.0),
+}
+_TERM_QUERIES = {
+    "q0": (22.5, 22.5, 0.5),
+    "q1": (20.0, 20.0, 20.0),
+    "q2": (19.0, 19.0, 1.0),
+    "q3": (60.0, 100.0, 2.0),
+}
+_TERM_LEVELS = {"min_level": 4, "max_level": 12, "level_mod": 2}
+
+
+def q_region_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2IndexingHelper term-generation gate (operators/indexing.py):
+    documents index ancestor/covering terms from their denormalized
+    coverings, queries generate lookup terms, and retrieval is ONE string
+    equi-join — the search-platform integration surface. The DuckDB
+    oracle derives the exact same candidate pair set independently from
+    the coverings' Hilbert ranges (term match <=> some doc cell and query
+    cell are hierarchically related <=> their leaf ranges overlap), so a
+    missing ancestor/covering term class shows up as a missing pair."""
+    from .operators import indexing
+    from .operators import shapes as shp
+
+    docs = local_df(
+        spark, [(k, _quad_text(*v)) for k, v in _TERM_DOCS.items()],
+        "shape_id string, text string",
+    ).coalesce(1)
+    qs = local_df(
+        spark, [(k, _quad_text(*v)) for k, v in _TERM_QUERIES.items()],
+        "shape_id string, text string",
+    ).coalesce(1)
+    dcov = shp.coverings_df(docs, max_cells=8, **_TERM_LEVELS)
+    qcov = shp.coverings_df(qs, max_cells=8, **_TERM_LEVELS)
+    dt = indexing.index_terms(dcov, **_TERM_LEVELS)
+    qt = indexing.query_terms(qcov, query_id="shape_id", **_TERM_LEVELS)
+    return indexing.term_matches(dt, qt).select("doc_id", "query_id")
+
+
+def q_region_terms_oracle() -> str:
+    coverer = cov.RegionCoverer(max_cells=8, **_TERM_LEVELS)
+
+    def ranges(fixt):
+        rows = []
+        for pid, spec in fixt.items():
+            for cid in coverer.get_covering(_quad_polygon(*spec)):
+                u = np.uint64(cid)
+                lo = int(np.int64(ci_range_min(u)))
+                hi = int(np.int64(ci_range_max(u)))
+                rows.append(f"('{pid}', {lo}, {hi})")
+        return ", ".join(rows)
+
+    import numpy as np
+
+    from .kernel.cellid import range_max as _rmax
+    from .kernel.cellid import range_min as _rmin
+
+    def ci_range_min(u):
+        return np.atleast_1d(_rmin(u)).view(np.int64)[0]
+
+    def ci_range_max(u):
+        return np.atleast_1d(_rmax(u)).view(np.int64)[0]
+
+    dvals = ranges(_TERM_DOCS)
+    qvals = ranges(_TERM_QUERIES)
+    # biased comparison via raw-bits signed ints: all fixture cells are on
+    # faces 0-2 (positive ids), so signed order == biased order here
+    return f"""
+    WITH d(doc_id, lo, hi) AS (VALUES {dvals}),
+    q(query_id, lo, hi) AS (VALUES {qvals})
+    SELECT DISTINCT d.doc_id AS doc_id, q.query_id AS query_id
+    FROM d JOIN q ON d.lo <= q.hi AND q.lo <= d.hi
+    """
+
+
 def q_covering_tokens_oracle() -> str:
     vals = ", ".join(f"('{r}', {s}, '{t}')" for r, s, t in _COVERING_GOLDEN)
     return (
@@ -2105,6 +2187,7 @@ def all_queries():
         "boolean_intersection": q_boolean_intersection,
         "boolean_difference": q_boolean_difference,
         "covering_tokens": q_covering_tokens,
+        "region_terms": q_region_terms,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -2158,6 +2241,7 @@ def all_oracles():
         "buffer_geometry": q_buffer_geometry_oracle(),
         "winding_union": q_winding_union_oracle(),
         "covering_tokens": q_covering_tokens_oracle(),
+        "region_terms": q_region_terms_oracle(),
         "dedup_exact": q_dedup_exact_oracle(),
         "minhash_signatures": q_minhash_signatures_oracle(),
         "simhash": q_simhash_oracle(),
