@@ -101,6 +101,7 @@ def furthest_edges(
     lng: str = "lng",
     fallback_level_step: int = 3,
     max_rounds: int = 3,
+    covering_seed: bool = False,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k FURTHEST indexed
     edges per query (S2FurthestEdgeQuery over S2BestEdgesQueryBase) via
@@ -127,12 +128,15 @@ def furthest_edges(
         lng="lng",
         fallback_level_step=fallback_level_step,
         max_rounds=max_rounds,
-        # antipode points of real queries are usually FAR from a
-        # clustered index: the max-distance covering seed routes them
-        # straight to the covering-pruned exact path instead of empty
-        # ring rounds (NOTES_ROUND3 gap; S2FurthestEdgeQuery's
-        # max-distance covering traversal)
-        covering_seed=True,
+        # OPT-IN max-distance covering seed (S2FurthestEdgeQuery's
+        # covering traversal): antipode points of queries near a
+        # CLUSTERED index are far from every cell, so rings always come
+        # up empty and the covering-pruned path wins when the edge set is
+        # large (remnant brute is |queries| x |edges|). For broad indexes
+        # or small edge sets the ring+remnant path is faster (the seed
+        # adds a bounds stage and several small jobs), so it stays off by
+        # default.
+        covering_seed=covering_seed,
     )
     return near.select(
         "query_id",

@@ -150,8 +150,10 @@ def knn_cell_join(
     idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
     qs = qs.persist(StorageLevel.MEMORY_AND_DISK)
     spark = index.sparkSession
+    target = max(32, 8 * k)
     if level is not None:
         qs2 = qs.withColumn("lvl", F.lit(int(level)))
+        seed_levels = {int(level)}
     elif density_hist is not None:
         if hist_level is None:
             raise ValueError("density_hist requires hist_level")
@@ -166,17 +168,34 @@ def knn_cell_join(
             .withColumn("lvl", density_seed_level(F.col("w"), hist_level, k))
             .drop("hcell", "w")
         )
+        # the possible seed levels are derivable from the (driver-side)
+        # histogram weights — no distinct-collect job needed per round
+        import math
+
+        seed_levels = {0}
+        for _, wv in density_hist:
+            if wv > 0:
+                seed_levels.add(
+                    max(0, min(30, hist_level + int(
+                        math.floor(math.log(9.0 * wv / (1.5 * target), 4.0))
+                    )))
+                )
     else:
         # Seed level from the index cardinality under a uniform prior (the
         # count doubles as the cache warm-up the joins reuse).
-        qs2 = qs.withColumn("lvl", F.lit(choose_level(idx.count(), k)))
+        lvl0 = choose_level(idx.count(), k)
+        qs2 = qs.withColumn("lvl", F.lit(lvl0))
+        seed_levels = {lvl0}
     results = None
     remaining = qs2
     for round_no in range(max_rounds):
         if round_no > 0 and remaining.isEmpty():
             return results
+        # level set this round, computed driver-side: every seed level
+        # decremented round_no times (a superset of the live set is fine —
+        # unused levels contribute empty join keys, no extra scan)
         lvls = sorted(
-            int(r["lvl"]) for r in remaining.select("lvl").distinct().collect()
+            {max(0, L - round_no * int(fallback_level_step)) for L in seed_levels}
         )
         if not lvls:
             break

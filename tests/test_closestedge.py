@@ -185,7 +185,9 @@ def test_furthest_covering_seed_engages_on_clustered_index(spark, monkeypatch):
     monkeypatch.setattr(closestedge, "covering_pruned_edges", spy)
     got = {
         (r["query_id"], r["rank"]): (r["shape_id"], r["edge_id"], r["chord2"])
-        for r in closestedge.furthest_edges(idx, queries, k=2, level=4).collect()
+        for r in closestedge.furthest_edges(
+            idx, queries, k=2, level=4, covering_seed=True
+        ).collect()
     }
     assert calls["covering"] == 1, "covering seed did not engage"
 
