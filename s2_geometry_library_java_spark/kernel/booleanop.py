@@ -453,8 +453,26 @@ def _snapped_core(
     def member(ea, eb, origin_in):
         if len(ea) == 0:
             return np.zeros(len(probes), dtype=bool)
-        cr = predicates.count_crossings_edges(origin, probes, ea, eb)
-        return np.where((cr & 1) == 1, not origin_in, origin_in)
+        if len(ea) * len(probes) <= 2_000_000:
+            # small: one broadcast parity batch
+            cr = predicates.count_crossings_edges(origin, probes, ea, eb)
+            return np.where((cr & 1) == 1, not origin_in, origin_in)
+        # large: near-linear indexed membership — probe count and edge
+        # count both scale with the input size, so the broadcast batch is
+        # O(E^2); the interior-tracked edge-soup index replaces it with
+        # per-cell local parity (S2ShapeIndex containment semantics)
+        from . import shapeindex as si
+
+        def layer_contains(p):
+            cr1 = int(
+                predicates.count_crossings_edges(origin, p[None], ea, eb)[0]
+            )
+            return bool(origin_in) != bool(cr1 & 1)
+
+        rows = si.build_edge_soup_index(
+            ea, eb, max_edges_per_cell=16, contains_point=layer_contains
+        )
+        return si.contains_points_indexed(rows, ea, eb, probes)
 
     in_a = member(a_ea, a_eb, a_origin_in)
     in_b = member(b_ea, b_eb, b_origin_in)

@@ -448,7 +448,28 @@ class SnapBuilder:
         n = len(A)
         if n < 2:
             return np.zeros((0, 3))
-        ii, jj = np.triu_indices(n, k=1)
+        if n > 1500:
+            # large inputs: enumerate only CO-LOCATED pairs via the
+            # edge-soup cell index (complete: a crossing point lies in
+            # exactly one index cell, and both edges intersect that cell,
+            # so the pair shares a cell) instead of the O(n^2) triangle
+            from . import shapeindex as si
+
+            rows = si.build_edge_soup_index(A, B, max_edges_per_cell=24)
+            pair_set = set()
+            for _, eids, _ins in rows:
+                if len(eids) < 2:
+                    continue
+                e = np.sort(eids)
+                pi, pj = np.triu_indices(len(e), k=1)
+                for a_, b_ in zip(e[pi], e[pj]):
+                    pair_set.add((int(a_), int(b_)))
+            if not pair_set:
+                return np.zeros((0, 3))
+            arr = np.array(sorted(pair_set), dtype=np.int64)
+            ii, jj = arr[:, 0], arr[:, 1]
+        else:
+            ii, jj = np.triu_indices(n, k=1)
         pts = []
         chunk = 200_000
         # chord-length prefilter: two edges can only cross if their start
@@ -526,17 +547,40 @@ class SnapBuilder:
         verts = np.concatenate([A, B, forced], axis=0) if len(forced) else np.concatenate([A, B], axis=0)
         snapped = fn.snap(verts)
         sep2 = float(sphere.chord2_from_angle(fn.min_vertex_separation())) if fn.min_vertex_separation() > 0 else 0.0
-        # greedy admission in deterministic order; the buffer grows in
-        # place (appending to a list and re-building an array per vertex
-        # is quadratic in allocations)
+        # greedy admission in deterministic order, with a cell spatial
+        # hash: a new vertex can only merge with sites within the
+        # separation chord, which all lie in its 3x3 cell ring at a level
+        # whose min width is >= twice the separation angle — so each
+        # admission checks a handful of bucketed sites, not every site
+        # so far (the plain loop is O(V^2))
         buf = np.empty((len(verts), 3))
         cnt = 0
+        if sep2 > 0.0:
+            sep_angle = float(sphere.angle_from_chord2(sep2))
+            hashL = max(
+                0, min(30, sphere.metric_max_level(
+                    sphere.MIN_WIDTH_DERIV, 2.0 * sep_angle))
+            )
+        else:
+            hashL = 30
+        vcell = ci.xyz_to_cell_id(
+            snapped[:, 0], snapped[:, 1], snapped[:, 2], hashL
+        )
+        vnbrs = ci.get_all_neighbors_same_level(vcell)
+        buckets: dict[int, list[int]] = {}
         for k in _sort_key(verts):
             p = snapped[k]
-            if cnt:
-                d2 = ((buf[:cnt] - p[None, :]) ** 2).sum(axis=1)
+            cand: list[int] = []
+            ck = int(vcell[k])
+            for c in (ck, *map(int, vnbrs[k])):
+                got = buckets.get(c)
+                if got:
+                    cand.extend(got)
+            if cand:
+                d2 = ((buf[np.asarray(cand)] - p[None, :]) ** 2).sum(axis=1)
                 if (d2 <= sep2).any():
                     continue
+            buckets.setdefault(ck, []).append(cnt)
             buf[cnt] = p
             cnt += 1
         S = buf[:cnt].copy()
@@ -582,10 +626,20 @@ class SnapBuilder:
                 )
                 nearval[cand_e, cand_s] = d2_pairs
                 near[cand_e, cand_s] = d2_pairs <= edge_r2
+            ncand = near.sum(axis=1)
             for i in range(lo, hi):
                 a, b = A[i], B[i]
                 sx = int(sx_blk[i - lo])
                 sy = int(sy_blk[i - lo])
+                # fast path: the only nearby sites are the edge's own
+                # endpoint sites — no ordering or exclusion can change a
+                # 2-site chain (the endpoints are always forced), and
+                # this is the overwhelmingly common case
+                if ncand[i - lo] <= 2:
+                    c0 = np.nonzero(near[i - lo])[0]
+                    if all(int(c) in (sx, sy) for c in c0):
+                        chains.append([sx, sy] if sx != sy else [sx])
+                        continue
                 cand = np.nonzero(near[i - lo])[0]
                 # order candidates by arc parameter along AB: angle of the
                 # projection within the (a, t) tangent frame

@@ -111,9 +111,75 @@ def build_shape_index_interior(
     return _build(loops, max_edges_per_cell, max_level, min_level, contains_point)
 
 
-def _build(loops, max_edges_per_cell, max_level, min_level, contains_point):
-    va = np.concatenate([lp for lp in loops], axis=0)
-    vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
+def build_edge_soup_index(
+    va: np.ndarray,
+    vb: np.ndarray,
+    max_edges_per_cell: int = 10,
+    max_level: int = 20,
+    min_level: int = 0,
+    contains_point=None,
+) -> list[tuple[int, np.ndarray, bool]]:
+    """Index an arbitrary directed edge set (not necessarily chained
+    loops): rows (cell_id, edge_ids, center_inside). Same build as
+    build_shape_index[_interior]; with contains_point=None the
+    center_inside flags are all False and edgeless cells are dropped."""
+    return _build(
+        None, max_edges_per_cell, max_level, min_level, contains_point,
+        edges=(va, vb),
+    )
+
+
+def contains_points_indexed(
+    rows: list[tuple[int, np.ndarray, bool]],
+    va: np.ndarray,
+    vb: np.ndarray,
+    pts: np.ndarray,
+) -> np.ndarray:
+    """Batch membership from interior-tracked index rows, near-linear in
+    |pts|: locate each point's (disjoint, sorted) index cell, then
+    inside = center_inside XOR parity of crossings of the center->point
+    geodesic with the CELL's own edges (sound because S2 cells are
+    geodesically convex — the step segment never leaves the cell, and
+    the row holds every edge intersecting it; the reference's
+    S2ShapeIndex containment walk, S2ShapeIndex.java:643-742). Points in
+    no row are in exterior edgeless cells -> outside."""
+    if not rows:
+        return np.zeros(len(pts), dtype=bool)
+    bias = np.uint64(1) << np.uint64(63)
+    ids = np.array([r[0] for r in rows], dtype=np.uint64)
+    lo = (ci.range_min(ids) ^ bias).view(np.int64)
+    hi = (ci.range_max(ids) ^ bias).view(np.int64)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    leaf = (
+        ci.xyz_to_cell_id(pts[:, 0], pts[:, 1], pts[:, 2]) ^ bias
+    ).view(np.int64)
+    k = np.searchsorted(lo, leaf, side="right") - 1
+    valid = (k >= 0) & (leaf <= hi[np.clip(k, 0, len(hi) - 1)])
+    out = np.zeros(len(pts), dtype=bool)
+    for kk in np.unique(k[valid]):
+        row = rows[order[kk]]
+        m = valid & (k == kk)
+        inside = bool(row[2])
+        eids = row[1]
+        if len(eids) == 0:
+            out[m] = inside
+            continue
+        center = _cell_center(int(row[0]))
+        cr = predicates.count_crossings_edges(
+            center, pts[m], va[eids], vb[eids]
+        )
+        out[m] = np.where((cr & 1) == 1, not inside, inside)
+    return out
+
+
+def _build(loops, max_edges_per_cell, max_level, min_level, contains_point,
+           edges=None):
+    if edges is not None:
+        va, vb = (np.asarray(e, dtype=np.float64) for e in edges)
+    else:
+        va = np.concatenate([lp for lp in loops], axis=0)
+        vb = np.concatenate([np.roll(lp, -1, axis=0) for lp in loops], axis=0)
     leaf_a = ci.xyz_to_cell_id(va[:, 0], va[:, 1], va[:, 2])
     leaf_b = ci.xyz_to_cell_id(vb[:, 0], vb[:, 1], vb[:, 2])
     all_ids = np.arange(len(va), dtype=np.int64)
