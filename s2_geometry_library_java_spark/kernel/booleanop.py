@@ -410,9 +410,8 @@ def _snapped_core(
         es = g.layer_edges(layer, dedupe=False)
         if not es:
             return np.zeros((0, 3)), np.zeros((0, 3))
-        ea = np.asarray([S[s] for s, _ in es])
-        eb = np.asarray([S[e] for _, e in es])
-        return ea, eb
+        idx = np.asarray(es, dtype=np.int64)
+        return S[idx[:, 0]], S[idx[:, 1]]
 
     a_ea, a_eb = layer_arrays(0)
     b_ea, b_eb = layer_arrays(1)
