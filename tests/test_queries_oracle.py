@@ -18,6 +18,7 @@ SUBSET = [
     "minhash_signatures",
     "span_invariant",
     "media_tiles",
+    "region_terms",
 ]
 
 
