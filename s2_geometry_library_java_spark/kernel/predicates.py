@@ -186,6 +186,47 @@ def count_crossings_edges(
     return crossing.sum(axis=1).astype(np.int64)
 
 
+def signed_crossings_edges(
+    origin: np.ndarray,
+    points: np.ndarray,
+    edge_a: np.ndarray,
+    edge_b: np.ndarray,
+) -> np.ndarray:
+    """SIGNED crossing sum of the geodesic origin->p with an arbitrary
+    directed edge set: each proper crossing contributes -acb (+1 when the
+    directed edge crosses the path left-to-right) — the winding-number
+    delta of moving from origin to p (winding_numbers' core over an edge
+    soup instead of one closed loop). Degenerate zero-sign pairs (point on
+    an edge endpoint) contribute the edgeOrVertexCrossing verdict with the
+    triage sign of the adjacent wedge — callers place probe points off
+    vertices, so this branch only guards exact coincidences."""
+    o = np.asarray(origin, dtype=np.float64)
+    p = np.asarray(points, dtype=np.float64)
+    ca = np.asarray(edge_a, dtype=np.float64)
+    cb = np.asarray(edge_b, dtype=np.float64)
+    c = ca[None, :, :]
+    d = cb[None, :, :]
+    on = o[None, None, :]
+    pn = p[:, None, :]
+    acb = sign_batch(on, c, pn)
+    bda = sign_batch(pn, d, on)
+    cbd = sign_batch(c, pn, d)
+    dac = sign_batch(d, on, c)
+    crossing = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+    signed = np.where(crossing, -acb, 0)
+    zeros = (acb == 0) | (bda == 0) | (cbd == 0) | (dac == 0)
+    if np.any(zeros):
+        for i, j in zip(*np.nonzero(zeros)):
+            if edge_or_vertex_crossing(o, p[i], ca[j], cb[j]):
+                s = -int(acb[i, j]) or -int(
+                    sign_batch(o[None, :], ca[j][None, :], p[i][None, :])[0]
+                )
+                signed[i, j] = s if s != 0 else 1
+            else:
+                signed[i, j] = 0
+    return signed.sum(axis=1).astype(np.int64)
+
+
 def count_crossings(
     origin: np.ndarray, points: np.ndarray, loop_vertices: np.ndarray
 ) -> np.ndarray:

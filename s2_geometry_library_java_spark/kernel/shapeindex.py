@@ -118,15 +118,59 @@ def build_edge_soup_index(
     max_level: int = 20,
     min_level: int = 0,
     contains_point=None,
+    signed: bool = False,
 ) -> list[tuple[int, np.ndarray, bool]]:
     """Index an arbitrary directed edge set (not necessarily chained
     loops): rows (cell_id, edge_ids, center_inside). Same build as
     build_shape_index[_interior]; with contains_point=None the
-    center_inside flags are all False and edgeless cells are dropped."""
+    center_inside flags are all False and edgeless cells are dropped.
+    ``signed=True`` tracks the INTEGER WINDING number at cell centers
+    instead of boolean parity (contains_point then returns the winding
+    int at a point; edgeless cells with winding 0 are dropped — a probe
+    with no row has winding 0)."""
     return _build(
         None, max_edges_per_cell, max_level, min_level, contains_point,
-        edges=(va, vb),
+        edges=(va, vb), signed=signed,
     )
+
+
+def winding_points_indexed(
+    rows: list[tuple[int, np.ndarray, int]],
+    va: np.ndarray,
+    vb: np.ndarray,
+    pts: np.ndarray,
+) -> np.ndarray:
+    """Signed-winding analog of contains_points_indexed: per point,
+    winding = center winding of its index cell + signed crossings of the
+    center->point geodesic with the cell's own edges. Points outside all
+    rows have winding 0."""
+    out = np.zeros(len(pts), dtype=np.int64)
+    if not rows:
+        return out
+    bias = np.uint64(1) << np.uint64(63)
+    ids = np.array([r[0] for r in rows], dtype=np.uint64)
+    lo = (ci.range_min(ids) ^ bias).view(np.int64)
+    hi = (ci.range_max(ids) ^ bias).view(np.int64)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    leaf = (
+        ci.xyz_to_cell_id(pts[:, 0], pts[:, 1], pts[:, 2]) ^ bias
+    ).view(np.int64)
+    k = np.searchsorted(lo, leaf, side="right") - 1
+    valid = (k >= 0) & (leaf <= hi[np.clip(k, 0, len(hi) - 1)])
+    for kk in np.unique(k[valid]):
+        row = rows[order[kk]]
+        m = valid & (k == kk)
+        w0 = int(row[2])
+        eids = row[1]
+        if len(eids) == 0:
+            out[m] = w0
+            continue
+        center = _cell_center(int(row[0]))
+        out[m] = w0 + predicates.signed_crossings_edges(
+            center, pts[m], va[eids], vb[eids]
+        )
+    return out
 
 
 def contains_points_indexed(
@@ -174,7 +218,7 @@ def contains_points_indexed(
 
 
 def _build(loops, max_edges_per_cell, max_level, min_level, contains_point,
-           edges=None):
+           edges=None, signed=False):
     if edges is not None:
         va, vb = (np.asarray(e, dtype=np.float64) for e in edges)
     else:
@@ -189,10 +233,10 @@ def _build(loops, max_edges_per_cell, max_level, min_level, contains_point,
     stack = []
     for f in range(6):
         cid = int((np.uint64(f) << np.uint64(61)) | (np.uint64(1) << np.uint64(60)))
-        inside = False
+        inside = 0 if signed else False
         if track:
             c = _cell_center(cid)
-            inside = bool(contains_point(c))
+            inside = int(contains_point(c)) if signed else bool(contains_point(c))
         stack.append((cid, all_ids, inside))
     while stack:
         cid, cand, inside = stack.pop()
@@ -214,15 +258,22 @@ def _build(loops, max_edges_per_cell, max_level, min_level, contains_point,
         pc = _cell_center(cid) if track else None
         for k in range(4):
             child = int(np.atleast_1d(ci.child(u, k))[0])
-            child_inside = False
+            child_inside = 0 if signed else False
             if track:
                 cc = _cell_center(child)
-                crossings = int(
-                    predicates.count_crossings_edges(
-                        pc, cc[None], va[hits], vb[hits]
-                    )[0]
-                )
-                child_inside = bool(inside ^ (crossings & 1))
+                if signed:
+                    child_inside = inside + int(
+                        predicates.signed_crossings_edges(
+                            pc, cc[None], va[hits], vb[hits]
+                        )[0]
+                    )
+                else:
+                    crossings = int(
+                        predicates.count_crossings_edges(
+                            pc, cc[None], va[hits], vb[hits]
+                        )[0]
+                    )
+                    child_inside = bool(inside ^ (crossings & 1))
             stack.append((child, hits, child_inside))
     out.sort(key=lambda r: int(np.uint64(r[0]) ^ (np.uint64(1) << np.uint64(63))))
     return out

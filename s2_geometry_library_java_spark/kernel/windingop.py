@@ -133,9 +133,35 @@ def winding_operation(
         if len(ids) >= 2:
             snapped_loops.append(S[np.asarray(ids, dtype=np.int64)])
 
-    w = np.full(len(probes), int(ref_winding) + delta, dtype=np.int64)
-    for sv in snapped_loops:
-        w += predicates.winding_numbers(ref, probes, sv, 0)
+    base_w = int(ref_winding) + delta
+    total_edges = sum(len(sv) for sv in snapped_loops)
+    if total_edges * len(probes) <= 2_000_000:
+        w = np.full(len(probes), base_w, dtype=np.int64)
+        for sv in snapped_loops:
+            w += predicates.winding_numbers(ref, probes, sv, 0)
+    else:
+        # large inputs: probe count and edge count both scale with the
+        # input, so the broadcast winding batch is O(E^2); the SIGNED
+        # edge-soup index replaces it — integer windings tracked at cell
+        # centers down the build recursion, each probe pays only its own
+        # cell's edges
+        from . import shapeindex as si
+
+        ea = np.concatenate(snapped_loops, axis=0)
+        eb = np.concatenate(
+            [np.roll(sv, -1, axis=0) for sv in snapped_loops], axis=0
+        )
+
+        def wind_at(p):
+            wv = base_w
+            for sv in snapped_loops:
+                wv += int(predicates.winding_numbers(ref, p[None], sv, 0)[0])
+            return wv
+
+        rows = si.build_edge_soup_index(
+            ea, eb, max_edges_per_cell=16, contains_point=wind_at, signed=True
+        )
+        w = si.winding_points_indexed(rows, ea, eb, probes)
     keep = rule_fn(w)
     out_edges = []
     for k, (u, v) in enumerate(segs):

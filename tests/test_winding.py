@@ -219,3 +219,47 @@ def test_winding_operation_probes_on_snapped_graph():
     outside = _pt(-5.0, 5.0)
     assert bool(poly.contains_points(inside[0:1], inside[1:2], inside[2:3])[0])
     assert not bool(poly.contains_points(outside[0:1], outside[1:2], outside[2:3])[0])
+
+
+def test_winding_indexed_equals_broadcast():
+    """The signed edge-soup index path must agree with the broadcast
+    winding batch on a multi-loop arrangement with holes and overlaps."""
+    from s2_geometry_library_java_spark.kernel import shapeindex as si
+
+    rng = np.random.default_rng(17)
+    loops = []
+    for k in range(5):
+        clat, clng = 10.0 + 7 * k, 20.0 + 5 * k
+        n = 24
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        pts = [(clat + 6 * np.sin(a), clng + 6 * np.cos(a)) for a in ang]
+        if k % 2:
+            pts = pts[::-1]  # CW: negative winding contribution
+        loops.append(_loop_deg(pts))
+    ea = np.concatenate(loops, axis=0)
+    eb = np.concatenate([np.roll(lv, -1, axis=0) for lv in loops], axis=0)
+    base = _pt(-60.0, -120.0)
+
+    probes = []
+    for k in range(300):
+        la = rng.uniform(0, 50)
+        ln = rng.uniform(10, 50)
+        probes.append(_pt(la, ln))
+    probes = np.asarray(probes)
+
+    want = np.zeros(len(probes), dtype=np.int64)
+    for lv in loops:
+        want += predicates.winding_numbers(base, probes, lv, 0)
+
+    def wind_at(p):
+        w = 0
+        for lv in loops:
+            w += int(predicates.winding_numbers(base, p[None], lv, 0)[0])
+        return w
+
+    rows = si.build_edge_soup_index(
+        ea, eb, max_edges_per_cell=8, contains_point=wind_at, signed=True
+    )
+    got = si.winding_points_indexed(rows, ea, eb, probes)
+    assert np.array_equal(got, want), (got[:10], want[:10])
+    assert set(want.tolist()) - {0, 1}  # overlaps produced richer windings
