@@ -32,6 +32,10 @@ from . import edges as ek
 from . import region as rg
 from . import sphere
 
+#: probe x edge work above which snapped-path parity membership uses the
+#: edge-soup index instead of one broadcast batch (tests patch this)
+INDEXED_PROBE_THRESHOLD = 2_000_000
+
 
 def _loop_edges(poly: "rg.Polygon"):
     for lp in poly.loops:
@@ -452,7 +456,7 @@ def _snapped_core(
     def member(ea, eb, origin_in):
         if len(ea) == 0:
             return np.zeros(len(probes), dtype=bool)
-        if len(ea) * len(probes) <= 2_000_000:
+        if len(ea) * len(probes) <= INDEXED_PROBE_THRESHOLD:
             # small: one broadcast parity batch
             cr = predicates.count_crossings_edges(origin, probes, ea, eb)
             return np.where((cr & 1) == 1, not origin_in, origin_in)

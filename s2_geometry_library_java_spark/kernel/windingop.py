@@ -22,6 +22,10 @@ from . import predicates
 from . import region as rg
 from . import sphere
 
+#: probe x edge work above which winding probes use the signed
+#: edge-soup index instead of one broadcast batch (tests patch this)
+INDEXED_PROBE_THRESHOLD = 2_000_000
+
 _RULES = {
     "positive": lambda w: w > 0,
     "negative": lambda w: w < 0,
@@ -135,7 +139,7 @@ def winding_operation(
 
     base_w = int(ref_winding) + delta
     total_edges = sum(len(sv) for sv in snapped_loops)
-    if total_edges * len(probes) <= 2_000_000:
+    if total_edges * len(probes) <= INDEXED_PROBE_THRESHOLD:
         w = np.full(len(probes), base_w, dtype=np.int64)
         for sv in snapped_loops:
             w += predicates.winding_numbers(ref, probes, sv, 0)

@@ -407,3 +407,28 @@ def test_boolean_op_mixed_shared_vertex():
 
     # regularized polygon path unchanged: plain boolean_op gives empty
     assert not bo.boolean_op(A, B, "intersection").loops
+
+
+def test_snapped_indexed_membership_branch(monkeypatch):
+    """Forcing the indexed-membership branch must not change any snapped
+    boolean result (bit-equal output polygons vs the broadcast branch)."""
+    from s2_geometry_library_java_spark.kernel import booleanop as bo2
+
+    def poly(pts):
+        return rg.Polygon([rg.Loop.from_latlng_degrees(pts)])
+
+    big = poly([(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)])
+    cases = [
+        poly([(14.0, 36.0), (14.0, 48.0), (26.0, 48.0), (26.0, 36.0)]),
+        poly([(16.0, 24.0), (16.0, 28.0), (20.0, 28.0), (20.0, 24.0)]),
+        poly([(18.0, 36.0), (14.0, 44.0), (22.0, 44.0)]),
+    ]
+    for other in cases:
+        for op in ("intersection", "union", "difference", "symmetric_difference"):
+            base = bo2.boolean_op_snapped(big, other, op)
+            monkeypatch.setattr(bo2, "INDEXED_PROBE_THRESHOLD", 0)
+            forced = bo2.boolean_op_snapped(big, other, op)
+            monkeypatch.setattr(bo2, "INDEXED_PROBE_THRESHOLD", 2_000_000)
+            assert len(base.loops) == len(forced.loops)
+            for lb, lf in zip(base.loops, forced.loops):
+                assert np.array_equal(lb.vertices, lf.vertices)

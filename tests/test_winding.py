@@ -263,3 +263,19 @@ def test_winding_indexed_equals_broadcast():
     got = si.winding_points_indexed(rows, ea, eb, probes)
     assert np.array_equal(got, want), (got[:10], want[:10])
     assert set(want.tolist()) - {0, 1}  # overlaps produced richer windings
+
+
+def test_winding_operation_indexed_branch(monkeypatch):
+    """Forcing winding_operation's indexed probe branch must reproduce
+    the broadcast branch's polygon exactly."""
+    from s2_geometry_library_java_spark.kernel import windingop as wo
+
+    big = _loop_deg([(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)])
+    small = _loop_deg([(2.0, 2.0), (2.0, 6.0), (6.0, 6.0), (6.0, 2.0)])
+    ref = _pt(-60.0, -120.0)
+    base = wo.winding_operation([big, small], ref, 0, rule="odd")
+    monkeypatch.setattr(wo, "INDEXED_PROBE_THRESHOLD", 0)
+    forced = wo.winding_operation([big, small], ref, 0, rule="odd")
+    assert len(base.loops) == len(forced.loops)
+    for lb, lf in zip(base.loops, forced.loops):
+        assert np.array_equal(lb.vertices, lf.vertices)
