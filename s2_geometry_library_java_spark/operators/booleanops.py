@@ -145,12 +145,33 @@ _PAIR_SCHEMA = (
     "n_loops int, n_vertices int"
 )
 
+_PAIR_MIXED_SCHEMA = (
+    _PAIR_SCHEMA
+    + ", degen_edges string, degen_points string, "
+    "n_degen_edges int, n_degen_points int"
+)
+
+
+def _pts_text(points) -> str:
+    """lat:lng list (S2TextFormat point-list grammar) for degenerate
+    elements; edges are 'lat:lng, lat:lng' pairs joined by ';'."""
+    import numpy as np
+
+    from ..kernel import cellid as s2
+
+    parts = []
+    for p in points:
+        la, ln = s2.xyz_to_latlng(p[0], p[1], p[2])
+        parts.append(f"{float(np.degrees(la))!r}:{float(np.degrees(ln))!r}")
+    return ", ".join(parts)
+
 
 def boolean_pairs(
     shapes_a: DataFrame,
     shapes_b: DataFrame,
     op: str | list[str],
     max_cells: int = 8,
+    mixed: bool = False,
 ) -> DataFrame:
     """(a_id, b_id, op, result_text, n_loops, n_vertices) for every
     covering-intersecting pair; result is the kernel boolean_op polygon
@@ -159,7 +180,12 @@ def boolean_pairs(
 
     ``op`` may be a list: all ops are computed in ONE pass over the
     candidate pairs (one mapInPandas stage total — Python stages carry a
-    fixed scheduling cost, so multi-op callers should batch)."""
+    fixed scheduling cost, so multi-op callers should batch).
+
+    ``mixed=True`` runs boolean_op_mixed (CLOSED polygon model) instead
+    and adds degenerate-output columns: ';'-joined degenerate edges and a
+    point list (S2TextFormat lat:lng grammar) plus their counts — the
+    distributed surface for tangent-geometry degeneracies."""
     from ..kernel import booleanop as bo
 
     ops = [op] if isinstance(op, str) else list(op)
@@ -172,18 +198,22 @@ def boolean_pairs(
     )
     pairs = cand.join(ta, "a_id").join(tb, "b_id")
 
+    cols = ["a_id", "b_id", "op", "result", "n_loops", "n_vertices"]
+    if mixed:
+        cols += ["degen_edges", "degen_points", "n_degen_edges", "n_degen_points"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                k: []
-                for k in ("a_id", "b_id", "op", "result", "n_loops", "n_vertices")
-            }
+            out = {k: [] for k in cols}
             for a_id, b_id, a_text, b_text in zip(
                 pdf["a_id"], pdf["b_id"], pdf["a_text"], pdf["b_text"]
             ):
                 pa, pb = _parse_polygon(a_text), _parse_polygon(b_text)
                 for o in ops:
-                    res = bo.boolean_op(pa, pb, o)
+                    if mixed:
+                        res, de, dp = bo.boolean_op_mixed(pa, pb, o)
+                    else:
+                        res = bo.boolean_op(pa, pb, o)
                     out["a_id"].append(a_id)
                     out["b_id"].append(b_id)
                     out["op"].append(o)
@@ -192,6 +222,13 @@ def boolean_pairs(
                     out["n_vertices"].append(
                         sum(len(lp.vertices) for lp in res.loops)
                     )
+                    if mixed:
+                        out["degen_edges"].append(
+                            "; ".join(_pts_text(e) for e in de)
+                        )
+                        out["degen_points"].append(_pts_text(dp))
+                        out["n_degen_edges"].append(len(de))
+                        out["n_degen_points"].append(len(dp))
             yield pd.DataFrame(out)
 
-    return pairs.mapInPandas(gen, _PAIR_SCHEMA)
+    return pairs.mapInPandas(gen, _PAIR_MIXED_SCHEMA if mixed else _PAIR_SCHEMA)

@@ -462,3 +462,35 @@ def test_knn_density_seed_fewer_fallbacks(spark):
             lvl = max(0, min(30, hist_level + int(
                 math.floor(math.log(9.0 * w / (1.5 * target), 4.0)))))
         assert lvl < uniform_level, (i, lvl, uniform_level, w)
+
+
+def test_boolean_pairs_mixed_distributed(spark):
+    """boolean_pairs(mixed=True): the distributed pair form surfaces
+    CLOSED-model degenerate outputs — a shared-edge tangent pair yields
+    an empty polygon plus degenerate edges spanning the shared edge; a
+    shared-vertex pair yields exactly one degenerate point."""
+    from s2_geometry_library_java_spark.operators import booleanops as bpo
+
+    def quad(pts):
+        return ", ".join(f"{float(la)!r}:{float(ln)!r}" for la, ln in pts)
+
+    sa = spark.createDataFrame(
+        [("a0", quad([(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)])),
+         ("a1", quad([(10.0, 10.0), (10.0, 20.0), (20.0, 20.0), (20.0, 10.0)]))],
+        "shape_id string, text string",
+    )
+    sb = spark.createDataFrame(
+        [("b0", quad([(14.0, 36.0), (14.0, 48.0), (26.0, 48.0), (26.0, 36.0)])),
+         ("b1", quad([(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0)]))],
+        "shape_id string, text string",
+    )
+    rows = {
+        (r["a_id"], r["b_id"]): r
+        for r in bpo.boolean_pairs(sa, sb, "intersection", mixed=True).collect()
+    }
+    r_edge = rows[("a0", "b0")]
+    assert r_edge["n_loops"] == 0 and r_edge["n_degen_edges"] >= 1
+    assert r_edge["n_degen_points"] == 0 and r_edge["degen_edges"]
+    r_pt = rows[("a1", "b1")]
+    assert r_pt["n_loops"] == 0 and r_pt["n_degen_points"] == 1
+    assert "20.0:20.0" in r_pt["degen_points"]
