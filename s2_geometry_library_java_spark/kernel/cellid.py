@@ -56,18 +56,22 @@ POS_TO_ORIENTATION = np.array(
 )
 
 
-def _build_lookup_tables() -> tuple[np.ndarray, np.ndarray]:
-    """4-bit-per-step Hilbert lookup tables (S2CellId.java:1573-1597).
+def _build_lookup_tables(width: int = LOOKUP_BITS) -> tuple[np.ndarray, np.ndarray]:
+    """``width``-bit-per-step Hilbert lookup tables (S2CellId.java:1573-1597).
 
-    Key layout "iiiijjjjoo" <-> value "ppppppppoo" where o = orientation bits.
+    Key layout "i..ij..joo" <-> value "p......poo" where o = orientation bits.
+    The per-level Hilbert transition composes, so any chunk width yields the
+    same pos/orientation as the reference's 4-bit tables — wider tables just
+    take fewer gather passes (width 6 => 5 passes for 30 levels, table 16 K
+    entries = 128 KiB, L2-resident).
     """
-    n = 1 << (2 * LOOKUP_BITS + 2)  # 1024
+    n = 1 << (2 * width + 2)
     lookup_pos = np.zeros(n, dtype=np.int64)
     lookup_ij = np.zeros(n, dtype=np.int64)
 
     def init(level: int, i: int, j: int, orig: int, pos: int, orientation: int):
-        if level == LOOKUP_BITS:
-            ij = (i << LOOKUP_BITS) + j
+        if level == width:
+            ij = (i << width) + j
             lookup_pos[(ij << 2) + orig] = (pos << 2) + orientation
             lookup_ij[(pos << 2) + orig] = (ij << 2) + orientation
             return
@@ -93,6 +97,13 @@ def _build_lookup_tables() -> tuple[np.ndarray, np.ndarray]:
 
 LOOKUP_POS, LOOKUP_IJ = _build_lookup_tables()
 
+# Wide-stride tables for the hot encode/decode paths: 6 bits per step means
+# 30 levels in exactly 5 gather passes (vs 8 with the reference's 4-bit
+# tables). Bit-identical output — the Hilbert transition composes across any
+# chunking (pinned by test_cellid bit-equality vs the 4-bit loop).
+WIDE_BITS = 6
+LOOKUP_POS_W, LOOKUP_IJ_W = _build_lookup_tables(WIDE_BITS)
+
 
 def _as_u64(ids) -> np.ndarray:
     return np.asarray(ids, dtype=np.uint64)
@@ -105,9 +116,36 @@ def _as_u64(ids) -> np.ndarray:
 def from_face_ij(face, i, j) -> np.ndarray:
     """Leaf cell id from cube face (0-5) and (i,j) in [0, 2^30).
 
-    Vectorized port of the 8x 4-bit lookup loop (S2CellId.java:1206-1240):
-    each step maps 4 bits of i and 4 of j plus 2 orientation bits through
-    LOOKUP_POS to 8 Hilbert-position bits plus the next orientation.
+    Same transition semantics as the reference's 8x 4-bit lookup loop
+    (S2CellId.java:1206-1240) but run through the 6-bit tables: 5 gather
+    passes, each mapping 6 bits of i and 6 of j plus 2 orientation bits
+    to 12 Hilbert-position bits plus the next orientation. Bit-equal to
+    ``_from_face_ij_4bit`` (pinned by test).
+    """
+    face = np.asarray(face, dtype=np.int64)
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    shape = np.broadcast(face, i, j).shape
+    bits = np.broadcast_to(face & SWAP_MASK, shape).copy()
+    pos = np.zeros(shape, dtype=np.uint64)
+    mask = (1 << WIDE_BITS) - 1
+    for k in range(MAX_LEVEL // WIDE_BITS - 1, -1, -1):
+        idx = (
+            bits
+            + (((i >> (k * WIDE_BITS)) & mask) << (WIDE_BITS + 2))
+            + (((j >> (k * WIDE_BITS)) & mask) << 2)
+        )
+        bits = LOOKUP_POS_W[idx]
+        pos |= (bits >> 2).astype(np.uint64) << np.uint64(k * 2 * WIDE_BITS)
+        bits &= SWAP_MASK | INVERT_MASK
+    return (face.astype(np.uint64) << np.uint64(POS_BITS)) + ((pos << _U64_1) + _U64_1)
+
+
+def _from_face_ij_4bit(face, i, j) -> np.ndarray:
+    """Reference-stride (4-bit, 8-pass) encode loop (S2CellId.java:1206-1240).
+
+    Kept as the pinned reference for the wide-stride fast path; the two are
+    asserted bit-equal in tests.
     """
     face = np.asarray(face, dtype=np.int64)
     i = np.asarray(i, dtype=np.int64)
@@ -130,9 +168,35 @@ def from_face_ij(face, i, j) -> np.ndarray:
 def to_face_ij_orientation(ids):
     """(face, i, j, orientation) of the leaf cell nearest this cell's center.
 
-    Vectorized port of S2CellId.java:1268-1304 (8x LOOKUP_IJ gathers plus the
-    trailing-bits orientation correction).
+    Vectorized port of S2CellId.java:1268-1304 via the 6-bit tables (5
+    gather passes; bit-equal to the reference's 4-bit stride, pinned by
+    ``_to_face_ij_orientation_4bit``), plus the trailing-bits orientation
+    correction.
     """
+    ids = _as_u64(ids)
+    face = (ids >> np.uint64(POS_BITS)).astype(np.int64)
+    bits = face & SWAP_MASK
+    i = np.zeros(ids.shape, dtype=np.int64)
+    j = np.zeros(ids.shape, dtype=np.int64)
+    mask = (1 << WIDE_BITS) - 1
+    for k in range(MAX_LEVEL // WIDE_BITS - 1, -1, -1):
+        chunk = (
+            (ids >> np.uint64(k * 2 * WIDE_BITS + 1))
+            & np.uint64((1 << (2 * WIDE_BITS)) - 1)
+        ).astype(np.int64)
+        bits = LOOKUP_IJ_W[bits + (chunk << 2)]
+        i += (bits >> (WIDE_BITS + 2)) << (k * WIDE_BITS)
+        j += ((bits >> 2) & mask) << (k * WIDE_BITS)
+        bits &= SWAP_MASK | INVERT_MASK
+    # Non-leaf suffix 10...0: each "00" pair flips SWAP (S2CellId.java:1293-1300)
+    lsb = lowest_on_bit(ids)
+    flip = (lsb & np.uint64(0x1111111111111110)) != 0
+    orientation = np.where(flip, bits ^ SWAP_MASK, bits)
+    return face, i, j, orientation
+
+
+def _to_face_ij_orientation_4bit(ids):
+    """Reference-stride (4-bit, 8-pass) decode loop (S2CellId.java:1268-1304)."""
     ids = _as_u64(ids)
     face = (ids >> np.uint64(POS_BITS)).astype(np.int64)
     bits = face & SWAP_MASK
@@ -148,7 +212,6 @@ def to_face_ij_orientation(ids):
         i += (bits >> (LOOKUP_BITS + 2)) << (k * LOOKUP_BITS)
         j += ((bits >> 2) & ((1 << LOOKUP_BITS) - 1)) << (k * LOOKUP_BITS)
         bits &= SWAP_MASK | INVERT_MASK
-    # Non-leaf suffix 10...0: each "00" pair flips SWAP (S2CellId.java:1293-1300)
     lsb = lowest_on_bit(ids)
     flip = (lsb & np.uint64(0x1111111111111110)) != 0
     orientation = np.where(flip, bits ^ SWAP_MASK, bits)
@@ -197,24 +260,44 @@ def xyz_to_face(x, y, z):
     return np.where(comp < 0, largest + 3, largest)
 
 
+# Per-face UV transform as gathers (UV_TRANSFORMS, S2Projections.java:348-415):
+# denominator = the face's major axis, numerators = the other two components
+# with face-dependent signs. sign*num then one IEEE divide is bit-equal to
+# the reference's per-face expressions (negation is exact).
+_UV_DEN_IDX = np.array([0, 1, 2, 0, 1, 2], dtype=np.int64)
+_U_NUM_IDX = np.array([1, 0, 0, 2, 2, 1], dtype=np.int64)
+_U_NUM_SGN = np.array([1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
+_V_NUM_IDX = np.array([2, 2, 1, 1, 0, 0], dtype=np.int64)
+_V_NUM_SGN = np.array([1.0, 1.0, -1.0, 1.0, -1.0, -1.0])
+
+
 def face_xyz_to_uv(face, x, y, z):
     """(u,v) on the given face (UV_TRANSFORMS, S2Projections.java:348-415)."""
-    # np.select evaluates every branch; off-face divisions by ~0 are discarded
+    face = np.asarray(face, dtype=np.int64)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.asarray(z, dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
-        return _face_xyz_to_uv(face, x, y, z)
+        den = np.choose(_UV_DEN_IDX[face], (x, y, z), mode="clip")
+        u = (_U_NUM_SGN[face] * np.choose(_U_NUM_IDX[face], (x, y, z), mode="clip")) / den
+        v = (_V_NUM_SGN[face] * np.choose(_V_NUM_IDX[face], (x, y, z), mode="clip")) / den
+    return u, v
 
 
-def _face_xyz_to_uv(face, x, y, z):
-    u = np.select(
-        [face == 0, face == 1, face == 2, face == 3, face == 4],
-        [y / x, -x / y, -x / z, z / x, z / y],
-        default=-y / z,
-    )
-    v = np.select(
-        [face == 0, face == 1, face == 2, face == 3, face == 4],
-        [z / x, z / y, -y / z, y / x, -x / y],
-        default=-x / z,
-    )
+def _face_xyz_to_uv_select(face, x, y, z):
+    """Reference-form per-face expressions (pinned bit-equality oracle for
+    the gather fast path above)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [y / x, -x / y, -x / z, z / x, z / y],
+            default=-y / z,
+        )
+        v = np.select(
+            [face == 0, face == 1, face == 2, face == 3, face == 4],
+            [z / x, z / y, -y / z, y / x, -x / y],
+            default=-x / z,
+        )
     return u, v
 
 

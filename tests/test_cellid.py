@@ -234,3 +234,49 @@ def test_inverse_ij_roundtrip():
     assert np.array_equal(f, f2)
     assert np.array_equal(i, i2)
     assert np.array_equal(j, j2)
+
+
+def test_wide_stride_hilbert_bit_equal_4bit():
+    """The 6-bit (5-pass) Hilbert tables are bit-equal to the reference's
+    4-bit (8-pass) stride (S2CellId.java:1206-1304) on random + corner ij."""
+    rng = np.random.RandomState(1234)
+    n = 100000
+    f = rng.randint(0, 6, n)
+    i = rng.randint(0, c.MAX_SIZE, n)
+    j = rng.randint(0, c.MAX_SIZE, n)
+    fe = np.repeat(np.arange(6), 4)
+    ie = np.tile([0, c.MAX_SIZE - 1, 0, c.MAX_SIZE - 1], 6)
+    je = np.tile([0, 0, c.MAX_SIZE - 1, c.MAX_SIZE - 1], 6)
+    f = np.concatenate([f, fe]); i = np.concatenate([i, ie]); j = np.concatenate([j, je])
+    ids = c.from_face_ij(f, i, j)
+    assert np.array_equal(ids, c._from_face_ij_4bit(f, i, j))
+    lvl = rng.randint(0, 31, ids.shape[0])
+    pids = c.parent(ids, lvl)
+    for a, b in zip(c.to_face_ij_orientation(pids), c._to_face_ij_orientation_4bit(pids)):
+        assert np.array_equal(a, b)
+
+
+def test_uv_gather_bit_equal_select():
+    """Gather-form face/UV transform is bit-equal to the reference-form
+    per-face expressions (S2Projections.java:348-415), incl. axis points
+    and face-boundary ties."""
+    rng = np.random.RandomState(99)
+    v = rng.normal(size=(100000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    special = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [-1, 0, 0], [0, -1, 0], [0, 0, -1],
+         [1, 1, 1], [1, 1, -1], [-1, 1, 1], [1, -1, 1], [-1, -1, -1],
+         [1, 1, 0], [0, 1, 1], [1, 0, 1], [-1, 1, 0], [0, -1, 1]], dtype=float)
+    special /= np.linalg.norm(special, axis=1, keepdims=True)
+    v = np.vstack([v, special])
+    x, y, z = v[:, 0].copy(), v[:, 1].copy(), v[:, 2].copy()
+    face = c.xyz_to_face(x, y, z)
+    # reference-form face selection
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    largest = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    comp = np.where(largest == 0, x, np.where(largest == 1, y, z))
+    assert np.array_equal(face, np.where(comp < 0, largest + 3, largest))
+    u1, v1 = c.face_xyz_to_uv(face, x, y, z)
+    u2, v2 = c._face_xyz_to_uv_select(face, x, y, z)
+    assert np.array_equal(u1, u2)
+    assert np.array_equal(v1, v2)
