@@ -441,6 +441,8 @@ def _snapped_core(
         "segs": [],
         "a_edge_set": a_edge_set,
         "b_edge_set": b_edge_set,
+        "a_origin_in": a_origin_in,
+        "b_origin_in": b_origin_in,
         "in_a": np.zeros(0, dtype=bool),
         "in_b": np.zeros(0, dtype=bool),
         "r_left": np.zeros(0, dtype=bool),
@@ -502,6 +504,8 @@ def _snapped_core(
         "segs": segs,
         "a_edge_set": a_edge_set,
         "b_edge_set": b_edge_set,
+        "a_origin_in": a_origin_in,
+        "b_origin_in": b_origin_in,
         "in_a": in_a,
         "in_b": in_b,
         "r_left": r_left,
@@ -511,14 +515,22 @@ def _snapped_core(
 
 
 def boolean_op_mixed(
-    a: "rg.Polygon", b: "rg.Polygon", op: str, snap_radius: float = 1e-10
+    a: "rg.Polygon",
+    b: "rg.Polygon",
+    op: str,
+    snap_radius: float = 1e-10,
+    model: str = "closed",
 ) -> tuple["rg.Polygon", list, list]:
     """Mixed-dimension boolean op: (polygon, degenerate_edges,
-    degenerate_points) under the CLOSED polygon model
+    degenerate_points) under a polygon boundary model
     (S2BooleanOperation.java:268-273 polygon model options;
     S2ClosedSetNormalizer.java semantics).
 
-    The regularized polygon is exactly boolean_op_snapped's. Additionally:
+    The regularized polygon is exactly boolean_op_snapped's in every
+    model; the models differ only in which degenerate elements accompany
+    it.
+
+    model="closed" (default): each operand is its closure. Additionally:
 
     * a snapped sub-edge whose two sides are BOTH excluded from the
       regularized result but which belongs to the op's closed combination
@@ -530,13 +542,41 @@ def boolean_op_mixed(
       incident polygon or degenerate edge in the output — a vertex-only
       tangency — is emitted as a DEGENERATE POINT.
 
-    Per S2ClosedSetNormalizer, degeneracies contained in a
-    higher-dimension output element are suppressed (edge endpoints are
-    never also points; edges on the result polygon's boundary are never
-    degenerate)."""
+    model="open": each operand is its interior; the result of the open
+    combination is an open set, so its degeneracies are SUBTRACTIVE —
+    cracks and punctures excluded from the regularized polygon (the
+    reference represents these as degenerate holes / sibling edge pairs
+    in the lax layers, S2LaxPolygonLayer DegenerateBoundaries):
+
+    * a snapped sub-edge whose two sides are BOTH in the regularized
+      result but which fails the op's open combination — e.g. the shared
+      edge of two abutting squares under union (neither open operand
+      contains it) — is emitted in ``degenerate_edges`` as a CRACK to be
+      removed from the open result;
+    * a site interior to the regularized polygon that fails the open
+      combination and lies on no crack is emitted in
+      ``degenerate_points`` as a PUNCTURE (for simple polygon inputs
+      every vertex tangency ends a crack, so this is rare by
+      construction, but the check is kept for completeness).
+
+    model="semi_open": every boundary point belongs to exactly one side
+    (S2BooleanOperation's default), so polygon-x-polygon ops produce no
+    degeneracies — the regularized polygon IS the result and both lists
+    are empty.
+
+    Per S2ClosedSetNormalizer, degeneracies contained in (closed) /
+    bounding (open) a higher-dimension output element are suppressed:
+    edge endpoints are never also points; edges on the result polygon's
+    boundary are never degenerate."""
     from . import predicates
 
+    if model not in ("closed", "open", "semi_open"):
+        raise ValueError(f"unknown polygon model: {model!r}")
     core = _snapped_core(a, b, op, snap_radius)
+    if model == "semi_open":
+        return core["polygon"], [], []
+    if model == "open":
+        return _mixed_open(core, op)
     S = core["sites"]
     segs = core["segs"]
     a_set, b_set = core["a_edge_set"], core["b_edge_set"]
@@ -623,6 +663,90 @@ def boolean_op_mixed(
                 if not bool(poly_covers[0]):
                     degen_points.append(S[sid].copy())
     return core["polygon"], degen_edges, degen_points
+
+
+def _mixed_open(core: dict, op: str) -> tuple["rg.Polygon", list, list]:
+    """OPEN-model degeneracies (see boolean_op_mixed): cracks = interior
+    sub-edges failing the open combination; punctures = interior sites
+    failing it off every crack."""
+    S = core["sites"]
+    segs = core["segs"]
+    a_set, b_set = core["a_edge_set"], core["b_edge_set"]
+    in_a, in_b = core["in_a"], core["in_b"]
+    r_left, r_right = core["r_left"], core["r_right"]
+    n = len(segs)
+
+    def open_member(k, on_set, side):
+        # edge in the OPEN operand region: covers both sides and is not
+        # on the operand's own boundary
+        return bool(side[k] and side[n + k] and (segs[k] not in on_set))
+
+    def closed_member(k, on_set, side):
+        return bool(side[k] or side[n + k] or (segs[k] in on_set))
+
+    def combine_open(oa, ob, ca, cb):
+        if op == "intersection":
+            return oa and ob
+        if op == "union":
+            return oa or ob
+        if op == "difference":
+            return oa and not cb
+        return (oa and not cb) or (ob and not ca)  # symmetric_difference
+
+    cracks = []
+    crack_sites = set()
+    for k in range(n):
+        if not (r_left[k] and r_right[k]):
+            continue  # not interior to the regularized result
+        oa = open_member(k, a_set, in_a)
+        ob = open_member(k, b_set, in_b)
+        ca = closed_member(k, a_set, in_a)
+        cb = closed_member(k, b_set, in_b)
+        if not combine_open(oa, ob, ca, cb):
+            u, v = segs[k]
+            cracks.append((S[u].copy(), S[v].copy()))
+            crack_sites.update((u, v))
+
+    poly = core["polygon"]
+    poly_sites = {u for u, _ in core["out_edges"]} | {
+        v for _, v in core["out_edges"]
+    }
+    a_sites = {s for e in a_set for s in e}
+    b_sites = {s for e in b_set for s in e}
+    cand = sorted((a_sites | b_sites) - poly_sites - crack_sites)
+    punctures = []
+    if cand and poly.loops:
+        from . import predicates
+
+        pts = S[np.asarray(cand, dtype=np.int64)]
+        interior = poly.contains_points(pts[:, 0], pts[:, 1], pts[:, 2])
+        origin = rg.Loop.ORIGIN
+
+        def strict_inside(edge_set, origin_in):
+            # parity vs the snapped layer boundary; only consulted for
+            # sites that are NOT vertices of this operand (vertex sites
+            # are resolved by the vertex rule below)
+            if not edge_set:
+                return np.zeros(len(cand), dtype=bool)
+            es = sorted(edge_set)
+            ea = S[np.asarray([u for u, _ in es])]
+            eb = S[np.asarray([v for _, v in es])]
+            cr = predicates.count_crossings_edges(origin, pts, ea, eb)
+            return np.where((cr & 1) == 1, not origin_in, origin_in)
+
+        ins_a = strict_inside(a_set, core["a_origin_in"])
+        ins_b = strict_inside(b_set, core["b_origin_in"])
+        for idx, sid in enumerate(cand):
+            if not bool(interior[idx]):
+                continue
+            va, vb = sid in a_sites, sid in b_sites
+            oa = bool(ins_a[idx]) and not va
+            ob = bool(ins_b[idx]) and not vb
+            ca = va or bool(ins_a[idx])
+            cb = vb or bool(ins_b[idx])
+            if not combine_open(oa, ob, ca, cb):
+                punctures.append(S[sid].copy())
+    return poly, cracks, punctures
 
 
 def boolean_op(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon":

@@ -1051,6 +1051,26 @@ def q_boolean_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 inside = float(((p - q) ** 2).sum()) < 1e-24
             if inside:
                 mixed_rows.append((base + pid, f"degen_{tag}"))
+
+    # OPEN-model tier: membership in the open union of (a,b) = regularized
+    # polygon minus cracks/punctures (boolean_op_mixed model="open"); the
+    # oracle is strict (det > eps) membership in either input. Probes on
+    # the shared edge sit on a crack and are excluded deterministically,
+    # so on-boundary contains_points FP noise never decides a row.
+    poly_o, cracks, punctures = bo.boolean_op_mixed(a, b, "union", model="open")
+    for pid, la, ln in _DEGEN_PROBES:
+        p = np.ravel(s2.latlng_to_xyz(np.radians(la), np.radians(ln)))
+        on_crack = any(
+            float(np.atleast_1d(ekr.min_chord2_to_edges(p, e0, e1))[0]) < 1e-24
+            for e0, e1 in cracks
+        ) or any(float(((p - q) ** 2).sum()) < 1e-24 for q in punctures)
+        member = (
+            not on_crack
+            and bool(poly_o.loops)
+            and bool(poly_o.contains_points(p[0:1], p[1:2], p[2:3])[0])
+        )
+        if member:
+            mixed_rows.append((3 * 10**9 + pid, "open_ab"))
     return out.unionByName(local_df(spark, mixed_rows, "k long, op string"))
 
 
@@ -1080,7 +1100,13 @@ def q_boolean_degenerate_oracle() -> str:
     cb AS (SELECT k FROM (SELECT dp.k, {det} AS det
             FROM dp CROSS JOIN eb) GROUP BY k HAVING bool_and(det >= -1e-12)),
     cc AS (SELECT k FROM (SELECT dp.k, {det} AS det
-            FROM dp CROSS JOIN ec) GROUP BY k HAVING bool_and(det >= -1e-12))
+            FROM dp CROSS JOIN ec) GROUP BY k HAVING bool_and(det >= -1e-12)),
+    -- OPEN (strict) membership: every edge determinant > +eps, so
+    -- boundary probes (det ~ 0) are excluded
+    sa AS (SELECT k FROM (SELECT dp.k, {det} AS det
+            FROM dp CROSS JOIN ea) GROUP BY k HAVING bool_and(det > 1e-12)),
+    sb AS (SELECT k FROM (SELECT dp.k, {det} AS det
+            FROM dp CROSS JOIN eb) GROUP BY k HAVING bool_and(det > 1e-12))
     SELECT k, 'union' AS op FROM (SELECT k FROM ia UNION SELECT k FROM ib)
     UNION ALL
     SELECT k, 'difference' AS op FROM (SELECT k FROM ia EXCEPT SELECT k FROM ib)
@@ -1094,6 +1120,9 @@ def q_boolean_degenerate_oracle() -> str:
     UNION ALL
     SELECT 2000000000 + k, 'degen_ac' AS op FROM
         (SELECT k FROM ca INTERSECT SELECT k FROM cc)
+    UNION ALL
+    SELECT 3000000000 + k, 'open_ab' AS op FROM
+        (SELECT k FROM sa UNION SELECT k FROM sb)
     """
 
 

@@ -432,3 +432,89 @@ def test_snapped_indexed_membership_branch(monkeypatch):
             assert len(base.loops) == len(forced.loops)
             for lb, lf in zip(base.loops, forced.loops):
                 assert np.array_equal(lb.vertices, lf.vertices)
+
+
+def _quad(lat0, lat1, lng0, lng1):
+    return rg.Polygon([rg.Loop.from_latlng_degrees(
+        [(lat0, lng0), (lat0, lng1), (lat1, lng1), (lat1, lng0)])])
+
+
+def _on_any_edge(p, edges, tol2=1e-24):
+    from s2_geometry_library_java_spark.kernel import edges as ekr
+    for e0, e1 in edges:
+        if float(np.atleast_1d(ekr.min_chord2_to_edges(p, e0, e1))[0]) < tol2:
+            return True
+    return False
+
+
+class TestOpenModelMixed:
+    """OPEN polygon model (S2BooleanOperation.java:268-273): operands are
+    open sets, so degeneracies are subtractive cracks/punctures (the
+    reference's degenerate holes, S2LaxPolygonLayer DegenerateBoundaries)."""
+
+    def test_union_abutting_squares_emits_crack(self):
+        a = _quad(14, 26, 24, 36)
+        b = _quad(14, 26, 36, 48)
+        poly, cracks, punc = bo.boolean_op_mixed(a, b, "union", model="open")
+        # regularized polygon identical to the snapped result
+        ref = bo.boolean_op_snapped(a, b, "union")
+        assert len(poly.loops) == len(ref.loops) == 1
+        assert not punc
+        assert cracks, "shared edge must be excluded from the open union"
+        # every crack point lies on the lng=36 meridian between lat 14..26
+        from s2_geometry_library_java_spark.kernel import cellid as ci
+        for e0, e1 in cracks:
+            for p in (e0, e1):
+                lat, lng = ci.xyz_to_latlng(p[0], p[1], p[2])
+                assert abs(np.degrees(lng) - 36.0) < 1e-9
+                assert 14.0 - 1e-9 <= np.degrees(lat) <= 26.0 + 1e-9
+        # cracks cover the full shared edge: endpoints 14 and 26 appear
+        lats = sorted(
+            round(float(np.degrees(ci.xyz_to_latlng(p[0], p[1], p[2])[0])), 6)
+            for e in cracks for p in e
+        )
+        assert lats[0] == 14.0 and lats[-1] == 26.0
+
+    def test_open_intersection_of_tangent_pair_is_fully_empty(self):
+        a = _quad(14, 26, 24, 36)
+        b = _quad(14, 26, 36, 48)
+        poly, cracks, punc = bo.boolean_op_mixed(a, b, "intersection", model="open")
+        assert not poly.loops and not cracks and not punc
+        # while the CLOSED intersection is exactly the shared edge
+        _, de, _ = bo.boolean_op_mixed(a, b, "intersection", model="closed")
+        assert de
+
+    def test_open_difference_abutting_has_no_degeneracies(self):
+        a = _quad(14, 26, 24, 36)
+        b = _quad(14, 26, 36, 48)
+        poly, cracks, punc = bo.boolean_op_mixed(a, b, "difference", model="open")
+        assert len(poly.loops) == 1 and not cracks and not punc
+
+    def test_union_l_shape_with_notch_square_cracks_both_notch_edges(self):
+        # L-shape covering three quadrants of [0,2]x[0,2]; notch = [1,2]x[1,2]
+        l_shape = rg.Polygon([rg.Loop.from_latlng_degrees(
+            [(0, 0), (0, 2), (1, 2), (1, 1), (2, 1), (2, 0)])])
+        notch = _quad(1, 2, 1, 2)
+        poly, cracks, punc = bo.boolean_op_mixed(l_shape, notch, "union", model="open")
+        assert len(poly.loops) == 1
+        assert len(cracks) >= 2, "both notch edges are cracks in the open union"
+        # the reflex corner (1,1) is an endpoint of a crack (suppressed as
+        # a puncture per the closed-set-normalizer rule)
+        from s2_geometry_library_java_spark.kernel import cellid as ci
+        corner = np.ravel(ci.latlng_to_xyz(np.radians(1.0), np.radians(1.0)))
+        assert _on_any_edge(corner, cracks)
+        assert not punc
+
+    def test_semi_open_never_degenerate(self):
+        a = _quad(14, 26, 24, 36)
+        b = _quad(14, 26, 36, 48)
+        for op in ("union", "intersection", "difference", "symmetric_difference"):
+            poly, de, dp = bo.boolean_op_mixed(a, b, op, model="semi_open")
+            ref = bo.boolean_op_snapped(a, b, op)
+            assert len(poly.loops) == len(ref.loops)
+            assert de == [] and dp == []
+
+    def test_unknown_model_raises(self):
+        a = _quad(14, 26, 24, 36)
+        with pytest.raises(ValueError):
+            bo.boolean_op_mixed(a, a, "union", model="half_open")
