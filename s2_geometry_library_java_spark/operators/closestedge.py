@@ -31,6 +31,12 @@ from ..kernel import sphere
 
 _EPS = float(np.finfo(np.float64).eps)
 
+#: index edge count at which covering_seed="auto" turns the max-distance
+#: covering seed on (tests patch this): the seed's bounds stage costs a few
+#: fixed jobs, which only pays off when the remnant brute would otherwise be
+#: |queries| x |edges| over a large edge set.
+AUTO_COVERING_SEED_EDGES = 50_000
+
 
 def edge_min_chord2_cols(px, py, pz, ax, ay, az, bx, by, bz) -> Column:
     """Min squared-chord distance from point P to edge AB as a Column
@@ -101,7 +107,7 @@ def furthest_edges(
     lng: str = "lng",
     fallback_level_step: int = 3,
     max_rounds: int = 3,
-    covering_seed: bool = False,
+    covering_seed: bool | str = "auto",
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k FURTHEST indexed
     edges per query (S2FurthestEdgeQuery over S2BestEdgesQueryBase) via
@@ -128,14 +134,15 @@ def furthest_edges(
         lng="lng",
         fallback_level_step=fallback_level_step,
         max_rounds=max_rounds,
-        # OPT-IN max-distance covering seed (S2FurthestEdgeQuery's
-        # covering traversal): antipode points of queries near a
-        # CLUSTERED index are far from every cell, so rings always come
-        # up empty and the covering-pruned path wins when the edge set is
-        # large (remnant brute is |queries| x |edges|). For broad indexes
-        # or small edge sets the ring+remnant path is faster (the seed
-        # adds a bounds stage and several small jobs), so it stays off by
-        # default.
+        # Max-distance covering seed (S2FurthestEdgeQuery's covering
+        # traversal): antipode points of queries near a CLUSTERED index
+        # are far from every cell, so rings always come up empty and the
+        # covering-pruned path wins when the edge set is large (remnant
+        # brute is |queries| x |edges|). For broad indexes or small edge
+        # sets the ring+remnant path is faster (the seed adds a bounds
+        # stage and several small jobs). "auto" (default) counts the
+        # persisted index once — a cache warm-up the search needs anyway
+        # — and turns the seed on above AUTO_COVERING_SEED_EDGES.
         covering_seed=covering_seed,
     )
     return near.select(
@@ -157,7 +164,7 @@ def closest_edges(
     lng: str = "lng",
     fallback_level_step: int = 3,
     max_rounds: int = 3,
-    covering_seed: bool = False,
+    covering_seed: bool | str = False,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k nearest indexed
     edges per query. ``index`` is shape_index_df output built with
@@ -177,6 +184,11 @@ def closest_edges(
     qpts = _query_points(queries, query_id, lat, lng).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if covering_seed == "auto":
+        # one count over the persisted index: materializes the cache the
+        # ring rounds need anyway, and gives the edge cardinality the
+        # routing decision wants
+        covering_seed = index.count() >= AUTO_COVERING_SEED_EDGES
     w = Window.partitionBy("query_id").orderBy(
         F.asc("chord2"), F.asc("shape_id"), F.asc("edge_id")
     )

@@ -61,9 +61,20 @@ def index_terms(
     level_mod: int = 1,
     optimize_for_space: bool = False,
     doc_id: str = "shape_id",
+    only_points_indexed: bool = False,
 ) -> DataFrame:
     """(doc_id, term) rows for covering rows (doc_id, cell_id)
-    (S2IndexingHelperImpl.getIndexTerms(Iterable<S2CellId>))."""
+    (S2IndexingHelperImpl.getIndexTerms(Iterable<S2CellId>)).
+
+    ``only_points_indexed=True`` declares a points-only index; region
+    documents cannot be added to it (the reference throws,
+    S2IndexingHelper.java points-only contract) — use point_index_terms
+    for the documents of such an index."""
+    if only_points_indexed:
+        raise ValueError(
+            "points-only index: region documents cannot be indexed "
+            "(use point_index_terms)"
+        )
     lvl = cc.level("cell_id")
     tok = cc.token("cell_id")
     own = [

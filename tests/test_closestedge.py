@@ -209,3 +209,50 @@ def test_furthest_covering_seed_engages_on_clustered_index(spark, monkeypatch):
             gsid, ge, gfar = got[(qid, rank)]
             assert (gsid, ge) == (wsid, we), (qid, rank)
             assert abs(gfar - wfar) < 1e-9
+
+
+def test_furthest_covering_seed_auto_threshold(spark, monkeypatch):
+    """covering_seed="auto" (the default) engages the covering-pruned path
+    iff the index edge count reaches AUTO_COVERING_SEED_EDGES, with
+    identical results either way."""
+    from s2_geometry_library_java_spark.operators import closestedge
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    texts = {
+        f"s{i}": f"{10 + 0.4 * i}:{20.0}, {10 + 0.4 * i}:{20.6}, "
+                 f"{10.3 + 0.4 * i}:{20.6}, {10.3 + 0.4 * i}:{20.0}"
+        for i in range(4)
+    }
+    shapes = spark.createDataFrame(
+        list(texts.items()), "shape_id string, text string"
+    )
+    idx = shape_ops.shape_index_df(shapes, min_level=4)
+    qs = [(1, 11.0, 20.3), (2, 12.0, 20.1)]
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lng double")
+
+    calls = {"covering": 0}
+    real = closestedge.covering_pruned_edges
+
+    def spy(*a, **k):
+        calls["covering"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(closestedge, "covering_pruned_edges", spy)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["shape_id"], r["edge_id"],
+             round(r["chord2"], 12))
+            for r in closestedge.furthest_edges(idx, queries, k=2, level=4).collect()
+        )
+
+    # 16 indexed edges: below the default threshold -> ring path
+    monkeypatch.setattr(closestedge, "AUTO_COVERING_SEED_EDGES", 50_000)
+    base = run()
+    assert calls["covering"] == 0, "seed engaged below the auto threshold"
+
+    # threshold of 1: the same call auto-routes through the covering seed
+    monkeypatch.setattr(closestedge, "AUTO_COVERING_SEED_EDGES", 1)
+    seeded = run()
+    assert calls["covering"] == 1, "auto seed did not engage"
+    assert seeded == base

@@ -86,3 +86,16 @@ def test_point_rules(spark):
     got2 = _pairs(indexing.term_matches(pdt, rqt))
     assert (1, "q0") in got2
     assert all(d != 2 for d, _ in got2)
+
+
+def test_points_only_index_rejects_region_documents(spark):
+    """S2IndexingHelper points-only contract: a region document cannot be
+    added to a points-only index (the reference throws); the flag is now
+    enforced doc-side too, not just query-side."""
+    import pytest
+
+    from s2_geometry_library_java_spark.operators import indexing
+
+    cov = spark.createDataFrame([("d0", 1)], "shape_id string, cell_id long")
+    with pytest.raises(ValueError, match="points-only"):
+        indexing.index_terms(cov, 4, 16, only_points_indexed=True)
