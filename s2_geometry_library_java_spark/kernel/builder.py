@@ -20,9 +20,11 @@ kernel, scoped to what the engine's constructive ops need:
   1588-1701 / S2Predicates.getVoronoiSiteExclusion): a site whose
   coverage interval on the edge nests inside a nearer site's is dropped,
   and the three-site circumcenter rule prunes sites shadowed by their two
-  neighbors — float interval arithmetic with a stable 2*asin formulation
-  rather than the reference's exact predicates (documented precision
-  difference; exclusion decisions within ~1e-15 of a tie may differ);
+  neighbors. Interval comparisons use float arithmetic with a stable
+  2*asin formulation and ESCALATE TO EXACT rational arithmetic
+  (kernel/exactcover.py, the reference's triage->exact cascade) when an
+  endpoint comparison falls within VORONOI_TIE_EPS of a tie — exact for
+  edges spanning < pi/2; longer edges keep the float decision;
 * simplify_edge_chains (S2Builder.java:20-80): Graph.simplified_layer_
   edges subsamples maximal degree-2 paths of the output graph under the
   snap radius, preserving junctions — snap + simplify in one
@@ -45,6 +47,11 @@ from . import cellid as ci
 from . import edges as ek
 from . import predicates
 from . import sphere
+
+#: float coverage-interval endpoint comparisons closer than this (radians)
+#: escalate to the exact rational path (kernel/exactcover.py); generous vs
+#: the stable 2*asin formulation's ~1e-15 endpoint error
+VORONOI_TIE_EPS = 1e-13
 
 DBL_EPSILON = float(np.finfo(np.float64).eps)
 
@@ -337,9 +344,22 @@ def _voronoi_filter(S: np.ndarray, cand: list[int], d2_cand: np.ndarray,
 
     pts = S[np.asarray(cand, dtype=np.int64)]
     lo, hi = _coverage_intervals(pts, x, y, r_chord2)
+    # Exact escalation (S2Predicates.getVoronoiSiteExclusion's
+    # triage->exact cascade): when a float endpoint comparison is within
+    # VORONOI_TIE_EPS of a tie, re-decide it with rational arithmetic
+    # (kernel/exactcover.py). Scope: the exact parametrization needs the
+    # edge to span < pi/2; longer edges keep the float decision.
+    exact_ok = float(np.dot(x, y)) > 1e-6
 
     def contains(i, j) -> bool:
         # interval of cand[i] contains interval of cand[j]
+        if exact_ok and (
+            abs(lo[i] - lo[j]) < VORONOI_TIE_EPS
+            or abs(hi[j] - hi[i]) < VORONOI_TIE_EPS
+        ):
+            from . import exactcover
+
+            return exactcover.exact_contains(pts[i], pts[j], x, y, r_chord2)
         return lo[i] <= lo[j] and hi[j] <= hi[i]
 
     def s1(u, v, w) -> int:

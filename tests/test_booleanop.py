@@ -434,7 +434,7 @@ def test_snapped_indexed_membership_branch(monkeypatch):
                 assert np.array_equal(lb.vertices, lf.vertices)
 
 
-def _quad(lat0, lat1, lng0, lng1):
+def _rect4(lat0, lat1, lng0, lng1):
     return rg.Polygon([rg.Loop.from_latlng_degrees(
         [(lat0, lng0), (lat0, lng1), (lat1, lng1), (lat1, lng0)])])
 
@@ -453,8 +453,8 @@ class TestOpenModelMixed:
     reference's degenerate holes, S2LaxPolygonLayer DegenerateBoundaries)."""
 
     def test_union_abutting_squares_emits_crack(self):
-        a = _quad(14, 26, 24, 36)
-        b = _quad(14, 26, 36, 48)
+        a = _rect4(14, 26, 24, 36)
+        b = _rect4(14, 26, 36, 48)
         poly, cracks, punc = bo.boolean_op_mixed(a, b, "union", model="open")
         # regularized polygon identical to the snapped result
         ref = bo.boolean_op_snapped(a, b, "union")
@@ -476,8 +476,8 @@ class TestOpenModelMixed:
         assert lats[0] == 14.0 and lats[-1] == 26.0
 
     def test_open_intersection_of_tangent_pair_is_fully_empty(self):
-        a = _quad(14, 26, 24, 36)
-        b = _quad(14, 26, 36, 48)
+        a = _rect4(14, 26, 24, 36)
+        b = _rect4(14, 26, 36, 48)
         poly, cracks, punc = bo.boolean_op_mixed(a, b, "intersection", model="open")
         assert not poly.loops and not cracks and not punc
         # while the CLOSED intersection is exactly the shared edge
@@ -485,8 +485,8 @@ class TestOpenModelMixed:
         assert de
 
     def test_open_difference_abutting_has_no_degeneracies(self):
-        a = _quad(14, 26, 24, 36)
-        b = _quad(14, 26, 36, 48)
+        a = _rect4(14, 26, 24, 36)
+        b = _rect4(14, 26, 36, 48)
         poly, cracks, punc = bo.boolean_op_mixed(a, b, "difference", model="open")
         assert len(poly.loops) == 1 and not cracks and not punc
 
@@ -494,7 +494,7 @@ class TestOpenModelMixed:
         # L-shape covering three quadrants of [0,2]x[0,2]; notch = [1,2]x[1,2]
         l_shape = rg.Polygon([rg.Loop.from_latlng_degrees(
             [(0, 0), (0, 2), (1, 2), (1, 1), (2, 1), (2, 0)])])
-        notch = _quad(1, 2, 1, 2)
+        notch = _rect4(1, 2, 1, 2)
         poly, cracks, punc = bo.boolean_op_mixed(l_shape, notch, "union", model="open")
         assert len(poly.loops) == 1
         assert len(cracks) >= 2, "both notch edges are cracks in the open union"
@@ -506,8 +506,8 @@ class TestOpenModelMixed:
         assert not punc
 
     def test_semi_open_never_degenerate(self):
-        a = _quad(14, 26, 24, 36)
-        b = _quad(14, 26, 36, 48)
+        a = _rect4(14, 26, 24, 36)
+        b = _rect4(14, 26, 36, 48)
         for op in ("union", "intersection", "difference", "symmetric_difference"):
             poly, de, dp = bo.boolean_op_mixed(a, b, op, model="semi_open")
             ref = bo.boolean_op_snapped(a, b, op)
@@ -515,6 +515,6 @@ class TestOpenModelMixed:
             assert de == [] and dp == []
 
     def test_unknown_model_raises(self):
-        a = _quad(14, 26, 24, 36)
+        a = _rect4(14, 26, 24, 36)
         with pytest.raises(ValueError):
             bo.boolean_op_mixed(a, a, "union", model="half_open")

@@ -289,3 +289,147 @@ def test_simplify_keeps_crossing_junction():
     assert cross_sites  # the crossing was spliced into both layers
     simp_sites = {s for e in simp for s in e}
     assert cross_sites <= simp_sites  # junction kept through simplify
+
+
+def _float_interval(p, x, y, r2):
+    lo, hi = bu._coverage_intervals(p[None, :], x, y, r2)
+    return float(lo[0]), float(hi[0])
+
+
+def _bisect_root(A, B, C, s_lo, s_hi, n=200):
+    """Exact-arithmetic bisection of E(s) = A s^2 + B s + C on [s_lo, s_hi]
+    (Fraction endpoints with E of opposite signs); independent oracle for
+    the surd-comparison root ordering."""
+    from fractions import Fraction
+
+    E = lambda s: A * s * s + B * s + C
+    a, b = Fraction(s_lo), Fraction(s_hi)
+    fa = E(a)
+    for _ in range(n):
+        m = (a + b) / 2
+        fm = E(m)
+        if fm == 0:
+            return m
+        if (fa > 0) == (fm > 0):
+            a, fa = m, fm
+        else:
+            b = m
+    return (a + b) / 2
+
+
+def test_exact_contains_agrees_with_float_off_tie():
+    """Fuzz: exact_contains must agree with the float interval containment
+    whenever the float margins are comfortably off a tie (>1e-9)."""
+    from s2_geometry_library_java_spark.kernel import exactcover as xc
+
+    rng = np.random.RandomState(7)
+    r2 = float(sphere.chord2_from_angle(1e-5))
+    checked = 0
+    for _ in range(300):
+        # short edge somewhere random
+        lat0, lng0 = rng.uniform(-60, 60), rng.uniform(-170, 170)
+        x = np.ravel(ci.latlng_to_xyz(np.radians(lat0), np.radians(lng0)))
+        y = np.ravel(ci.latlng_to_xyz(
+            np.radians(lat0 + rng.uniform(0.5, 2.0) * 1e-3),
+            np.radians(lng0 + rng.uniform(0.5, 2.0) * 1e-3)))
+        # two sites near the edge, within ~r of it
+        def site():
+            t = rng.uniform(-0.2, 1.2)
+            p = x + t * (y - x)
+            p = p + rng.uniform(-1, 1, 3) * np.sqrt(r2) * 0.5
+            return p / np.linalg.norm(p)
+        pi_, pj_ = site(), site()
+        li, hi_ = _float_interval(pi_, x, y, r2)
+        lj, hj = _float_interval(pj_, x, y, r2)
+        margins = min(abs(li - lj), abs(hj - hi_))
+        if margins < 1e-9:
+            continue
+        float_contains = li <= lj and hj <= hi_
+        assert xc.exact_contains(pi_, pj_, x, y, r2) == float_contains
+        checked += 1
+    assert checked > 100
+
+
+def test_exact_contains_resolves_one_ulp_tie():
+    """Two sites identical except one coordinate nudged by 1 ulp along the
+    edge: float intervals are bit-identical (a forced tie) but the exact
+    path must order the entry/exit roots correctly — pinned against an
+    exact-arithmetic bisection of the coverage quadratic."""
+    from fractions import Fraction
+
+    from s2_geometry_library_java_spark.kernel import exactcover as xc
+
+    x = np.ravel(ci.latlng_to_xyz(np.radians(10.0), np.radians(20.0)))
+    y = np.ravel(ci.latlng_to_xyz(np.radians(10.001), np.radians(20.001)))
+    r2 = float(sphere.chord2_from_angle(2e-6))
+    mid = x + 0.5 * (y - x)
+    p = mid / np.linalg.norm(mid)
+    q = p.copy()
+    q[2] = np.nextafter(q[2], 2.0)  # 1-ulp nudge
+    # forced tie: float endpoints within the exact-routing threshold
+    fp, fq = _float_interval(p, x, y, r2), _float_interval(q, x, y, r2)
+    assert abs(fp[0] - fq[0]) < bu.VORONOI_TIE_EPS
+    assert abs(fp[1] - fq[1]) < bu.VORONOI_TIE_EPS
+    # oracle: order the entry and exit roots by exact bisection
+    xv = xc._vec(x); yv = xc._vec(y)
+    xx = xc._dot(xv, xv); xy = xc._dot(xv, yv)
+    w = tuple(yv[k] * xx - xv[k] * xy for k in range(3))
+    c = 2 - Fraction(r2)
+    sp = xc.Site(p, xv, yv, w, c * c)
+    sq = xc.Site(q, xv, yv, w, c * c)
+    roots = {}
+    for tag, s in (("p", sp), ("q", sq)):
+        assert s.D > 0 and s.A < 0
+        sv = s.B / (-2 * s.A)
+        half = 1
+        while (s.A * (sv - half) ** 2 + s.B * (sv - half) + s.C) > 0:
+            half *= 2
+        lo_root = _bisect_root(s.A, s.B, s.C, sv - half, sv)
+        hi_root = _bisect_root(s.A, s.B, s.C, sv, sv + half)
+        roots[tag] = (lo_root, hi_root)
+    # the 1-ulp nudge genuinely moves the exact roots (the difference the
+    # float path cannot see)
+    assert roots["p"][0] != roots["q"][0]
+    assert roots["p"][1] != roots["q"][1]
+    want_p_in_q = roots["q"][0] <= roots["p"][0] and roots["p"][1] <= roots["q"][1]
+    want_q_in_p = roots["p"][0] <= roots["q"][0] and roots["q"][1] <= roots["p"][1]
+    # clamps don't engage: neither site covers x or y
+    assert not sp.cov_x and not sp.cov_y and not sq.cov_x and not sq.cov_y
+    assert xc.exact_contains(q, p, x, y, r2) == want_p_in_q
+    assert xc.exact_contains(p, q, x, y, r2) == want_q_in_p
+    # a second sub-float perturbation direction, also pinned to the oracle
+    q2 = p.copy()
+    q2[0] = np.nextafter(q2[0], 0.0)
+    sq2 = xc.Site(q2, xv, yv, w, c * c)
+    if sq2.D > 0 and sq2.A < 0 and not (sq2.cov_x or sq2.cov_y):
+        sv = sq2.B / (-2 * sq2.A)
+        half = 1
+        while (sq2.A * (sv - half) ** 2 + sq2.B * (sv - half) + sq2.C) > 0:
+            half *= 2
+        r_lo = _bisect_root(sq2.A, sq2.B, sq2.C, sv - half, sv)
+        r_hi = _bisect_root(sq2.A, sq2.B, sq2.C, sv, sv + half)
+        want = roots["p"][0] <= r_lo and r_hi <= roots["p"][1]
+        assert xc.exact_contains(p, q2, x, y, r2) == want
+
+
+def test_voronoi_filter_all_exact_matches_float(monkeypatch):
+    """Routing every comparison through the exact path (tie eps = 10)
+    yields the same surviving chain as the float path on a generic
+    near-coincident fixture — exact and float agree off ties end-to-end."""
+    rng = np.random.RandomState(3)
+    x = np.ravel(ci.latlng_to_xyz(np.radians(0.0), np.radians(0.0)))
+    y = np.ravel(ci.latlng_to_xyz(np.radians(0.0), np.radians(0.01)))
+    r2 = float(sphere.chord2_from_angle(5e-5))
+    S = []
+    for t in np.linspace(-0.1, 1.1, 9):
+        p = x + t * (y - x) + rng.uniform(-1, 1, 3) * 2e-6
+        S.append(p / np.linalg.norm(p))
+    S = np.asarray(S)
+    cand = list(range(len(S)))
+    from s2_geometry_library_java_spark.kernel import edges as ekk
+    d2 = np.array([
+        float(np.atleast_1d(ekk.min_chord2_to_edges(p, x, y))[0]) for p in S
+    ])
+    base = bu._voronoi_filter(S, cand, d2, x, y, r2)
+    monkeypatch.setattr(bu, "VORONOI_TIE_EPS", 10.0)
+    assert bu._voronoi_filter(S, cand, d2, x, y, r2) == base
