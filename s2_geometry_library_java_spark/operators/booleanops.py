@@ -172,6 +172,7 @@ def boolean_pairs(
     op: str | list[str],
     max_cells: int = 8,
     mixed: bool = False,
+    model: str = "closed",
 ) -> DataFrame:
     """(a_id, b_id, op, result_text, n_loops, n_vertices) for every
     covering-intersecting pair; result is the kernel boolean_op polygon
@@ -182,10 +183,13 @@ def boolean_pairs(
     candidate pairs (one mapInPandas stage total — Python stages carry a
     fixed scheduling cost, so multi-op callers should batch).
 
-    ``mixed=True`` runs boolean_op_mixed (CLOSED polygon model) instead
-    and adds degenerate-output columns: ';'-joined degenerate edges and a
-    point list (S2TextFormat lat:lng grammar) plus their counts — the
-    distributed surface for tangent-geometry degeneracies."""
+    ``mixed=True`` runs boolean_op_mixed under ``model`` ("closed"
+    default, "open", or "semi_open" — S2BooleanOperation polygon models)
+    instead and adds degenerate-output columns: ';'-joined degenerate
+    edges and a point list (S2TextFormat lat:lng grammar) plus their
+    counts — additive shells/points under CLOSED, subtractive
+    cracks/punctures under OPEN — the distributed surface for
+    tangent-geometry degeneracies."""
     from ..kernel import booleanop as bo
 
     ops = [op] if isinstance(op, str) else list(op)
@@ -211,7 +215,7 @@ def boolean_pairs(
                 pa, pb = _parse_polygon(a_text), _parse_polygon(b_text)
                 for o in ops:
                     if mixed:
-                        res, de, dp = bo.boolean_op_mixed(pa, pb, o)
+                        res, de, dp = bo.boolean_op_mixed(pa, pb, o, model=model)
                     else:
                         res = bo.boolean_op(pa, pb, o)
                     out["a_id"].append(a_id)

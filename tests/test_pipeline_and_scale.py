@@ -494,3 +494,34 @@ def test_boolean_pairs_mixed_distributed(spark):
     r_pt = rows[("a1", "b1")]
     assert r_pt["n_loops"] == 0 and r_pt["n_degen_points"] == 1
     assert "20.0:20.0" in r_pt["degen_points"]
+
+
+def test_boolean_pairs_mixed_open_model_distributed(spark):
+    """boolean_pairs(mixed=True, model="open"): the OPEN polygon model
+    rides the same distributed pair surface — the abutting pair's union
+    carries the shared edge as a subtractive crack, and its intersection
+    is empty with no degeneracies."""
+    from s2_geometry_library_java_spark.operators import booleanops as bpo
+
+    def quad(pts):
+        return ", ".join(f"{float(la)!r}:{float(ln)!r}" for la, ln in pts)
+
+    sa = spark.createDataFrame(
+        [("a0", quad([(14.0, 24.0), (14.0, 36.0), (26.0, 36.0), (26.0, 24.0)]))],
+        "shape_id string, text string",
+    )
+    sb = spark.createDataFrame(
+        [("b0", quad([(14.0, 36.0), (14.0, 48.0), (26.0, 48.0), (26.0, 36.0)]))],
+        "shape_id string, text string",
+    )
+    rows = {
+        r["op"]: r
+        for r in bpo.boolean_pairs(
+            sa, sb, ["union", "intersection"], mixed=True, model="open"
+        ).collect()
+    }
+    u = rows["union"]
+    assert u["n_loops"] == 1 and u["n_degen_edges"] >= 1
+    assert ":36.0" in u["degen_edges"]
+    i = rows["intersection"]
+    assert i["n_loops"] == 0 and i["n_degen_edges"] == 0 and i["n_degen_points"] == 0
