@@ -701,6 +701,48 @@ def q_closest_edge_oracle() -> str:
     """
 
 
+def q_furthest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 furthest tier: FARTHEST query-quad boundary per supplier point
+    (S2FurthestEdgeQuery over S2BestEdgesQueryBase) via the antipode
+    identity — the operator negates the query points and reuses the
+    closest-edge ring search; reduced to (point, furthest shape)."""
+    from .operators import closestedge
+    from .operators import shapes as shape_ops
+
+    shapes = local_df(spark,
+        [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+        "shape_id string, text string",
+    ).coalesce(1)
+    idx = shape_ops.shape_index_df(shapes, min_level=4)
+    supp = tables.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        geo.lat_col("s_suppkey").alias("lat"),
+        geo.lng_col("s_suppkey").alias("lng"),
+    )
+    out = closestedge.furthest_edges(
+        idx, supp, k=1, level=4, query_id="k", max_rounds=2
+    )
+    return out.select(F.col("query_id").alias("k"), F.col("shape_id").alias("polygon_id"))
+
+
+def q_furthest_edge_oracle() -> str:
+    """Antipode identity in SQL: max chord2 to an edge set = 4 - min
+    chord2 from (-x,-y,-z), so the furthest polygon is the one with the
+    smallest antipode min-distance (the same _edge_distance_sql kernel as
+    the closest_edge oracle, evaluated at the negated point)."""
+    dist_rows = " UNION ALL ".join(
+        f"SELECT k, '{pid}' AS pid, ({expr}) AS dist FROM p"
+        for pid, expr in _edge_distance_sql("(-x)", "(-y)", "(-z)")
+    )
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('supplier', 's_suppkey')})),
+    d AS ({dist_rows}),
+    ranked AS (SELECT k, pid,
+        row_number() OVER (PARTITION BY k ORDER BY dist, pid) AS rn FROM d)
+    SELECT k, pid AS polygon_id FROM ranked WHERE rn = 1
+    """
+
+
 CROSS_SHIFT = (3.0017, 3.0029)  # off-grid shift for the crossing-pairs B set
 
 
@@ -2208,6 +2250,7 @@ def all_queries():
         "tolerant_pairs": q_tolerant_pairs,
         "near_polygon": q_near_polygon,
         "closest_edge": q_closest_edge,
+        "furthest_edge": q_furthest_edge,
         "crossing_pairs": q_crossing_pairs,
         "hausdorff_witness": q_hausdorff_witness,
         "chain_interp": q_chain_interp,
@@ -2262,6 +2305,7 @@ def all_oracles():
         "tolerant_pairs": q_tolerant_pairs_oracle(),
         "near_polygon": q_near_polygon_oracle(),
         "closest_edge": q_closest_edge_oracle(),
+        "furthest_edge": q_furthest_edge_oracle(),
         "crossing_pairs": q_crossing_pairs_oracle(),
         "hausdorff_witness": q_hausdorff_witness_oracle(),
         "chain_interp": q_chain_interp_oracle(),
