@@ -185,3 +185,96 @@ def lsh_bucketed_neighbors(
         )
     )
     return pairs
+
+
+def ivf_centroid_seeds(
+    index: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """(centroid_id, cv) deterministic IVF coarse centroids: the
+    ``n_centroids`` lowest-id vectors. A deterministic seeding keeps the
+    whole IVF path SQL-oracle-checkable; production deployments would
+    refine these with Lloyd iterations (the query plan is identical —
+    only the centroid table changes)."""
+    w = Window.orderBy(_c(id_col))
+    return (
+        index.select(_c(id_col).alias("cid_src"), _c(vec_col).alias("cv"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("cid_src")))
+        .where(F.col("rn") <= n_centroids)
+        .select((F.col("rn") - 1).alias("centroid_id"), "cv")
+    )
+
+
+def ivf_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id) approximate top-k by cosine via an
+    IVF (inverted-file) coarse quantizer — the scale path complementing
+    the banded-LSH variant:
+
+    1. every index vector is assigned to its best coarse centroid with a
+       single map-side-combinable aggregation (max of a (sim, -id)
+       struct — ONE shuffle of N rows, never N x K);
+    2. each query probes its ``nprobe`` nearest centroids;
+    3. candidates = equi-join on centroid id (bucket join, never
+       all-pairs at scale), refined by exact cosine + per-query top-k
+       window.
+
+    Centroids are broadcast (K rows). Dot products use the sequential
+    aggregate(zip_with(...)) form so a SQL oracle summing in index order
+    matches bit-for-bit. Approximate by construction: a true neighbor
+    assigned to an unprobed list is missed (recall grows with nprobe).
+    """
+    if centroids is None:
+        centroids = ivf_centroid_seeds(index, id_col, vec_col, n_centroids)
+    cents = F.broadcast(centroids)
+    x = index.select(_c(id_col).alias("neighbor_id"), _c(vec_col).alias("xv"))
+    # 1. list assignment: argmax_centroid cosine, one partial-aggregated
+    # shuffle; ties -> smallest centroid id (max of (sim, -centroid_id))
+    assigned = (
+        x.join(cents)
+        .select(
+            "neighbor_id",
+            "xv",
+            F.struct(
+                cosine("xv", "cv").alias("sim"),
+                (-F.col("centroid_id")).alias("neg_cid"),
+            ).alias("sc"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.max("sc").alias("best"), F.first("xv").alias("xv"))
+        .select(
+            "neighbor_id", "xv", (-F.col("best.neg_cid")).alias("list_id")
+        )
+    )
+    # 2. query probes: top-nprobe centroids per query
+    q = queries.select(_c(id_col).alias("query_id"), _c(vec_col).alias("qv"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("centroid_id")
+    )
+    probes = (
+        q.join(cents)
+        .select(
+            "query_id", "qv", "centroid_id", cosine("qv", "cv").alias("csim")
+        )
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
+    )
+    # 3. bucket join + exact refine
+    scored = probes.join(assigned, "list_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", cosine("qv", "xv").alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

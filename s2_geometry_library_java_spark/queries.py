@@ -1912,6 +1912,64 @@ def q_ann_topk_oracle() -> str:
     """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN scale path: deterministic seeded coarse
+    centroids, single-shuffle argmax list assignment, nprobe bucket join,
+    exact cosine refine. Approximate by construction; the oracle runs the
+    IDENTICAL algorithm in SQL (same sequential-order dot products), so
+    the match is exact."""
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=8, nprobe=2
+    )
+
+
+def q_ann_ivf_oracle() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+    def cos(a, b):
+        return (
+            f"{dot.format(a=a, b=b)} / sqrt({dot.format(a=a, b=a)}"
+            f" * {dot.format(a=b, b=b)})"
+        )
+
+    return f"""
+    WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+               embedding AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 8),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, embedding AS xv, centroid_id AS list_id,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY {cos('embedding', 'cv')} DESC, centroid_id) AS arn
+        FROM embeddings CROSS JOIN cents),
+    lists AS (SELECT neighbor_id, xv, list_id FROM assigned WHERE arn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, centroid_id AS list_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY {cos('qv', 'cv')} DESC, centroid_id) AS prn
+        FROM q CROSS JOIN cents),
+    cand AS (
+        SELECT p.query_id, p.qv, l.neighbor_id, l.xv
+        FROM (SELECT * FROM probes WHERE prn <= 2) p
+        JOIN lists l USING (list_id)
+        WHERE p.query_id <> l.neighbor_id),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY {cos('qv', 'xv')} DESC, neighbor_id) AS rank
+        FROM cand)
+    SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    """
+
+
 ANN_MIN_COSINE = 0.9501  # off-round threshold for the banded-LSH gate
 
 
@@ -2270,6 +2328,7 @@ def all_queries():
         "simhash": q_simhash,
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "lsh_buckets": q_lsh_buckets,
         "span_invariant": q_span_invariant,
@@ -2325,6 +2384,7 @@ def all_oracles():
         "simhash": q_simhash_oracle(),
         "doc_stats": q_doc_stats_oracle(),
         "ann_topk": q_ann_topk_oracle(),
+        "ann_ivf": q_ann_ivf_oracle(),
         "ann_lsh_pairs": q_ann_lsh_pairs_oracle(),
         "lsh_buckets": q_lsh_buckets_oracle(),
         "span_invariant": q_span_invariant_oracle(),
