@@ -46,6 +46,9 @@ HEADLINE = [
     "convex_hull",
     "buffer_geometry",
     "boolean_pairs",
+    # round 4 additions
+    "furthest_edge",
+    "ann_ivf",
 ]
 
 

@@ -195,13 +195,16 @@ def ivf_centroid_seeds(
     whole IVF path SQL-oracle-checkable; production deployments would
     refine these with Lloyd iterations (the query plan is identical —
     only the centroid table changes)."""
-    w = Window.orderBy(_c(id_col))
-    return (
+    # distributed top-K (TakeOrderedAndProject) first; the global
+    # row_number window then only ever sees K rows
+    seeds = (
         index.select(_c(id_col).alias("cid_src"), _c(vec_col).alias("cv"))
-        .withColumn("rn", F.row_number().over(Window.orderBy("cid_src")))
-        .where(F.col("rn") <= n_centroids)
-        .select((F.col("rn") - 1).alias("centroid_id"), "cv")
+        .orderBy("cid_src")
+        .limit(n_centroids)
     )
+    return seeds.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cid_src"))
+    ).select((F.col("rn") - 1).alias("centroid_id"), "cv")
 
 
 def ivf_topk(
