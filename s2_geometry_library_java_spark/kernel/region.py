@@ -37,6 +37,163 @@ class Cap:
     def bound_angle(self) -> float:
         return float(sphere.angle_from_chord2(max(0.0, self.radius2)))
 
+    # -- full S2Cap surface (S2Cap.java:178-360, chord2 arithmetic) ------
+
+    @staticmethod
+    def empty() -> "Cap":
+        return Cap((1.0, 0.0, 0.0), -1.0)
+
+    @staticmethod
+    def full() -> "Cap":
+        return Cap((1.0, 0.0, 0.0), 4.0)
+
+    @staticmethod
+    def from_axis_height(axis, height: float) -> "Cap":
+        """radius2 = 2 * height (S2Cap.fromAxisHeight)."""
+        return Cap(tuple(float(v) for v in axis), 2.0 * float(height))
+
+    @staticmethod
+    def from_axis_angle(axis, radians: float) -> "Cap":
+        """Out-of-range angles clamp: negative => empty, >= pi => full
+        (S2Cap.fromAxisAngle)."""
+        if radians < 0:
+            return Cap(tuple(float(v) for v in axis), -1.0)
+        r2 = min(4.0, float(sphere.chord2_from_angle(min(radians, np.pi))))
+        return Cap(tuple(float(v) for v in axis), r2)
+
+    def is_empty(self) -> bool:
+        return self.radius2 < 0
+
+    def is_full(self) -> bool:
+        return self.radius2 >= 4.0
+
+    def height(self) -> float:
+        return 0.5 * self.radius2
+
+    def angle(self) -> float:
+        """Radians; -1 for empty (S1ChordAngle.toAngle)."""
+        if self.is_empty():
+            return -1.0
+        return 2.0 * float(np.arcsin(0.5 * np.sqrt(self.radius2)))
+
+    def area(self) -> float:
+        """2*pi*height (S2Cap.area)."""
+        return 2.0 * np.pi * max(0.0, self.height())
+
+    def centroid(self) -> np.ndarray:
+        """True centroid scaled by cap area; origin for empty/singleton
+        (S2Cap.getCentroid S2Cap.java:178-189)."""
+        if self.is_empty():
+            return np.zeros(3)
+        r = 1.0 - 0.5 * self.height()
+        return np.asarray(self.center) * (r * self.area())
+
+    def complement(self) -> "Cap":
+        """Same boundary, no shared interior; full <-> empty
+        (S2Cap.complement S2Cap.java:226-237)."""
+        if self.is_full():
+            return Cap.empty()
+        if self.is_empty():
+            return Cap.full()
+        ax = tuple(-v for v in self.center)
+        return Cap(ax, 4.0 - self.radius2)
+
+    def _axial_chord2(self, other: "Cap") -> float:
+        ox, oy, oz = other.center
+        return float(sphere.chord2_between(ox, oy, oz, *self.center))
+
+    def contains_cap(self, other: "Cap") -> bool:
+        """radius >= axial_distance + other.radius in chord arithmetic
+        (S2Cap.contains(S2Cap) S2Cap.java:243-249)."""
+        if self.is_full() or other.is_empty():
+            return True
+        return self.radius2 >= _chord2_add(
+            self._axial_chord2(other), max(other.radius2, 0.0)
+        ) and not self.is_empty()
+
+    def intersects_cap(self, other: "Cap") -> bool:
+        if self.is_empty() or other.is_empty():
+            return False
+        return _chord2_add(
+            max(self.radius2, 0.0), max(other.radius2, 0.0)
+        ) >= self._axial_chord2(other)
+
+    def interior_intersects(self, other: "Cap") -> bool:
+        """Interior(X) intersects Y iff complement(X) doesn't contain Y
+        (S2Cap.java:268-271)."""
+        return not self.complement().contains_cap(other)
+
+    def interior_contains_point(self, x, y, z) -> bool:
+        cx, cy, cz = self.center
+        return self.is_full() or bool(
+            np.all(sphere.chord2_between(x, y, z, cx, cy, cz) < self.radius2)
+        )
+
+    def add_point(self, p) -> "Cap":
+        """Grow the radius to include p; empty cap becomes the singleton
+        at p (S2Cap.addPoint S2Cap.java:291-302)."""
+        p = np.asarray(p, dtype=np.float64)
+        if self.is_empty():
+            return Cap(tuple(float(v) for v in p), 0.0)
+        d2 = float(sphere.chord2_between(p[0], p[1], p[2], *self.center))
+        return Cap(self.center, max(self.radius2, d2))
+
+    def add_cap(self, other: "Cap") -> "Cap":
+        """Grow to include other, keeping this axis; the sum is rounded up
+        like the reference (S2Cap.addCap S2Cap.java:310-323)."""
+        if self.is_empty():
+            return other
+        if other.is_empty():
+            return self
+        eps = float(np.finfo(np.float64).eps)
+        d = _chord2_add(self._axial_chord2(other), max(other.radius2, 0.0))
+        d = min(4.0, d + (2.0 * eps + 2.02 * eps) * d)
+        return Cap(self.center, max(self.radius2, d))
+
+    def expanded(self, radians: float) -> "Cap":
+        """All points within distance of this cap; empty stays empty
+        (S2Cap.expanded S2Cap.java:329-335)."""
+        if radians < 0:
+            raise ValueError("expansion distance must be >= 0")
+        if self.is_empty():
+            return Cap.empty()
+        grow = float(sphere.chord2_from_angle(radians))
+        return Cap(self.center, _chord2_add(self.radius2, grow))
+
+    def union_cap(self, other: "Cap") -> "Cap":
+        """Smallest cap enclosing both (S2Cap.union S2Cap.java:338-356)."""
+        from . import edges as ek
+
+        if self.radius2 < other.radius2:
+            return other.union_cap(self)
+        if self.is_full() or other.is_empty():
+            return self
+        this_r = self.angle()
+        other_r = other.angle()
+        a = np.asarray(self.center)
+        b = np.asarray(other.center)
+        distance = float(sphere.angle_between(a[0], a[1], a[2], b[0], b[1], b[2]))
+        if this_r >= distance + other_r:
+            return self
+        result_radius = 0.5 * (distance + this_r + other_r)
+        result_axis = ek.interpolate_at_distance(
+            0.5 * (distance - this_r + other_r), a, b
+        )
+        return Cap.from_axis_angle(np.ravel(result_axis), result_radius)
+
+
+def _chord2_add(a2: float, b2: float) -> float:
+    """Squared chord length of the angle sum (S1ChordAngle.add,
+    S1ChordAngle.java:595-633): c = 2 sin(A+B) via the product identities,
+    clamped to STRAIGHT."""
+    if b2 == 0.0:
+        return a2
+    if a2 + b2 >= 4.0:
+        return 4.0
+    x = a2 * (1.0 - 0.25 * b2)
+    y = b2 * (1.0 - 0.25 * a2)
+    return min(4.0, x + y + 2.0 * float(np.sqrt(x * y)))
+
 
 @dataclass(frozen=True)
 class LatLngRect:
