@@ -12,6 +12,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import cellid as ci
+from . import intervals as iv
 from . import sphere
 
 
@@ -225,6 +226,141 @@ class LatLngRect:
     def contains_points(self, x, y, z) -> np.ndarray:
         lat, lng = ci.xyz_to_latlng(x, y, z)
         return self.contains_latlng(lat, lng)
+
+    # -- full S2LatLngRect surface over R1/S1 intervals -----------------
+    # (S2LatLngRect.java; "most methods have trivial implementations that
+    # use the R1Interval and S1Interval classes", S2LatLngRectTest.java)
+
+    @property
+    def lat(self) -> "iv.R1Interval":
+        return iv.R1Interval(self.lat_lo, self.lat_hi)
+
+    @property
+    def lng(self) -> "iv.S1Interval":
+        return iv.S1Interval(self.lng_lo, self.lng_hi)
+
+    @staticmethod
+    def from_intervals(lat: "iv.R1Interval", lng: "iv.S1Interval") -> "LatLngRect":
+        return LatLngRect(lat.lo, lat.hi, lng.lo, lng.hi)
+
+    @staticmethod
+    def empty() -> "LatLngRect":
+        return LatLngRect.from_intervals(iv.R1Interval.empty(), iv.S1Interval.empty())
+
+    @staticmethod
+    def full() -> "LatLngRect":
+        return LatLngRect(-np.pi / 2, np.pi / 2, -np.pi, np.pi)
+
+    @staticmethod
+    def from_point(lat: float, lng: float) -> "LatLngRect":
+        li = iv.S1Interval.from_point(lng)
+        return LatLngRect(lat, lat, li.lo, li.hi)
+
+    @staticmethod
+    def from_point_pair(lat1, lng1, lat2, lng2) -> "LatLngRect":
+        return LatLngRect.from_intervals(
+            iv.R1Interval.from_point_pair(lat1, lat2),
+            iv.S1Interval.from_point_pair(lng1, lng2),
+        )
+
+    @staticmethod
+    def from_center_size(clat, clng, size_lat, size_lng) -> "LatLngRect":
+        """fromPoint(center).expanded(size/2) (S2LatLngRect.fromCenterSize)."""
+        return LatLngRect.from_point(clat, clng).expanded(
+            0.5 * size_lat, 0.5 * size_lng
+        )
+
+    def is_empty(self) -> bool:
+        return self.lat.is_empty()
+
+    def is_full(self) -> bool:
+        return (
+            self.lat_lo == -np.pi / 2
+            and self.lat_hi == np.pi / 2
+            and self.lng.is_full()
+        )
+
+    def is_valid(self) -> bool:
+        return (
+            abs(self.lat_lo) <= np.pi / 2
+            and abs(self.lat_hi) <= np.pi / 2
+            and self.lng.is_valid()
+            and self.lat.is_empty() == self.lng.is_empty()
+        )
+
+    def is_point(self) -> bool:
+        return self.lat_lo == self.lat_hi and self.lng_lo == self.lng_hi
+
+    def get_center(self) -> tuple[float, float]:
+        return self.lat.center(), self.lng.center()
+
+    def get_vertex(self, k: int) -> tuple[float, float]:
+        """CCW corner k (mod 4): (lo,lo), (lo,hi), (hi,hi), (hi,lo)
+        (S2LatLngRect.getVertex)."""
+        k &= 3
+        lat = self.lat_lo if k < 2 else self.lat_hi
+        lng = self.lng_lo if k in (0, 3) else self.lng_hi
+        return lat, lng
+
+    def interior_contains_latlng(self, lat: float, lng: float) -> bool:
+        return self.lat.interior_contains_point(lat) and (
+            self.lng.interior_contains_point(lng)
+        )
+
+    def contains_rect(self, y: "LatLngRect") -> bool:
+        return self.lat.contains(y.lat) and self.lng.contains(y.lng)
+
+    def interior_contains_rect(self, y: "LatLngRect") -> bool:
+        return self.lat.interior_contains(y.lat) and self.lng.interior_contains(
+            y.lng
+        )
+
+    def intersects_rect(self, y: "LatLngRect") -> bool:
+        return self.lat.intersects(y.lat) and self.lng.intersects(y.lng)
+
+    def interior_intersects_rect(self, y: "LatLngRect") -> bool:
+        return self.lat.interior_intersects(y.lat) and (
+            self.lng.interior_intersects(y.lng)
+        )
+
+    def union(self, y: "LatLngRect") -> "LatLngRect":
+        return LatLngRect.from_intervals(
+            self.lat.union(y.lat), self.lng.union(y.lng)
+        )
+
+    def intersection(self, y: "LatLngRect") -> "LatLngRect":
+        lat = self.lat.intersection(y.lat)
+        lng = self.lng.intersection(y.lng)
+        if lat.is_empty() or lng.is_empty():
+            return LatLngRect.empty()
+        return LatLngRect.from_intervals(lat, lng)
+
+    def add_point(self, lat: float, lng: float) -> "LatLngRect":
+        return LatLngRect.from_intervals(
+            self.lat.add_point(lat), self.lng.add_point(lng)
+        )
+
+    def expanded(self, margin_lat: float, margin_lng: float) -> "LatLngRect":
+        """Expand (or with negative margins, shrink) each side; lat clamps
+        to the valid range (S2LatLngRect.expanded)."""
+        lat = self.lat.expanded(margin_lat).intersection(
+            iv.R1Interval(-np.pi / 2, np.pi / 2)
+        )
+        lng = self.lng.expanded(margin_lng)
+        if lat.is_empty() or lng.is_empty():
+            return LatLngRect.empty()
+        return LatLngRect.from_intervals(lat, lng)
+
+    def approx_equals(self, y: "LatLngRect", max_error: float = 1e-15) -> bool:
+        return (
+            abs(self.lat_lo - y.lat_lo) <= max_error
+            or (self.lat.is_empty() and y.lat.length() <= 2 * max_error)
+            or (y.lat.is_empty() and self.lat.length() <= 2 * max_error)
+        ) and (
+            abs(self.lat_hi - y.lat_hi) <= max_error
+            or (self.lat.is_empty() and y.lat.length() <= 2 * max_error)
+            or (y.lat.is_empty() and self.lat.length() <= 2 * max_error)
+        ) and self.lng.approx_equals(y.lng, max_error)
 
 
 @dataclass
