@@ -266,6 +266,23 @@ def _no_crossing_case(a: "rg.Polygon", b: "rg.Polygon", op: str) -> "rg.Polygon"
     a_in_b = bool(b.contains_points(pa[0:1], pa[1:2], pa[2:3])[0])
     b_in_a = bool(a.contains_points(pb[0:1], pb[1:2], pb[2:3])[0])
     empty = rg.Polygon([])
+    if a_in_b and b_in_a:
+        # Each boundary lies inside the OTHER region (complement-style
+        # inputs, e.g. a hemisphere vs a CW small loop): A union B covers
+        # the sphere (S2Loop.full() output), the complements are disjoint,
+        # and under the XOR-loop convention complementing a k-loop region
+        # means adding the FULL loop (odd-parity flip).
+        if op == "intersection":
+            # not((not A) union (not B)) with disjoint complements
+            return rg.Polygon(
+                [rg.Loop.full()] + list(a.loops) + list(b.loops)
+            )
+        if op == "union":
+            return rg.Polygon([rg.Loop.full()])
+        if op == "difference":
+            # A intersect not(B) = not(B) (not-B is contained in A here)
+            return rg.Polygon([rg.Loop.full()] + list(b.loops))
+        raise ValueError(op)
     if op == "intersection":
         return a if a_in_b else (b if b_in_a else empty)
     if op == "union":

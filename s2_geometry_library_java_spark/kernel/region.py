@@ -381,10 +381,18 @@ class Loop:
         [-0.0099994664350250197, 0.0025924542609324121, 0.99994664350250195]
     )
 
+    #: the reference's full-loop sentinel vertex (S2Loop.java:103
+    #: FULL_VERTEX = Z_NEG): a single-vertex loop at this point is the
+    #: FULL loop (contains every point, area 4*pi)
+    FULL_VERTEX = np.array([0.0, 0.0, -1.0])
+
     def __post_init__(self):
         from . import predicates
 
         self.vertices = np.asarray(self.vertices, dtype=np.float64)
+        if self.is_full():
+            self.origin_inside = True
+            return
         # S2Loop.initOriginAndBound (S2Loop.java:1536-1552): guess that the
         # origin is outside, check whether vertex(1) containment then agrees
         # with the wedge test angleContainsVertex(v0, v1, v2); if not, the
@@ -393,6 +401,17 @@ class Loop:
         v1_inside = predicates.angle_contains_vertex(v[0], v[1], v[2])
         guess = predicates.loop_contains_point_scalar(v, self.ORIGIN, False, v[1])
         self.origin_inside = bool(v1_inside != guess)
+
+    @staticmethod
+    def full() -> "Loop":
+        """The FULL loop (S2Loop.full(), S2Loop.java:103): one sentinel
+        vertex at Z_NEG, contains everything."""
+        return Loop(Loop.FULL_VERTEX[None, :])
+
+    def is_full(self) -> bool:
+        return len(self.vertices) == 1 and bool(
+            np.array_equal(self.vertices[0], Loop.FULL_VERTEX)
+        )
 
     @staticmethod
     def from_latlng_degrees(latlngs: list[tuple[float, float]]) -> "Loop":
@@ -410,6 +429,8 @@ class Loop:
         pts = np.stack(
             [np.atleast_1d(x), np.atleast_1d(y), np.atleast_1d(z)], axis=1
         ).astype(np.float64)
+        if self.is_full():
+            return np.ones(len(pts), dtype=bool)
         crossings = predicates.count_crossings(self.ORIGIN, pts, self.vertices)
         return np.where((crossings & 1) == 1, not self.origin_inside, self.origin_inside)
 

@@ -1,0 +1,202 @@
+"""S2LoopTest.testLoopRelations parity (S2LoopTest.java:706-800 plus the
+testContainsRegression fixtures): the reference's loop-relation truth
+table — CONTAINS / CONTAINED / DISJOINT / COVERS per pair, including
+shared-edge and CW (inverted) fixtures — evaluated through the boolean-op
+kernel: A contains B iff difference(B, A) is empty, disjoint iff the
+intersection is empty, covers iff the union is the full sphere. A
+regularized result with no boundary is constant over the sphere, so one
+off-boundary probe decides empty vs full exactly.
+
+The reference's full/empty singleton loops are not representable as
+vertex loops here and those rows are skipped (empty/full regions live in
+Cap/composite regions instead)."""
+
+import numpy as np
+import pytest
+
+from s2_geometry_library_java_spark.kernel import booleanop as bo
+from s2_geometry_library_java_spark.kernel import cellid as ci
+from s2_geometry_library_java_spark.kernel import region as rg
+
+CONTAINS, CONTAINED, DISJOINT, COVERS = 1, 2, 4, 8
+
+_TEXT = {
+    "candy_cane": "-20:150, -20:-70, 0:70, 10:-150, 10:70, -10:-70",
+    "small_ne_cw": "35:20, 45:20, 40:25",
+    "arctic_80": "80:-150, 80:-30, 80:90",
+    "antarctic_80": "-80:120, -80:0, -80:-120",
+    "north_hemi": "0:-180, 0:-90, 0:0, 0:90",
+    "north_hemi3": "0:-180, 0:-60, 0:60",
+    "west_hemi": "0:-180, -90:0, 0:0, 90:0",
+    "near_hemi": "0:-90, -90:0, 0:90, 90:0",
+    "loop_a": "0:178, -1:180, 0:-179, 1:-180",
+    "loop_b": "0:179, -1:180, 0:-178, 1:-180",
+    "a_intersect_b": "0:179, -1:180, 0:-179, 1:-180",
+    "a_union_b": "0:178, -1:180, 0:-178, 1:-180",
+    "a_minus_b": "0:178, -1:180, 0:179, 1:-180",
+    "b_minus_a": "0:-179, -1:180, 0:-178, 1:-180",
+}
+
+
+def _loop(text):
+    """makeLoop semantics: vertex order preserved, NO normalization
+    (a CW loop covers the complement)."""
+    pts = []
+    for tok in text.split(","):
+        la, ln = tok.strip().split(":")
+        pts.append((float(la), float(ln)))
+    verts = np.array([
+        np.ravel(ci.latlng_to_xyz(np.radians(la), np.radians(ln)))
+        for la, ln in pts
+    ])
+    return rg.Polygon([rg.Loop(verts)])
+
+
+def _invert(text):
+    toks = [t.strip() for t in text.split(",")]
+    return ", ".join(reversed(toks))
+
+
+LOOPS = {name: _loop(t) for name, t in _TEXT.items()}
+LOOPS["south_hemi"] = _loop(_invert(_TEXT["north_hemi"]))
+LOOPS["east_hemi"] = _loop(_invert(_TEXT["west_hemi"]))
+LOOPS["far_hemi"] = _loop(_invert(_TEXT["near_hemi"]))
+
+# an off-boundary probe: decides empty-vs-full for loopless results
+_PROBE = np.ravel(ci.latlng_to_xyz(np.radians(11.1137), np.radians(23.7159)))
+
+
+def _member(poly, p):
+    r = False
+    for lp in poly.loops:
+        r ^= bool(lp.contains_points(p[0:1], p[1:2], p[2:3])[0])
+    return r
+
+
+def _result_nonempty(res, a, b, op):
+    """A regularized boolean result with boundary loops is non-empty; a
+    loopless result is constant and one probe of the pointwise
+    combination decides it."""
+    if res.loops:
+        return True
+    ia, ib = _member(a, _PROBE), _member(b, _PROBE)
+    combine = {
+        "intersection": ia and ib,
+        "union": ia or ib,
+        "difference": ia and not ib,
+    }[op]
+    return combine
+
+
+def relations(a, b):
+    inter = _result_nonempty(bo.boolean_op(a, b, "intersection"), a, b, "intersection")
+    dif_ba = _result_nonempty(bo.boolean_op(b, a, "difference"), b, a, "difference")
+    dif_ab = _result_nonempty(bo.boolean_op(a, b, "difference"), a, b, "difference")
+    union = bo.boolean_op(a, b, "union")
+    union_full = (
+        not union.loops and _result_nonempty(union, a, b, "union")
+    ) or (len(union.loops) == 1 and union.loops[0].is_full())
+    flags = 0
+    if not dif_ba:
+        flags |= CONTAINS
+    if not dif_ab:
+        flags |= CONTAINED
+    if not inter:
+        flags |= DISJOINT
+    if union_full:
+        flags |= COVERS
+    return flags
+
+
+# (a, b, flags) rows from S2LoopTest.testLoopRelations (full/empty rows
+# skipped; see module docstring)
+TABLE = [
+    ("north_hemi", "north_hemi", CONTAINS | CONTAINED),
+    ("north_hemi", "south_hemi", DISJOINT | COVERS),
+    ("north_hemi", "east_hemi", 0),
+    ("north_hemi", "arctic_80", CONTAINS),
+    ("north_hemi", "antarctic_80", DISJOINT),
+    ("north_hemi", "candy_cane", 0),
+    ("north_hemi3", "north_hemi3", CONTAINS | CONTAINED),
+    ("north_hemi3", "east_hemi", 0),
+    ("north_hemi3", "arctic_80", CONTAINS),
+    ("north_hemi3", "antarctic_80", DISJOINT),
+    ("north_hemi3", "candy_cane", 0),
+    ("south_hemi", "north_hemi", DISJOINT | COVERS),
+    ("south_hemi", "south_hemi", CONTAINS | CONTAINED),
+    ("south_hemi", "far_hemi", 0),
+    ("south_hemi", "arctic_80", DISJOINT),
+    ("south_hemi", "antarctic_80", CONTAINS),
+    ("south_hemi", "candy_cane", 0),
+    ("candy_cane", "north_hemi", 0),
+    ("candy_cane", "south_hemi", 0),
+    ("candy_cane", "arctic_80", DISJOINT),
+    ("candy_cane", "antarctic_80", DISJOINT),
+    ("candy_cane", "candy_cane", CONTAINS | CONTAINED),
+    ("near_hemi", "west_hemi", 0),
+    ("small_ne_cw", "south_hemi", CONTAINS),
+    ("small_ne_cw", "west_hemi", CONTAINS),
+    ("small_ne_cw", "north_hemi", COVERS),
+    ("small_ne_cw", "east_hemi", COVERS),
+    ("loop_a", "loop_a", CONTAINS | CONTAINED),
+    ("loop_a", "loop_b", 0),
+    ("loop_a", "a_intersect_b", CONTAINS),
+    ("loop_a", "a_union_b", CONTAINED),
+    ("loop_a", "a_minus_b", CONTAINS),
+    ("loop_a", "b_minus_a", DISJOINT),
+    ("loop_b", "loop_a", 0),
+    ("loop_b", "loop_b", CONTAINS | CONTAINED),
+    ("loop_b", "a_intersect_b", CONTAINS),
+    ("loop_b", "a_union_b", CONTAINED),
+    ("loop_b", "a_minus_b", DISJOINT),
+    ("loop_b", "b_minus_a", CONTAINS),
+    ("a_intersect_b", "loop_a", CONTAINED),
+    ("a_intersect_b", "loop_b", CONTAINED),
+    ("a_intersect_b", "a_intersect_b", CONTAINS | CONTAINED),
+    ("a_intersect_b", "a_union_b", CONTAINED),
+    ("a_intersect_b", "a_minus_b", DISJOINT),
+    ("a_intersect_b", "b_minus_a", DISJOINT),
+    ("a_union_b", "loop_a", CONTAINS),
+    ("a_union_b", "loop_b", CONTAINS),
+    ("a_union_b", "a_intersect_b", CONTAINS),
+    ("a_union_b", "a_union_b", CONTAINS | CONTAINED),
+    ("a_union_b", "a_minus_b", CONTAINS),
+    ("a_union_b", "b_minus_a", CONTAINS),
+    ("a_minus_b", "loop_a", CONTAINED),
+    ("a_minus_b", "loop_b", DISJOINT),
+    ("a_minus_b", "a_intersect_b", DISJOINT),
+    ("a_minus_b", "a_union_b", CONTAINED),
+    ("a_minus_b", "a_minus_b", CONTAINS | CONTAINED),
+    ("a_minus_b", "b_minus_a", DISJOINT),
+    ("b_minus_a", "loop_a", DISJOINT),
+    ("b_minus_a", "loop_b", CONTAINED),
+    ("b_minus_a", "a_intersect_b", DISJOINT),
+    ("b_minus_a", "a_union_b", CONTAINED),
+    ("b_minus_a", "a_minus_b", DISJOINT),
+    ("b_minus_a", "b_minus_a", CONTAINS | CONTAINED),
+]
+
+
+@pytest.mark.parametrize("a_name,b_name,flags", TABLE)
+def test_loop_relation(a_name, b_name, flags):
+    got = relations(LOOPS[a_name], LOOPS[b_name])
+    assert got == flags, f"{a_name} vs {b_name}: got {got:04b}, want {flags:04b}"
+
+
+def test_contains_regression():
+    """S2LoopTest.testContainsRegression golden rectangles."""
+    containing = _loop("-38:-135, -38:149, 77:149, 77:-135")
+    inner = _loop(
+        "37.99616267972809:13.007812500000002, "
+        "37.99616267972809:13.359375000000002, "
+        "38.272819658516866:13.359375000000002, "
+        "38.272819658516866:13.007812500000002"
+    )
+    extended = _loop(
+        "37.99616267972809:13.007812500000002, "
+        "37.99616267972809:13.559375000000002, "
+        "38.472819658516866:13.559375000000002, "
+        "38.472819658516866:13.007812500000002"
+    )
+    assert relations(containing, inner) == CONTAINS
+    assert relations(containing, extended) == CONTAINS
