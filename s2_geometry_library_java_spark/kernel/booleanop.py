@@ -515,6 +515,12 @@ def _snapped_core(
             if sphere.signed_loop_area(lp.vertices) > 2.0 * np.pi:
                 lp = rg.Loop(np.asarray(verts[::-1]))
             loops.append(lp)
+    elif n_seg and bool(r_left.all()) and bool(r_right.all()):
+        # every sub-edge has the result on BOTH sides: the regularized
+        # result is the full sphere (e.g. union of two hemispheres
+        # sharing their boundary) — representable since the FULL loop
+        # sentinel exists (S2Loop.full())
+        loops = [rg.Loop.full()]
     return {
         "polygon": rg.Polygon(loops),
         "sites": S,

@@ -200,3 +200,15 @@ def test_contains_regression():
     )
     assert relations(containing, inner) == CONTAINS
     assert relations(containing, extended) == CONTAINS
+
+
+def test_snapped_full_union_representable():
+    """The union of two hemispheres sharing their boundary (snap path) is
+    the FULL loop, not an ambiguous empty polygon."""
+    u = bo.boolean_op(LOOPS["north_hemi"], LOOPS["south_hemi"], "union")
+    assert len(u.loops) == 1 and u.loops[0].is_full()
+    p = _PROBE
+    assert bool(u.contains_points(p[0:1], p[1:2], p[2:3])[0])
+    # and the intersection of the same pair regularizes to empty
+    i = bo.boolean_op(LOOPS["north_hemi"], LOOPS["south_hemi"], "intersection")
+    assert not i.loops
