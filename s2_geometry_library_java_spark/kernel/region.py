@@ -487,6 +487,51 @@ class Polygon:
             loops.append(lp)
         return Polygon(loops)
 
+    # Region relations via the boolean kernel (S2Polygon.contains /
+    # intersects semantics, regularized: measure-zero touches don't count).
+    # A regularized boolean result with boundary loops is non-empty; a
+    # loopless result is constant over the sphere, so one probe of the
+    # pointwise combination decides it exactly.
+
+    def _xor_member(self, p: np.ndarray) -> bool:
+        r = False
+        for lp in self.loops:
+            r ^= bool(lp.contains_points(p[0:1], p[1:2], p[2:3])[0])
+        return r
+
+    @staticmethod
+    def _nonempty(res: "Polygon", a: "Polygon", b: "Polygon", op: str) -> bool:
+        if res.loops:
+            return True
+        p = Loop.ORIGIN  # off every gate/test boundary by construction
+        ia, ib = a._xor_member(p), b._xor_member(p)
+        return {
+            "intersection": ia and ib,
+            "union": ia or ib,
+            "difference": ia and not ib,
+        }[op]
+
+    def contains_polygon(self, other: "Polygon") -> bool:
+        """True iff this region contains `other` up to measure-zero
+        boundary touches (S2Polygon.contains(S2Polygon))."""
+        from . import booleanop as bo
+
+        if not other.loops:
+            return True
+        if not self.loops:
+            return False
+        res = bo.boolean_op(other, self, "difference")
+        return not Polygon._nonempty(res, other, self, "difference")
+
+    def intersects_polygon(self, other: "Polygon") -> bool:
+        """True iff the interiors intersect (S2Polygon.intersects)."""
+        from . import booleanop as bo
+
+        if not self.loops or not other.loops:
+            return False
+        res = bo.boolean_op(self, other, "intersection")
+        return Polygon._nonempty(res, self, other, "intersection")
+
     def to_text(self) -> str:
         """Inverse of from_text: ';'-separated loops of 'lat:lng' vertices
         (S2TextFormat.toString, repr-precision round-trippable)."""

@@ -212,3 +212,18 @@ def test_snapped_full_union_representable():
     # and the intersection of the same pair regularizes to empty
     i = bo.boolean_op(LOOPS["north_hemi"], LOOPS["south_hemi"], "intersection")
     assert not i.loops
+
+
+def test_polygon_relation_api():
+    """Public S2Polygon.contains/intersects surface wraps the same
+    relation logic."""
+    assert LOOPS["north_hemi"].contains_polygon(LOOPS["arctic_80"])
+    assert not LOOPS["arctic_80"].contains_polygon(LOOPS["north_hemi"])
+    assert not LOOPS["north_hemi"].intersects_polygon(LOOPS["antarctic_80"])
+    assert LOOPS["north_hemi"].intersects_polygon(LOOPS["east_hemi"])
+    assert LOOPS["small_ne_cw"].contains_polygon(LOOPS["south_hemi"])
+    # empty polygon conventions
+    empty = rg.Polygon([])
+    assert LOOPS["north_hemi"].contains_polygon(empty)
+    assert not empty.contains_polygon(LOOPS["north_hemi"])
+    assert not empty.intersects_polygon(LOOPS["north_hemi"])
