@@ -236,3 +236,43 @@ def boolean_pairs(
             yield pd.DataFrame(out)
 
     return pairs.mapInPandas(gen, _PAIR_MIXED_SCHEMA if mixed else _PAIR_SCHEMA)
+
+
+def polygon_relations(shapes_a: DataFrame, shapes_b: DataFrame) -> DataFrame:
+    """(a_id, b_id, contains, contained, intersects) region relations for
+    every (A, B) pair — the distributed surface for
+    Polygon.contains_polygon / intersects_polygon (S2Polygon.contains /
+    intersects semantics, regularized).
+
+    All-pairs form (B broadcast): right for relation GATES and small B
+    sets. At scale, pre-prune with candidate_pairs — pairs with disjoint
+    coverings are all-false and need no kernel call."""
+    from ..kernel import region as rgk
+
+    ta = shapes_a.select(
+        F.col("shape_id").alias("a_id"), F.col("text").alias("a_text")
+    )
+    tb = F.broadcast(
+        shapes_b.select(F.col("shape_id").alias("b_id"), F.col("text").alias("b_text"))
+    )
+    pairs = ta.crossJoin(tb)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("a_id", "b_id", "contains", "contained", "intersects")}
+            for a_id, b_id, a_text, b_text in zip(
+                pdf["a_id"], pdf["b_id"], pdf["a_text"], pdf["b_text"]
+            ):
+                pa, pb = _parse_polygon(a_text), _parse_polygon(b_text)
+                out["a_id"].append(a_id)
+                out["b_id"].append(b_id)
+                out["contains"].append(pa.contains_polygon(pb))
+                out["contained"].append(pb.contains_polygon(pa))
+                out["intersects"].append(pa.intersects_polygon(pb))
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(
+        gen,
+        "a_id string, b_id string, contains boolean, "
+        "contained boolean, intersects boolean",
+    )

@@ -746,6 +746,109 @@ def q_furthest_edge_oracle() -> str:
 CROSS_SHIFT = (3.0017, 3.0029)  # off-grid shift for the crossing-pairs B set
 
 
+def _relation_b_fixtures() -> dict[str, tuple[float, float, float]]:
+    """B-set for the polygon_relations gate: per PIP quad a strictly
+    nested copy (0.45*h) and an overlapping shifted copy."""
+    out = {}
+    for pid, (clat, clng, h) in PIP_QUADS.items():
+        out[pid + "_in"] = (clat, clng, 0.45 * h)
+        out[pid + "_ov"] = (clat + CROSS_SHIFT[0], clng + CROSS_SHIFT[1], h)
+    return out
+
+
+def q_polygon_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/API gate: region relations (contains / contained / intersects,
+    S2Polygon.contains/intersects semantics) for every (quad, fixture)
+    pair through the distributed boolean-kernel operator; the oracle
+    decides the same relations with convex-quad determinant SQL (all
+    vertices strictly inside = containment; vertex-in or proper edge
+    crossing = intersection)."""
+    from .operators import booleanops as bpo
+
+    sa = local_df(
+        spark,
+        [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+        "shape_id string, text string",
+    ).coalesce(1)
+    sb = local_df(
+        spark,
+        [(pid, _quad_text(*spec)) for pid, spec in _relation_b_fixtures().items()],
+        "shape_id string, text string",
+    ).coalesce(1)
+    return bpo.polygon_relations(sa, sb)
+
+
+def q_polygon_relations_oracle() -> str:
+    def vert_rows(fixtures):
+        rows = []
+        for pid, spec in fixtures.items():
+            poly = _quad_polygon(*spec)
+            for k, v in enumerate(poly.loops[0].vertices):
+                rows.append(
+                    f"('{pid}',{k},CAST({v[0]!r} AS DOUBLE),"
+                    f"CAST({v[1]!r} AS DOUBLE),CAST({v[2]!r} AS DOUBLE))"
+                )
+        return rows
+
+    ea_rows = [
+        _poly_edges_values(_quad_polygon(*spec), pid)
+        for pid, spec in PIP_QUADS.items()
+    ]
+    eb_rows = [
+        _poly_edges_values(_quad_polygon(*spec), pid)
+        for pid, spec in _relation_b_fixtures().items()
+    ]
+    va_rows = vert_rows(PIP_QUADS)
+    vb_rows = vert_rows(_relation_b_fixtures())
+    det = "(ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x))"
+    cdet = (
+        "({px}*(({qy})*({rz}) - ({qz})*({ry})) + {py}*(({qz})*({rx}) - ({qx})*({rz}))"
+        " + {pz}*(({qx})*({ry}) - ({qy})*({rx})))"
+    )
+
+    def s(p, q, r):
+        return "sign(" + cdet.format(
+            px=f"{p}x", py=f"{p}y", pz=f"{p}z",
+            qx=f"{q}x", qy=f"{q}y", qz=f"{q}z",
+            rx=f"{r}x", ry=f"{r}y", rz=f"{r}z",
+        ) + ")"
+
+    acb, bda = s("a", "c", "b"), s("b", "d", "a")
+    cbd, dac = s("c", "b", "d"), s("d", "a", "c")
+    return f"""
+    WITH ea(pid, ax, ay, az, bx, by, bz) AS (VALUES {",".join(ea_rows)}),
+    eb(pid, ax, ay, az, bx, by, bz) AS (VALUES {",".join(eb_rows)}),
+    va(pid, k, x, y, z) AS (VALUES {",".join(va_rows)}),
+    vb(pid, k, x, y, z) AS (VALUES {",".join(vb_rows)}),
+    -- per (pair, vertex): vertex strictly inside the other CONVEX quad
+    -- (all edge determinants positive), then all/any per pair
+    b_in_a_v AS (SELECT ea.pid AS a_id, vb.pid AS b_id, vb.k,
+        bool_and({det} > 0) AS inside
+        FROM vb CROSS JOIN ea GROUP BY ea.pid, vb.pid, vb.k),
+    b_in_a AS (SELECT a_id, b_id, bool_and(inside) AS allv,
+        bool_or(inside) AS anyv FROM b_in_a_v GROUP BY a_id, b_id),
+    a_in_b_v AS (SELECT va.pid AS a_id, eb.pid AS b_id, va.k,
+        bool_and({det} > 0) AS inside
+        FROM va CROSS JOIN eb GROUP BY eb.pid, va.pid, va.k),
+    a_in_b AS (SELECT a_id, b_id, bool_and(inside) AS allv,
+        bool_or(inside) AS anyv FROM a_in_b_v GROUP BY a_id, b_id),
+    crossing AS (SELECT A.pid AS a_id, B.pid AS b_id,
+        bool_or({acb} = {bda} AND {acb} = {cbd} AND {acb} = {dac}
+                AND {acb} <> 0) AS x
+        FROM (SELECT pid, ax, ay, az, bx, by, bz FROM ea) A
+        CROSS JOIN (SELECT pid, ax AS cx, ay AS cy, az AS cz,
+                           bx AS dx, by AS dy, bz AS dz FROM eb) B
+        GROUP BY A.pid, B.pid)
+    SELECT b_in_a.a_id, b_in_a.b_id,
+           b_in_a.allv AS contains,
+           a_in_b.allv AS contained,
+           (b_in_a.anyv OR a_in_b.anyv OR crossing.x) AS intersects
+    FROM b_in_a
+    JOIN a_in_b ON a_in_b.a_id = b_in_a.a_id AND a_in_b.b_id = b_in_a.b_id
+    JOIN crossing ON crossing.a_id = b_in_a.a_id AND crossing.b_id = b_in_a.b_id
+    """
+
+
 def _shifted_quad_text(clat: float, clng: float, h: float) -> str:
     return _quad_text(clat + CROSS_SHIFT[0], clng + CROSS_SHIFT[1], h)
 
@@ -2315,6 +2418,7 @@ def all_queries():
         "convex_hull": q_convex_hull,
         "pip_models": q_pip_models,
         "boolean_degenerate": q_boolean_degenerate,
+        "polygon_relations": q_polygon_relations,
         "boolean_pairs": q_boolean_pairs,
         "buffer_geometry": q_buffer_geometry,
         "winding_union": q_winding_union,
@@ -2374,6 +2478,7 @@ def all_oracles():
         "convex_hull": q_convex_hull_oracle(),
         "pip_models": q_pip_models_oracle(),
         "boolean_degenerate": q_boolean_degenerate_oracle(),
+        "polygon_relations": q_polygon_relations_oracle(),
         "boolean_pairs": q_boolean_pairs_oracle(),
         "buffer_geometry": q_buffer_geometry_oracle(),
         "winding_union": q_winding_union_oracle(),
