@@ -161,6 +161,38 @@ class Cap:
         grow = float(sphere.chord2_from_angle(radians))
         return Cap(self.center, _chord2_add(self.radius2, grow))
 
+    def rect_bound(self) -> "LatLngRect":
+        """Bounding LatLngRect (S2Cap.getRectBound S2Cap.java:436-487):
+        lat span = axis lat +- cap angle clamped at the poles (full lng
+        when a pole is inside); otherwise the lng half-width comes from
+        the spherical law of sines, sin(A) = sin(cap) / cos(axis lat)."""
+        if self.is_empty():
+            return LatLngRect.empty()
+        if self.is_full():
+            return LatLngRect.full()
+        cx, cy, cz = self.center
+        ax_lat, ax_lng = (float(v) for v in ci.xyz_to_latlng(cx, cy, cz))
+        cap_angle = self.angle()
+        lng_lo, lng_hi = -np.pi, np.pi
+        all_longitudes = False
+        lat_lo = ax_lat - cap_angle
+        if lat_lo <= -np.pi / 2:
+            lat_lo = -np.pi / 2
+            all_longitudes = True
+        lat_hi = ax_lat + cap_angle
+        if lat_hi >= np.pi / 2:
+            lat_hi = np.pi / 2
+            all_longitudes = True
+        if not all_longitudes:
+            # S1ChordAngle.sin: sin^2 = r2 * (1 - r2/4)
+            sin_a = float(np.sqrt(self.radius2 * (1.0 - 0.25 * self.radius2)))
+            sin_c = float(np.cos(ax_lat))
+            if sin_a <= sin_c:
+                angle_a = float(np.arcsin(sin_a / sin_c))
+                lng_lo = iv._ieee_rem(ax_lng - angle_a)
+                lng_hi = iv._ieee_rem(ax_lng + angle_a)
+        return LatLngRect(lat_lo, lat_hi, lng_lo, lng_hi)
+
     def union_cap(self, other: "Cap") -> "Cap":
         """Smallest cap enclosing both (S2Cap.union S2Cap.java:338-356)."""
         from . import edges as ek

@@ -181,3 +181,50 @@ def test_union():
 
     hemi = rg.Cap.from_axis_height(np.array([0.0, 0.0, 1.0]), 1.0)
     assert hemi.union_cap(hemi.complement()).is_full()
+
+
+def test_rect_bound():
+    """S2CapTest.testRectBound (S2CapTest.java:173-223) golden bounds."""
+    from s2_geometry_library_java_spark.kernel import intervals as iv
+
+    assert rg.Cap.empty().rect_bound().is_empty()
+    assert rg.Cap.full().rect_bound().is_full()
+    eps_deg = 1e-13
+
+    # includes the south pole
+    r = rg.Cap.from_axis_angle(_pt(-45, 57), np.radians(50)).rect_bound()
+    assert abs(np.degrees(r.lat_lo) - -90) < eps_deg
+    assert abs(np.degrees(r.lat_hi) - 5) < eps_deg
+    assert r.lng.is_full()
+
+    # tangent to the north pole (exact zero at the equator side)
+    r = rg.Cap.from_axis_angle(_norm([1.0, 0.0, 1.0]), np.pi / 4).rect_bound()
+    assert r.lat_lo == 0.0
+    assert abs(r.lat_hi - np.pi / 2) < 1e-14
+    assert r.lng.is_full()
+
+    r = rg.Cap.from_axis_angle(_norm([1.0, 0.0, 1.0]), np.radians(45)).rect_bound()
+    assert abs(np.degrees(r.lat_lo) - 0) < eps_deg
+    assert abs(np.degrees(r.lat_hi) - 90) < eps_deg
+    assert r.lng.is_full()
+
+    # the eastern hemisphere
+    r = rg.Cap.from_axis_angle(
+        np.array([0.0, 1.0, 0.0]), np.pi / 2 + 5e-16
+    ).rect_bound()
+    assert abs(np.degrees(r.lat_lo) - -90) < eps_deg
+    assert abs(np.degrees(r.lat_hi) - 90) < eps_deg
+    assert r.lng.is_full()
+
+    # centered on the equator
+    r = rg.Cap.from_axis_angle(_pt(0, 50), np.radians(20)).rect_bound()
+    assert abs(np.degrees(r.lat_lo) - -20) < eps_deg
+    assert abs(np.degrees(r.lat_hi) - 20) < eps_deg
+    assert abs(np.degrees(r.lng_lo) - 30) < eps_deg
+    assert abs(np.degrees(r.lng_hi) - 70) < eps_deg
+
+    # centered on the north pole
+    r = rg.Cap.from_axis_angle(_pt(90, 123), np.radians(10)).rect_bound()
+    assert abs(np.degrees(r.lat_lo) - 80) < eps_deg
+    assert abs(np.degrees(r.lat_hi) - 90) < eps_deg
+    assert r.lng.is_full()
