@@ -1086,6 +1086,36 @@ class Polyline:
     def contains_points(self, x, y, z) -> np.ndarray:
         return np.zeros(np.shape(np.atleast_1d(x)), dtype=bool)
 
+    def reversed(self) -> "Polyline":
+        """S2Polyline.reversed (S2Polyline.java:998)."""
+        return Polyline(self.vertices[::-1].copy())
+
+    def intersects(self, other: "Polyline") -> bool:
+        """True iff any edge pair crosses or touches (robustCrossing >= 0
+        counts — shared vertices intersect; S2Polyline.intersects
+        S2Polyline.java:639-658)."""
+        va, vb = self.vertices, other.vertices
+        if len(va) <= 1 or len(vb) <= 1:
+            return False
+        for i in range(len(va) - 1):
+            for j in range(len(vb) - 1):
+                if _robust_crossing_sign(va[i], va[i + 1], vb[j], vb[j + 1]) >= 0:
+                    return True
+        return False
+
+    def project(self, p: np.ndarray) -> tuple[np.ndarray, int]:
+        """(closest point on the chain, index of the edge's END vertex) —
+        S2Polyline.project (S2Polyline.java:603) via the A21 chain
+        kernel."""
+        from . import edges as ek
+
+        q, edge_idx, _t = ek.project_to_chain(
+            np.asarray(p, dtype=np.float64)[None, :],
+            self.vertices[:-1],
+            self.vertices[1:],
+        )
+        return q[0], int(np.atleast_1d(edge_idx)[0]) + 1
+
 
 def _robust_crossing_sign(a, b, c, d) -> int:
     """EdgeCrosser.robustCrossing 3-value semantics: +1 proper crossing,

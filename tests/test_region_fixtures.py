@@ -149,3 +149,38 @@ def test_holed_polygon_xor_containment():
     x, y, z = ci.latlng_to_xyz(lat, lng)
     got = poly.contains_points(x, y, z)
     assert got.tolist() == [False, True, False, False, True]
+
+
+def test_polyline_intersects_reversed_project():
+    """G8 S2Polyline surface: intersects (robustCrossing >= 0 incl. shared
+    vertices), reversed, and project (closest chain point + next-vertex
+    index, S2Polyline.java:603-658,998)."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    a = rg.Polyline.from_latlng_degrees([(0.0, 0.0), (0.0, 10.0), (5.0, 10.0)])
+    crossing = rg.Polyline.from_latlng_degrees([(-2.0, 5.0), (2.0, 5.0)])
+    disjoint = rg.Polyline.from_latlng_degrees([(10.0, 0.0), (10.0, 10.0)])
+    touching = rg.Polyline.from_latlng_degrees([(0.0, 10.0), (-5.0, 12.0)])
+    assert a.intersects(crossing) and crossing.intersects(a)
+    assert not a.intersects(disjoint)
+    assert a.intersects(touching), "shared vertex counts (robustCrossing == 0)"
+
+    r = a.reversed()
+    assert np.array_equal(r.vertices, a.vertices[::-1])
+    assert r.intersects(crossing)
+
+    # project a point just north of the first segment's midpoint
+    p = np.ravel(ci.latlng_to_xyz(np.radians(1.0), np.radians(5.0)))
+    q, next_vertex = a.project(p)
+    la, ln = ci.xyz_to_latlng(*q)
+    assert abs(np.degrees(la)) < 1e-9 and abs(np.degrees(ln) - 5.0) < 0.01
+    assert next_vertex == 1
+    # beyond the last vertex: clamps to the final vertex, edge index 2
+    p2 = np.ravel(ci.latlng_to_xyz(np.radians(8.0), np.radians(10.0)))
+    q2, nv2 = a.project(p2)
+    la2, _ = ci.xyz_to_latlng(*q2)
+    assert abs(np.degrees(la2) - 5.0) < 1e-9
+    assert nv2 == 2
