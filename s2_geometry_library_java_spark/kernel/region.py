@@ -543,6 +543,42 @@ class Polygon:
             "difference": ia and not ib,
         }[op]
 
+    def get_area(self) -> float:
+        """Region area under the XOR-loop convention (S2Polygon.getArea
+        S2Polygon.java:1015): each loop contributes its own
+        region-on-the-left area with alternating sign by nesting depth
+        (even-odd), so holes subtract and complements work."""
+        from . import sphere
+
+        total = 0.0
+        for i, lp in enumerate(self.loops):
+            if lp.is_full():
+                a = 4.0 * np.pi
+            else:
+                a = float(sphere.signed_loop_area(lp.vertices))
+            depth = 0
+            v = lp.vertices[0]
+            for j, other in enumerate(self.loops):
+                if j == i or other.is_full():
+                    continue
+                if bool(other.contains_points(v[0:1], v[1:2], v[2:3])[0]):
+                    depth += 1
+            total += a if depth % 2 == 0 else -a
+        return max(0.0, min(4.0 * np.pi, total))
+
+    @staticmethod
+    def overlap_fraction(a: "Polygon", b: "Polygon") -> float:
+        """area(a intersect b) / area(a), clamped to [0, 1]; 0/0 = 1
+        (S2Polygon.getOverlapFraction S2Polygon.java:1123)."""
+        from . import booleanop as bo
+
+        inter = bo.boolean_op(a, b, "intersection")
+        ia = inter.get_area()
+        aa = a.get_area()
+        if aa > 0:
+            return 1.0 if ia >= aa else ia / aa
+        return 1.0 if ia == 0 else 0.0
+
     def contains_polygon(self, other: "Polygon") -> bool:
         """True iff this region contains `other` up to measure-zero
         boundary touches (S2Polygon.contains(S2Polygon))."""

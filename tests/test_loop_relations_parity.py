@@ -227,3 +227,27 @@ def test_polygon_relation_api():
     assert LOOPS["north_hemi"].contains_polygon(empty)
     assert not empty.contains_polygon(LOOPS["north_hemi"])
     assert not empty.intersects_polygon(LOOPS["north_hemi"])
+
+
+def test_polygon_area_and_overlap_fraction():
+    """S2Polygon.getArea / getOverlapFraction semantics: hemisphere areas,
+    hole subtraction, containment fractions."""
+    north = LOOPS["north_hemi"]
+    east = LOOPS["east_hemi"]
+    assert abs(north.get_area() - 2 * np.pi) < 1e-9
+    assert abs(LOOPS["small_ne_cw"].get_area() - (4 * np.pi - 0.0)) < 0.01
+    # overlap of two orthogonal hemispheres is a quarter sphere
+    assert abs(rg.Polygon.overlap_fraction(north, east) - 0.5) < 1e-6
+    # nested pair: inner fully overlaps outer; outer partially
+    outer = _loop("10:10, 10:20, 20:20, 20:10")
+    inner = _loop("13:13, 13:17, 17:17, 17:13")
+    assert rg.Polygon.overlap_fraction(inner, outer) == 1.0
+    frac = rg.Polygon.overlap_fraction(outer, inner)
+    assert 0.05 < frac < 0.35
+    assert abs(frac - inner.get_area() / outer.get_area()) < 1e-12
+    # hole subtraction: outer with inner as hole (XOR convention)
+    holed = rg.Polygon(list(outer.loops) + list(inner.loops))
+    assert abs(holed.get_area() - (outer.get_area() - inner.get_area())) < 1e-12
+    # disjoint: fraction 0; 0/0 = 1
+    assert rg.Polygon.overlap_fraction(outer, LOOPS["antarctic_80"]) == 0.0
+    assert rg.Polygon.overlap_fraction(rg.Polygon([]), rg.Polygon([])) == 1.0
