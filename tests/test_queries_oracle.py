@@ -19,6 +19,8 @@ SUBSET = [
     "span_invariant",
     "media_tiles",
     "region_terms",
+    "ann_ivf",
+    "polygon_relations",
 ]
 
 
