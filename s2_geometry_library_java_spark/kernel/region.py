@@ -383,6 +383,13 @@ class LatLngRect:
             return LatLngRect.empty()
         return LatLngRect.from_intervals(lat, lng)
 
+    def polar_closure(self) -> "LatLngRect":
+        """If the bound touches a pole, all longitudes at that pole are
+        inside: widen lng to full (S2LatLngRect.polarClosure)."""
+        if self.lat_lo == -np.pi / 2 or self.lat_hi == np.pi / 2:
+            return LatLngRect.from_intervals(self.lat, iv.S1Interval.full())
+        return self
+
     def approx_equals(self, y: "LatLngRect", max_error: float = 1e-15) -> bool:
         return (
             abs(self.lat_lo - y.lat_lo) <= max_error
@@ -465,6 +472,27 @@ class Loop:
             return np.ones(len(pts), dtype=bool)
         crossings = predicates.count_crossings(self.ORIGIN, pts, self.vertices)
         return np.where((crossings & 1) == 1, not self.origin_inside, self.origin_inside)
+
+    def get_rect_bound(self) -> "LatLngRect":
+        """Conservative bounding rect (S2Loop.getRectBound /
+        initOriginAndBound): the RectBounder bound over the closed vertex
+        chain, widened to a polar cap side when the loop contains a
+        pole."""
+        if self.is_full():
+            return LatLngRect.full()
+        b = rect_bound_of_chain(self.vertices, closed=True)
+        z = np.array([0.0])
+        north = bool(self.contains_points(z, z, np.array([1.0]))[0])
+        south = bool(self.contains_points(z, z, np.array([-1.0]))[0])
+        if north:
+            b = LatLngRect.from_intervals(
+                iv.R1Interval(b.lat_lo, np.pi / 2), iv.S1Interval.full()
+            )
+        if south:
+            b = LatLngRect.from_intervals(
+                iv.R1Interval(-np.pi / 2, b.lat_hi), iv.S1Interval.full()
+            )
+        return b
 
 
 def _winding_number(p: np.ndarray, vertices: np.ndarray) -> int:
@@ -1151,6 +1179,72 @@ class Polyline:
             self.vertices[1:],
         )
         return q[0], int(np.atleast_1d(edge_idx)[0]) + 1
+
+
+def rect_bound_of_chain(vertices: np.ndarray, closed: bool = True) -> LatLngRect:
+    """Exact conservative lat/lng bound of an edge chain — the
+    S2EdgeUtil.RectBounder port (S2EdgeUtil.java:517-713): per edge, the
+    latitude interval includes the great circle's interior extremum
+    (where the edge crosses the plane through its normal and Z) with the
+    reference's error budget (3.84e roughly on N's direction, the
+    lat-budget bound for short edges, 3e padding), near-degenerate edges
+    fall back to point-pair bounds (nearly-antipodal => full), and the
+    final bound expands latitudes by 2*eps and applies the polar
+    closure."""
+    eps = float(np.finfo(np.float64).eps)
+    v = np.asarray(vertices, dtype=np.float64)
+    if len(v) == 0:
+        return LatLngRect.empty()
+    chain = np.concatenate([v, v[:1]], axis=0) if closed and len(v) > 1 else v
+    a = chain[0]
+    a_lat, a_lng = (float(t) for t in ci.xyz_to_latlng(a[0], a[1], a[2]))
+    bound = LatLngRect.empty().add_point(a_lat, a_lng)
+    for b in chain[1:]:
+        b_lat, b_lng = (float(t) for t in ci.xyz_to_latlng(b[0], b[1], b[2]))
+        n = np.cross(a - b, a + b)  # 2 * (A x B), zero when proportional
+        n_norm = float(np.sqrt(n @ n))
+        if n_norm < 1.91346e-15:
+            if float(a @ b) < 0:
+                # nearly antipodal: the edge may go anywhere
+                bound = LatLngRect.full()
+            else:
+                bound = bound.union(
+                    LatLngRect.from_point_pair(a_lat, a_lng, b_lat, b_lng)
+                )
+        else:
+            lng_ab = iv.S1Interval.from_point_pair(a_lng, b_lng)
+            if lng_ab.length() >= np.pi - 2 * eps:
+                lng_ab = iv.S1Interval.full()
+            lat_ab = iv.R1Interval.from_point_pair(a_lat, b_lat)
+            m = np.cross(n, [0.0, 0.0, 1.0])
+            m_dot_a = float(m @ a)
+            m_dot_b = float(m @ b)
+            m_error = 6.06638e-16 * n_norm + 6.83174e-31
+            if (
+                m_dot_a * m_dot_b < 0
+                or abs(m_dot_a) <= m_error
+                or abs(m_dot_b) <= m_error
+            ):
+                max_lat = min(
+                    np.pi / 2,
+                    3 * eps
+                    + float(np.arctan2(np.hypot(n[0], n[1]), abs(n[2]))),
+                )
+                d = a - b
+                lat_budget = 2.0 * float(
+                    np.arcsin(0.5 * np.sqrt(d @ d) * np.sin(max_lat))
+                )
+                max_delta = 0.5 * (lat_budget - lat_ab.length()) + eps
+                lo, hi = lat_ab.lo, lat_ab.hi
+                if m_dot_a <= m_error and m_dot_b >= -m_error:
+                    hi = min(max_lat, hi + max_delta)
+                if m_dot_b <= m_error and m_dot_a >= -m_error:
+                    lo = max(-max_lat, lo - max_delta)
+                lat_ab = iv.R1Interval(lo, hi)
+            bound = bound.union(LatLngRect.from_intervals(lat_ab, lng_ab))
+        a, a_lat, a_lng = b, b_lat, b_lng
+    bound = bound.expanded(2 * eps, 0.0) if not bound.is_empty() else bound
+    return bound.polar_closure()
 
 
 def _robust_crossing_sign(a, b, c, d) -> int:

@@ -251,3 +251,72 @@ def test_polygon_area_and_overlap_fraction():
     # disjoint: fraction 0; 0/0 = 1
     assert rg.Polygon.overlap_fraction(outer, LOOPS["antarctic_80"]) == 0.0
     assert rg.Polygon.overlap_fraction(rg.Polygon([]), rg.Polygon([])) == 1.0
+
+
+def test_loop_rect_bounds():
+    """S2LoopTest.testBounds goldens (S2LoopTest.java:203-232) against
+    the RectBounder port + pole widening."""
+    assert rg.Polygon([rg.Loop.full()]).loops[0].get_rect_bound().is_full()
+
+    cc = LOOPS["candy_cane"].loops[0].get_rect_bound()
+    assert cc.lng.is_full()
+    assert np.degrees(cc.lat_lo) < -20
+    assert np.degrees(cc.lat_hi) > 10
+
+    assert LOOPS["small_ne_cw"].loops[0].get_rect_bound().is_full()
+
+    lat_err = 2e-15
+    arc = LOOPS["arctic_80"].loops[0].get_rect_bound()
+    assert abs(arc.lat_lo - np.radians(80)) <= lat_err
+    assert abs(arc.lat_hi - np.pi / 2) <= lat_err
+    assert arc.lng.is_full()
+    ant = LOOPS["antarctic_80"].loops[0].get_rect_bound()
+    assert abs(ant.lat_hi - np.radians(-80)) <= lat_err
+    assert abs(ant.lat_lo - -np.pi / 2) <= lat_err
+    assert ant.lng.is_full()
+
+    # inverted arctic: the highest latitude of each edge is attained at
+    # its midpoint (the RectBounder interior-extremum path)
+    inv = rg.Loop(LOOPS["arctic_80"].loops[0].vertices[::-1].copy())
+    v = inv.vertices
+    mid = 0.5 * (v[0] + v[1])
+    mid_lat = float(ci.xyz_to_latlng(mid[0], mid[1], mid[2])[0])
+    got = inv.get_rect_bound().lat_hi
+    assert abs(got - mid_lat) < 1e-9
+
+    sh = LOOPS["south_hemi"].loops[0].get_rect_bound()
+    assert sh.lng.is_full()
+    assert abs(sh.lat_lo - -np.pi / 2) <= lat_err and abs(sh.lat_hi - 0.0) <= lat_err
+
+
+def test_rect_bounder_soundness_random():
+    """Property: densely sampled edge points always fall inside the
+    chain's RectBounder bound."""
+    rng = np.random.RandomState(17)
+    for _ in range(25):
+        n = rng.randint(3, 8)
+        lat = rng.uniform(-70, 70, n)
+        lng = rng.uniform(-180, 180, n)
+        verts = np.stack(
+            [np.ravel(ci.latlng_to_xyz(np.radians(a), np.radians(o)))
+             for a, o in zip(lat, lng)]
+        )
+        bound = rg.rect_bound_of_chain(verts, closed=True)
+        # ulp-scale slack: sampled points are re-normalized, which can
+        # move their computed lat/lng by 1 ulp vs the vertices' own
+        # coordinates (the reference's guarantee covers the canonical
+        # coordinates of contained points)
+        slack = 1e-13
+        chain = np.concatenate([verts, verts[:1]])
+        for i in range(len(chain) - 1):
+            for t in np.linspace(0.0, 1.0, 33):
+                p = (1 - t) * chain[i] + t * chain[i + 1]
+                p = p / np.linalg.norm(p)
+                pla, plo = (float(x) for x in ci.xyz_to_latlng(p[0], p[1], p[2]))
+                assert (
+                    bound.lat_lo - slack <= pla <= bound.lat_hi + slack
+                )
+                assert (
+                    bound.lng.contains_point(plo)
+                    or bound.lng.expanded(slack).contains_point(plo)
+                )
