@@ -571,6 +571,14 @@ class Polygon:
             "difference": ia and not ib,
         }[op]
 
+    def get_rect_bound(self) -> "LatLngRect":
+        """Conservative bounding rect: union of the loops' RectBounder
+        bounds (a superset of the region for any XOR-loop nesting)."""
+        b = LatLngRect.empty()
+        for lp in self.loops:
+            b = b.union(lp.get_rect_bound())
+        return b
+
     def get_area(self) -> float:
         """Region area under the XOR-loop convention (S2Polygon.getArea
         S2Polygon.java:1015): each loop contributes its own
@@ -1150,6 +1158,11 @@ class Polyline:
     def contains_points(self, x, y, z) -> np.ndarray:
         return np.zeros(np.shape(np.atleast_1d(x)), dtype=bool)
 
+    def get_rect_bound(self) -> "LatLngRect":
+        """Exact conservative bound over the OPEN chain
+        (S2Polyline.getRectBound via RectBounder)."""
+        return rect_bound_of_chain(self.vertices, closed=False)
+
     def reversed(self) -> "Polyline":
         """S2Polyline.reversed (S2Polyline.java:998)."""
         return Polyline(self.vertices[::-1].copy())
@@ -1286,18 +1299,30 @@ def polyline_may_intersect_cell(line: Polyline, cell) -> bool:
 
 
 def _polyline_cap(line: Polyline) -> Cap:
-    """Bounding cap: midpoint-axis cap grown to the farthest vertex
-    (the midCap branch of S2LatLngRectBase.getCapBound — exact RectBounder
-    lat-bulge is phase-2; for coverer seeding only the seed level derives
-    from this, and normalization makes the result insensitive for
-    generic-position chains)."""
+    """SOUND bounding cap: centroid-axis cap grown to the farthest point
+    of any EDGE (max-distance kernel, so edge-interior bulges beyond the
+    farthest vertex are covered — previously a documented vertex-only
+    approximation)."""
+    from . import edges as ek
+
     centroid = line.vertices.mean(axis=0)
     n = float(np.sqrt(centroid @ centroid))
     if n < 1e-12:
         return Cap((1.0, 0.0, 0.0), 4.0)
     axis = centroid / n
-    d = sphere.chord2_between(
-        line.vertices[:, 0], line.vertices[:, 1], line.vertices[:, 2],
-        axis[0], axis[1], axis[2],
-    )
-    return Cap(tuple(axis), min(4.0, float(d.max()) * (1 + 1e-12)))
+    if len(line.vertices) == 1:
+        d_max = float(
+            sphere.chord2_between(
+                line.vertices[0, 0], line.vertices[0, 1], line.vertices[0, 2],
+                axis[0], axis[1], axis[2],
+            )
+        )
+    else:
+        d_max = float(
+            np.max(
+                ek.max_chord2_to_edges(
+                    axis[None, :], line.vertices[:-1], line.vertices[1:]
+                )
+            )
+        )
+    return Cap(tuple(axis), min(4.0, d_max * (1 + 1e-12)))

@@ -184,3 +184,27 @@ def test_polyline_intersects_reversed_project():
     la2, _ = ci.xyz_to_latlng(*q2)
     assert abs(np.degrees(la2) - 5.0) < 1e-9
     assert nv2 == 2
+
+
+def test_polyline_cap_covers_edge_bulge():
+    """The polyline bounding cap must cover edge INTERIORS, not just
+    vertices: a near-antipodal-longitude same-latitude edge bulges far
+    poleward of both endpoints."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    line = rg.Polyline.from_latlng_degrees([(60.0, 0.0), (60.0, 170.0)])
+    cap = rg._polyline_cap(line)
+    # sample the edge densely; every sample point must be in the cap
+    a, b = line.vertices
+    for t in np.linspace(0, 1, 101):
+        p = (1 - t) * a + t * b
+        p = p / np.linalg.norm(p)
+        assert bool(cap.contains_points(p[0:1], p[1:2], p[2:3])[0]), t
+    # and the rect bound covers the latitude bulge too
+    rb = line.get_rect_bound()
+    mid = (a + b) / np.linalg.norm(a + b)
+    mid_lat = float(ci.xyz_to_latlng(mid[0], mid[1], mid[2])[0])
+    assert rb.lat_hi >= mid_lat > np.radians(60.0)
