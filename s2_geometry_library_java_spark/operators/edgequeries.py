@@ -514,3 +514,40 @@ def convex_hull_per_group(
     return df.groupBy(group_col).applyInPandas(
         per_group, "group_id long, seq int, point_id long"
     )
+
+
+def project_points_to_chain(
+    points: DataFrame,
+    chain_vertices,
+    point_id: str = "point_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """(point_id, edge_idx, next_vertex) — S2Polyline.project
+    (S2Polyline.java:603) of each point onto a broadcast chain: one
+    Arrow-batched pandas UDF over the A21 chain kernel
+    (kernel/edges.project_to_chain), no shuffle of the point side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..kernel import cellid as s2
+    from ..kernel import edges as ek
+
+    va = np.asarray(chain_vertices, dtype=np.float64)[:-1]
+    vb = np.asarray(chain_vertices, dtype=np.float64)[1:]
+
+    @pandas_udf(LongType())
+    def edge_of(lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
+        x, y, z = s2.latlng_to_xyz(
+            np.radians(lat_s.to_numpy()), np.radians(lng_s.to_numpy())
+        )
+        pts = np.stack([x, y, z], axis=1)
+        _proj, seg, _d = ek.project_to_chain(pts, va, vb)
+        return pd.Series(seg)
+
+    return points.select(
+        F.col(point_id).alias("point_id"),
+        edge_of(F.col(lat), F.col(lng)).alias("edge_idx"),
+    ).withColumn("next_vertex", F.col("edge_idx") + 1)

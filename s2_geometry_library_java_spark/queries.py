@@ -589,42 +589,44 @@ def q_tolerant_pairs_oracle() -> str:
     """
 
 
+def _edge_term_sql(a, b, x: str, y: str, z: str) -> str:
+    """Min chord2 from point (x,y,z) to ONE edge (a,b) as SQL replicating
+    kernel/edges.min_chord2_to_edges op-for-op (planar acute test, wedge
+    signs, XQ^2 + QR^2)."""
+    eps = float(np.finfo(np.float64).eps)
+    c = np.cross(b + a, b - a)  # robust_cross_prod stable form
+    c2 = float(c @ c)
+    ab2 = float((a - b) @ (a - b))
+    xa2 = f"(({x}-({a[0]!r}))*({x}-({a[0]!r})) + ({y}-({a[1]!r}))*({y}-({a[1]!r})) + ({z}-({a[2]!r}))*({z}-({a[2]!r})))"
+    xb2 = f"(({x}-({b[0]!r}))*({x}-({b[0]!r})) + ({y}-({b[1]!r}))*({y}-({b[1]!r})) + ({z}-({b[2]!r}))*({z}-({b[2]!r})))"
+    xdc = f"({c[0]!r}*{x} + {c[1]!r}*{y} + {c[2]!r}*{z})"
+    cxx = f"({c[1]!r}*{z} - {c[2]!r}*{y})"
+    cxy = f"({c[2]!r}*{x} - {c[0]!r}*{z})"
+    cxz = f"({c[0]!r}*{y} - {c[1]!r}*{x})"
+    wedge = (
+        f"((({a[0]!r}-{x})*{cxx} + ({a[1]!r}-{y})*{cxy} + ({a[2]!r}-{z})*{cxz}) < 0"
+        f" AND (({b[0]!r}-{x})*{cxx} + ({b[1]!r}-{y})*{cxy} + ({b[2]!r}-{z})*{cxz}) > 0)"
+    )
+    planar = (
+        f"(abs({xa2} - {xb2}) < {ab2!r} + "
+        f"(4.75*{eps!r}*({xa2} + {xb2} + {ab2!r}) + 8*{eps!r}*{eps!r}))"
+    )
+    qr = f"(1 - sqrt(({cxx}*{cxx} + {cxy}*{cxy} + {cxz}*{cxz}) / {c2!r}))"
+    dint = f"({xdc}*{xdc}/{c2!r} + {qr}*{qr})"
+    dend = f"least({xa2}, {xb2})"
+    return f"(CASE WHEN {planar} AND {wedge} THEN least({dint}, {dend}) ELSE {dend} END)"
+
+
 def _edge_distance_sql(x: str, y: str, z: str) -> str:
     """Min chord2 from point (x,y,z) to every PIP-quad boundary edge, as a
-    per-polygon CASE tree replicating kernel/edges.min_chord2_to_edges
-    op-for-op (planar acute test, wedge signs, XQ^2 + QR^2)."""
-    eps = float(np.finfo(np.float64).eps)
+    per-polygon CASE tree (least over the per-edge terms)."""
     per_pid = []
     for pid, poly in pip_polygons().items():
         terms = []
         for lp in poly.loops:
             v = lp.vertices
             for kk in range(len(v)):
-                a = v[kk]
-                b = v[(kk + 1) % len(v)]
-                c = np.cross(b + a, b - a)  # robust_cross_prod stable form
-                c2 = float(c @ c)
-                ab2 = float((a - b) @ (a - b))
-                xa2 = f"(({x}-({a[0]!r}))*({x}-({a[0]!r})) + ({y}-({a[1]!r}))*({y}-({a[1]!r})) + ({z}-({a[2]!r}))*({z}-({a[2]!r})))"
-                xb2 = f"(({x}-({b[0]!r}))*({x}-({b[0]!r})) + ({y}-({b[1]!r}))*({y}-({b[1]!r})) + ({z}-({b[2]!r}))*({z}-({b[2]!r})))"
-                xdc = f"({c[0]!r}*{x} + {c[1]!r}*{y} + {c[2]!r}*{z})"
-                cxx = f"({c[1]!r}*{z} - {c[2]!r}*{y})"
-                cxy = f"({c[2]!r}*{x} - {c[0]!r}*{z})"
-                cxz = f"({c[0]!r}*{y} - {c[1]!r}*{x})"
-                wedge = (
-                    f"((({a[0]!r}-{x})*{cxx} + ({a[1]!r}-{y})*{cxy} + ({a[2]!r}-{z})*{cxz}) < 0"
-                    f" AND (({b[0]!r}-{x})*{cxx} + ({b[1]!r}-{y})*{cxy} + ({b[2]!r}-{z})*{cxz}) > 0)"
-                )
-                planar = (
-                    f"(abs({xa2} - {xb2}) < {ab2!r} + "
-                    f"(4.75*{eps!r}*({xa2} + {xb2} + {ab2!r}) + 8*{eps!r}*{eps!r}))"
-                )
-                qr = f"(1 - sqrt(({cxx}*{cxx} + {cxy}*{cxy} + {cxz}*{cxz}) / {c2!r}))"
-                dint = f"({xdc}*{xdc}/{c2!r} + {qr}*{qr})"
-                dend = f"least({xa2}, {xb2})"
-                terms.append(
-                    f"(CASE WHEN {planar} AND {wedge} THEN least({dint}, {dend}) ELSE {dend} END)"
-                )
+                terms.append(_edge_term_sql(v[kk], v[(kk + 1) % len(v)], x, y, z))
         per_pid.append((pid, f"least({', '.join(terms)})"))
     return per_pid
 
@@ -744,6 +746,47 @@ def q_furthest_edge_oracle() -> str:
 
 
 CROSS_SHIFT = (3.0017, 3.0029)  # off-grid shift for the crossing-pairs B set
+
+
+def _projection_chain() -> np.ndarray:
+    """Fixture polyline for the chain-projection gate: the PIP quad
+    centers in registry order (5 geodesic edges spanning the globe)."""
+    pts = [(clat, clng) for (clat, clng, _h) in PIP_QUADS.values()]
+    return rg.Polyline.from_latlng_degrees(pts).vertices
+
+
+def q_chain_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8/F8 gate: S2Polyline.project — nearest chain edge (and its next
+    vertex) per supplier point, via one Arrow-batched kernel UDF; the
+    oracle ranks the per-edge A21 distance SQL (op-identical to the
+    kernel, so the argmin matches bit-for-bit)."""
+    from .operators import edgequeries
+
+    supp = tables.load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        geo.lat_col("s_suppkey").alias("lat"),
+        geo.lng_col("s_suppkey").alias("lng"),
+    )
+    out = edgequeries.project_points_to_chain(
+        supp, _projection_chain(), point_id="k", lat="lat", lng="lng"
+    )
+    return out.select(F.col("point_id").alias("k"), "edge_idx", "next_vertex")
+
+
+def q_chain_project_oracle() -> str:
+    chain = _projection_chain()
+    edge_rows = " UNION ALL ".join(
+        f"SELECT k, {i} AS edge_idx, "
+        f"({_edge_term_sql(chain[i], chain[i + 1], 'x', 'y', 'z')}) AS dist FROM p"
+        for i in range(len(chain) - 1)
+    )
+    return f"""
+    WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('supplier', 's_suppkey')})),
+    d AS ({edge_rows}),
+    r AS (SELECT k, edge_idx,
+        row_number() OVER (PARTITION BY k ORDER BY dist, edge_idx) AS rn FROM d)
+    SELECT k, edge_idx, edge_idx + 1 AS next_vertex FROM r WHERE rn = 1
+    """
 
 
 def _relation_b_fixtures() -> dict[str, tuple[float, float, float]]:
@@ -2412,6 +2455,7 @@ def all_queries():
         "near_polygon": q_near_polygon,
         "closest_edge": q_closest_edge,
         "furthest_edge": q_furthest_edge,
+        "chain_project": q_chain_project,
         "crossing_pairs": q_crossing_pairs,
         "hausdorff_witness": q_hausdorff_witness,
         "chain_interp": q_chain_interp,
@@ -2469,6 +2513,7 @@ def all_oracles():
         "near_polygon": q_near_polygon_oracle(),
         "closest_edge": q_closest_edge_oracle(),
         "furthest_edge": q_furthest_edge_oracle(),
+        "chain_project": q_chain_project_oracle(),
         "crossing_pairs": q_crossing_pairs_oracle(),
         "hausdorff_witness": q_hausdorff_witness_oracle(),
         "chain_interp": q_chain_interp_oracle(),
