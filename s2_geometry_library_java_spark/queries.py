@@ -198,10 +198,19 @@ def q_composite_region_oracle() -> str:
 # ===========================================================================
 
 def q_cellid_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: leaf cell ids from integer-derived (face,i,j) over orders."""
+    """A6: leaf cell ids from integer-derived (face,i,j) over orders —
+    via the PURE-JVM Column encoder (functions/encode_cols): the Hilbert
+    LUT walk is integer arithmetic inside whole-stage codegen, bit-equal
+    to the numpy kernel (test_encode_cols pins it), zero Python in the
+    plan."""
+    from .functions import encode_cols as ec
+
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
     return pts.select(
-        "k", udfs.cell_id_from_face_ij("face", "i", "j").alias("cell_id")
+        "k",
+        ec.cell_id_from_face_ij_cols(
+            F.col("face"), F.col("i"), F.col("j")
+        ).alias("cell_id"),
     )
 
 
