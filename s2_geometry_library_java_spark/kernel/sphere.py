@@ -241,3 +241,55 @@ def signed_loop_area(vertices: np.ndarray) -> float:
     if total < 0:
         total += 4.0 * np.pi
     return float(total)
+
+
+def turn_angle(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> float:
+    """Exterior turn angle at b along a->b->c (S2.turnAngle S2.java:600):
+    the angle between robustCrossProd(a,b) and robustCrossProd(b,c),
+    signed by the orientation predicate (exact-sign cascade, so turns
+    near 180 degrees get the right sign)."""
+    from . import edges as ek
+    from . import predicates
+
+    u = ek.robust_cross_prod(a[None, :], b[None, :])[0]
+    w = ek.robust_cross_prod(b[None, :], c[None, :])[0]
+    x = np.cross(u, w)
+    angle = float(np.arctan2(np.sqrt(x @ x), u @ w))
+    s = int(predicates.sign_batch(a[None, :], b[None, :], c[None, :])[0])
+    return angle if s > 0 else -angle
+
+
+def loop_curvature(vertices: np.ndarray) -> float:
+    """Geodesic curvature: the sum of vertex turn angles
+    (S2ShapeMeasures.turningAngle). Positive for CCW loops, negative for
+    CW, and by Gauss-Bonnet equal to 2*pi - area. Kahan-compensated sum;
+    simplification vs the reference: no canonical vertex order, so
+    rotations of the vertex list may differ by fp rounding (reversal
+    still negates the result up to rounding)."""
+    v = np.asarray(vertices, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return -2.0 * np.pi  # full-loop convention
+    if n < 3:
+        return 2.0 * np.pi  # degenerate
+    total = 0.0
+    comp = 0.0
+    for i in range(n):
+        t = turn_angle(v[i - 1], v[i], v[(i + 1) % n])
+        y = t - comp
+        s = total + y
+        comp = (s - total) - y
+        total = s
+    limit = 2.0 * np.pi
+    return max(-limit, min(limit, total))
+
+
+def polyline_length(vertices: np.ndarray) -> float:
+    """Total geodesic length of an open chain (S2Polyline.getArclengthAngle)
+    via the chord form 2*asin(|a-b|/2) per edge (the same per-edge length
+    the chain-interpolation oracle uses)."""
+    v = np.asarray(vertices, dtype=np.float64)
+    if len(v) < 2:
+        return 0.0
+    d = v[1:] - v[:-1]
+    return float(np.sum(2.0 * np.arcsin(0.5 * np.sqrt((d * d).sum(axis=1)))))

@@ -320,3 +320,32 @@ def test_rect_bounder_soundness_random():
                     bound.lng.contains_point(plo)
                     or bound.lng.expanded(slack).contains_point(plo)
                 )
+
+
+def test_curvature_gauss_bonnet_and_reversal():
+    """S2LoopTest.testAreaConsistentWithCurvature semantics: for every
+    fixture loop, area == 2*pi - curvature within the turning-angle error
+    budget, and reversing the vertices negates the curvature."""
+    from s2_geometry_library_java_spark.kernel import sphere
+
+    for name, poly in LOOPS.items():
+        v = poly.loops[0].vertices
+        curv = sphere.loop_curvature(v)
+        area = float(sphere.signed_loop_area(v))
+        tol = 1e-11 * max(1.0, len(v))
+        assert abs(area - (2 * np.pi - curv)) < max(tol, 1e-9), (
+            name, area, 2 * np.pi - curv)
+        rcurv = sphere.loop_curvature(v[::-1].copy())
+        assert abs(rcurv + curv) < 1e-11, name
+    # degenerate and full conventions
+    assert sphere.loop_curvature(np.zeros((0, 3))) == -2 * np.pi
+    assert sphere.loop_curvature(LOOPS["loop_a"].loops[0].vertices[:1]) == 2 * np.pi
+
+
+def test_polyline_length():
+    from s2_geometry_library_java_spark.kernel import sphere
+
+    # quarter of the equator
+    line = rg.Polyline.from_latlng_degrees([(0.0, 0.0), (0.0, 45.0), (0.0, 90.0)])
+    assert abs(sphere.polyline_length(line.vertices) - np.pi / 2) < 1e-12
+    assert sphere.polyline_length(line.vertices[:1]) == 0.0
