@@ -473,6 +473,29 @@ class Loop:
         crossings = predicates.count_crossings(self.ORIGIN, pts, self.vertices)
         return np.where((crossings & 1) == 1, not self.origin_inside, self.origin_inside)
 
+    def get_turning_angle(self) -> float:
+        """Geodesic curvature = sum of vertex turn angles
+        (S2Loop.getTurningAngle); -2*pi for the full loop."""
+        from . import sphere
+
+        if self.is_full():
+            return -2.0 * np.pi
+        return sphere.loop_curvature(self.vertices)
+
+    def is_normalized(self) -> bool:
+        """True iff the loop encloses at most half the sphere
+        (S2Loop.isNormalized S2Loop.java:563: curvature >= -max_error)."""
+        n = len(self.vertices)
+        max_err = 1e-14 * max(1, n)
+        return self.get_turning_angle() >= -max_err
+
+    def normalized(self) -> "Loop":
+        """This loop or its inverse, whichever encloses at most half the
+        sphere (S2Loop.normalize)."""
+        if self.is_normalized():
+            return self
+        return Loop(self.vertices[::-1].copy())
+
     def get_rect_bound(self) -> "LatLngRect":
         """Conservative bounding rect (S2Loop.getRectBound /
         initOriginAndBound): the RectBounder bound over the closed vertex

@@ -349,3 +349,21 @@ def test_polyline_length():
     line = rg.Polyline.from_latlng_degrees([(0.0, 0.0), (0.0, 45.0), (0.0, 90.0)])
     assert abs(sphere.polyline_length(line.vertices) - np.pi / 2) < 1e-12
     assert sphere.polyline_length(line.vertices[:1]) == 0.0
+
+
+def test_loop_normalization_surface():
+    """S2Loop.isNormalized / normalize: CCW small loops are normalized;
+    CW loops invert to their CCW form; inverting twice round-trips."""
+    small = LOOPS["arctic_80"].loops[0]
+    assert small.is_normalized()
+    cw = LOOPS["small_ne_cw"].loops[0]
+    assert not cw.is_normalized()
+    norm = cw.normalized()
+    assert norm.is_normalized()
+    assert np.array_equal(norm.vertices, cw.vertices[::-1])
+    assert norm.normalized() is norm
+    # hemispheres sit at the boundary: turning angle ~ 0, counts as
+    # normalized either way round within the error bound
+    hemi = LOOPS["north_hemi"].loops[0]
+    assert abs(hemi.get_turning_angle()) < 1e-12
+    assert hemi.is_normalized()
