@@ -1203,6 +1203,69 @@ class Polyline:
                     return True
         return False
 
+    def get_length(self) -> float:
+        """Total geodesic arclength (S2Polyline.getArclengthAngle)."""
+        from . import sphere
+
+        return sphere.polyline_length(self.vertices)
+
+    def interpolate(self, t: float) -> np.ndarray:
+        """Point at fraction t in [0,1] of the total arclength
+        (S2Polyline.interpolate S2Polyline.java:251), clamped at the
+        ends."""
+        from . import edges as ek
+        from . import sphere
+
+        v = self.vertices
+        if len(v) == 1 or t <= 0:
+            return v[0].copy()
+        target = min(max(t, 0.0), 1.0) * self.get_length()
+        walked = 0.0
+        for i in range(len(v) - 1):
+            d = v[i + 1] - v[i]
+            elen = 2.0 * float(np.arcsin(0.5 * np.sqrt(d @ d)))
+            if walked + elen >= target or i == len(v) - 2:
+                rem = max(0.0, target - walked)
+                return np.ravel(
+                    ek.interpolate_at_distance(min(rem, elen), v[i], v[i + 1])
+                )
+            walked += elen
+        return v[-1].copy()
+
+    def uninterpolate(self, p: np.ndarray) -> float:
+        """Inverse of interpolate: arclength fraction of the point's
+        projection onto the chain (S2Polyline.uninterpolate
+        S2Polyline.java:294), in [0, 1]."""
+        from . import sphere
+
+        q, next_vertex = self.project(np.asarray(p, dtype=np.float64))
+        v = self.vertices
+        total = self.get_length()
+        if total <= 0:
+            return 0.0
+        walked = sphere.polyline_length(v[:next_vertex])
+        d = q - v[next_vertex - 1]
+        walked += 2.0 * float(np.arcsin(0.5 * np.sqrt(d @ d)))
+        return min(1.0, walked / total)
+
+    def get_centroid(self) -> np.ndarray:
+        """True (integrated) centroid, NOT normalized — the sum of the
+        per-edge true centroids (S2.trueCentroid(a,b) S2.java:481-493:
+        direction of the edge midpoint scaled to length 2*sin(theta)), so
+        centroids of concatenated chains add."""
+        v = self.vertices
+        total = np.zeros(3)
+        for i in range(len(v) - 1):
+            a, b = v[i], v[i + 1]
+            diff = a - b
+            s = a + b
+            sin2 = float(diff @ diff)
+            cos2 = float(s @ s)
+            if cos2 == 0:
+                continue  # antipodal edge
+            total = total + s * np.sqrt(sin2 / cos2)
+        return total
+
     def project(self, p: np.ndarray) -> tuple[np.ndarray, int]:
         """(closest point on the chain, index of the edge's END vertex) —
         S2Polyline.project (S2Polyline.java:603) via the A21 chain

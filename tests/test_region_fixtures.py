@@ -208,3 +208,34 @@ def test_polyline_cap_covers_edge_bulge():
     mid = (a + b) / np.linalg.norm(a + b)
     mid_lat = float(ci.xyz_to_latlng(mid[0], mid[1], mid[2])[0])
     assert rb.lat_hi >= mid_lat > np.radians(60.0)
+
+
+def test_polyline_interpolate_uninterpolate_centroid():
+    """S2Polyline interpolate/uninterpolate round-trip and the additive
+    true centroid (S2Polyline.java:251,294; S2.trueCentroid)."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import region as rg
+
+    line = rg.Polyline.from_latlng_degrees([(0.0, 0.0), (0.0, 40.0), (0.0, 90.0)])
+    assert abs(line.get_length() - np.pi / 2) < 1e-12
+    # halfway along the equatorial chain = lng 45
+    p = line.interpolate(0.5)
+    la, ln = ci.xyz_to_latlng(*p)
+    assert abs(np.degrees(ln) - 45.0) < 1e-9 and abs(la) < 1e-12
+    # endpooints clamp
+    assert np.allclose(line.interpolate(0.0), line.vertices[0])
+    assert np.allclose(line.interpolate(1.0), line.vertices[-1], atol=1e-15)
+    # uninterpolate round-trips interpolate
+    for t in (0.1, 0.35, 0.5, 0.77, 0.95):
+        assert abs(line.uninterpolate(line.interpolate(t)) - t) < 1e-9, t
+    # true centroid: symmetric equatorial chain -> centroid on the
+    # equator at lng 45, and concatenation additivity
+    cent = line.get_centroid()
+    cn = cent / np.linalg.norm(cent)
+    la, ln = ci.xyz_to_latlng(*cn)
+    assert abs(np.degrees(ln) - 45.0) < 1e-9 and abs(la) < 1e-12
+    first = rg.Polyline(line.vertices[:2]).get_centroid()
+    second = rg.Polyline(line.vertices[1:]).get_centroid()
+    assert np.allclose(first + second, cent, atol=1e-15)
