@@ -383,6 +383,32 @@ class LatLngRect:
             return LatLngRect.empty()
         return LatLngRect.from_intervals(lat, lng)
 
+    def get_cap_bound(self) -> "Cap":
+        """Smaller of the pole-axis cap and the center-axis cap through
+        the four vertices (S2LatLngRectBase.getCapBound)."""
+        eps = float(np.finfo(np.float64).eps)
+        if self.is_empty():
+            return Cap.empty()
+        if self.lat_lo + self.lat_hi < 0:
+            pole_z, pole_angle = -1.0, np.pi / 2 + self.lat_hi
+        else:
+            pole_z, pole_angle = 1.0, np.pi / 2 - self.lat_lo
+        pole_cap = Cap.from_axis_angle(
+            np.array([0.0, 0.0, pole_z]), (1 + 2 * eps) * pole_angle
+        )
+        if self.lng.length() < 2 * np.pi:
+            clat, clng = self.get_center()
+            center = np.ravel(ci.latlng_to_xyz(clat, clng))
+            mid_cap = Cap.from_axis_angle(center, 0.0)
+            for k in range(4):
+                vla, vln = self.get_vertex(k)
+                mid_cap = mid_cap.add_point(
+                    np.ravel(ci.latlng_to_xyz(vla, vln))
+                )
+            if mid_cap.height() < pole_cap.height():
+                return mid_cap
+        return pole_cap
+
     def polar_closure(self) -> "LatLngRect":
         """If the bound touches a pole, all longitudes at that pole are
         inside: widen lng to full (S2LatLngRect.polarClosure)."""
@@ -472,6 +498,10 @@ class Loop:
             return np.ones(len(pts), dtype=bool)
         crossings = predicates.count_crossings(self.ORIGIN, pts, self.vertices)
         return np.where((crossings & 1) == 1, not self.origin_inside, self.origin_inside)
+
+    def get_cap_bound(self) -> "Cap":
+        """Bounding cap via the rect bound (S2Loop.getCapBound)."""
+        return self.get_rect_bound().get_cap_bound()
 
     def get_turning_angle(self) -> float:
         """Geodesic curvature = sum of vertex turn angles

@@ -159,3 +159,30 @@ def test_add_point_builds_rect():
     p = p.add_point(np.radians(30), np.radians(40))
     assert bool(p.contains_latlng(np.radians(10.0), np.radians(20.0)))
     assert not bool(p.contains_latlng(np.radians(10.0), np.radians(50.0)))
+
+
+def test_rect_cap_bound():
+    """S2LatLngRectBase.getCapBound: pole cap for wide/high rects,
+    vertex cap for compact ones; always covers the rect."""
+    # compact mid-latitude rect -> center cap through the vertices
+    r = rect_deg(10, 20, 30, 50)
+    cap = r.get_cap_bound()
+    for k in range(4):
+        vla, vln = r.get_vertex(k)
+        p = np.ravel(ci.latlng_to_xyz(vla, vln))
+        assert bool(cap.contains_points(p[0:1], p[1:2], p[2:3])[0]), k
+    # northern rect spanning all longitudes -> north-pole cap
+    arctic = rg.LatLngRect(np.radians(70), np.pi / 2, -PI, PI)
+    pc = arctic.get_cap_bound()
+    assert pc.center == (0.0, 0.0, 1.0)
+    assert abs(pc.angle() - (np.pi / 2 - np.radians(70))) < 1e-12
+    # southern-weighted rect picks the south pole
+    aust = rg.LatLngRect(-np.pi / 2, np.radians(-60), -PI, PI)
+    sc = aust.get_cap_bound()
+    assert sc.center == (0.0, 0.0, -1.0)
+    assert rg.LatLngRect.empty().get_cap_bound().is_empty()
+    # loop cap bound covers all loop vertices
+    lp = rg.Loop.from_latlng_degrees([(10, 10), (10, 30), (25, 30), (25, 10)])
+    lcap = lp.get_cap_bound()
+    for v in lp.vertices:
+        assert bool(lcap.contains_points(v[0:1], v[1:2], v[2:3])[0])
