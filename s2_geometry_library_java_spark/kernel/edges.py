@@ -281,3 +281,36 @@ def edge_intersection(a: np.ndarray, b: np.ndarray, c: np.ndarray,
     ref = (np.asarray(a) + np.asarray(b) + np.asarray(c) + np.asarray(d))
     flip = (x * ref).sum(axis=-1) < 0
     return np.where(flip[..., None], -x, x)
+
+
+def edge_pair_min_chord2(a0, a1, b0, b1) -> np.ndarray:
+    """Min squared-chord distance between edge pairs (A0A1, B0B1) —
+    S2EdgeUtil.getEdgePairDistance: zero when the edges cross, else the
+    minimum of the four endpoint-to-other-edge distances. Broadcasts over
+    leading dimensions; uses the robust crossing cascade, so
+    crossing-or-touching pairs report exactly 0."""
+    from . import predicates
+
+    a0 = np.asarray(a0, dtype=np.float64)
+    a1 = np.asarray(a1, dtype=np.float64)
+    b0 = np.asarray(b0, dtype=np.float64)
+    b1 = np.asarray(b1, dtype=np.float64)
+    acb = predicates.sign_batch(a0, b0, a1)
+    bda = predicates.sign_batch(a1, b1, a0)
+    cbd = predicates.sign_batch(b0, a1, b1)
+    dac = predicates.sign_batch(b1, a0, b0)
+    # robustCrossing >= 0 (proper crossing or shared/touching vertex)
+    crossing = (acb == bda) & (acb == cbd) & (acb == dac) & (acb != 0)
+    touching = (
+        np.all(a0 == b0, axis=-1) | np.all(a0 == b1, axis=-1)
+        | np.all(a1 == b0, axis=-1) | np.all(a1 == b1, axis=-1)
+    )
+    d = np.minimum(
+        np.minimum(
+            min_chord2_to_edges(a0, b0, b1), min_chord2_to_edges(a1, b0, b1)
+        ),
+        np.minimum(
+            min_chord2_to_edges(b0, a0, a1), min_chord2_to_edges(b1, a0, a1)
+        ),
+    )
+    return np.where(crossing | touching, 0.0, d)

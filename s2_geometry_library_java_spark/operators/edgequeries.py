@@ -551,3 +551,57 @@ def project_points_to_chain(
         F.col(point_id).alias("point_id"),
         edge_of(F.col(lat), F.col(lng)).alias("edge_idx"),
     ).withColumn("next_vertex", F.col("edge_idx") + 1)
+
+
+def closest_index_edge_to_edges(
+    query_edges: DataFrame,
+    index_edges,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """(query_id, shape_id, edge_id) — the index edge nearest each QUERY
+    EDGE (S2ClosestEdgeQuery with an EdgeTarget,
+    S2BestEdgesQueryBase.EdgeTarget): edge-pair distance = 0 on
+    crossing-or-touching, else min endpoint-to-edge distance
+    (kernel/edges.edge_pair_min_chord2). ``index_edges`` is a broadcast
+    list of (shape_id, edge_id, a(3,), b(3,)); query edges arrive as
+    (query_id, lat0, lng0, lat1, lng1) degree columns and run through ONE
+    Arrow-batched UDF (the covering join prunes candidates at scale; this
+    is the exact broadcast form the gates use)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..kernel import cellid as s2
+    from ..kernel import edges as ek
+
+    sids = [e[0] for e in index_edges]
+    eids = [int(e[1]) for e in index_edges]
+    A = np.asarray([e[2] for e in index_edges], dtype=np.float64)
+    B = np.asarray([e[3] for e in index_edges], dtype=np.float64)
+
+    @pandas_udf(LongType())
+    def best_edge(lat0: pd.Series, lng0: pd.Series,
+                  lat1: pd.Series, lng1: pd.Series) -> pd.Series:
+        x0, y0, z0 = s2.latlng_to_xyz(np.radians(lat0.to_numpy()),
+                                      np.radians(lng0.to_numpy()))
+        x1, y1, z1 = s2.latlng_to_xyz(np.radians(lat1.to_numpy()),
+                                      np.radians(lng1.to_numpy()))
+        P0 = np.stack([x0, y0, z0], axis=1)
+        P1 = np.stack([x1, y1, z1], axis=1)
+        d = ek.edge_pair_min_chord2(
+            P0[:, None, :], P1[:, None, :], A[None, :, :], B[None, :, :]
+        )
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    out = query_edges.select(
+        F.col(query_id).alias("query_id"),
+        best_edge("lat0", "lng0", "lat1", "lng1").alias("_idx"),
+    )
+    lut_sid = F.array(*[F.lit(s) for s in sids])
+    lut_eid = F.array(*[F.lit(e) for e in eids])
+    return out.select(
+        "query_id",
+        F.element_at(lut_sid, (F.col("_idx") + 1).cast("int")).alias("shape_id"),
+        F.element_at(lut_eid, (F.col("_idx") + 1).cast("int")).alias("edge_id"),
+    )

@@ -626,6 +626,39 @@ def _edge_term_sql(a, b, x: str, y: str, z: str) -> str:
     return f"(CASE WHEN {planar} AND {wedge} THEN least({dint}, {dend}) ELSE {dend} END)"
 
 
+def _edge_term_sql_sym(ax, ay, az, bx, by, bz, px, py, pz) -> str:
+    """Fully symbolic variant of _edge_term_sql: min chord2 from point
+    (px,py,pz) to edge (a,b) where EVERY coordinate is an SQL expression
+    (all intermediates computed in SQL doubles with the kernel's op
+    order, so results stay bit-identical to numpy doubles)."""
+    eps = float(np.finfo(np.float64).eps)
+    sx, sy, sz = f"({bx}+{ax})", f"({by}+{ay})", f"({bz}+{az})"
+    dx, dy, dz = f"({bx}-{ax})", f"({by}-{ay})", f"({bz}-{az})"
+    c0 = f"({sy}*{dz} - {sz}*{dy})"
+    c1 = f"({sz}*{dx} - {sx}*{dz})"
+    c2_ = f"({sx}*{dy} - {sy}*{dx})"
+    cn2 = f"({c0}*{c0} + {c1}*{c1} + {c2_}*{c2_})"
+    ab2 = f"(({ax}-{bx})*(({ax})-({bx})) + ({ay}-{by})*(({ay})-({by})) + ({az}-{bz})*(({az})-({bz})))"
+    xa2 = f"(({px}-{ax})*(({px})-({ax})) + ({py}-{ay})*(({py})-({ay})) + ({pz}-{az})*(({pz})-({az})))"
+    xb2 = f"(({px}-{bx})*(({px})-({bx})) + ({py}-{by})*(({py})-({by})) + ({pz}-{bz})*(({pz})-({bz})))"
+    xdc = f"({c0}*{px} + {c1}*{py} + {c2_}*{pz})"
+    cxx = f"({c1}*{pz} - {c2_}*{py})"
+    cxy = f"({c2_}*{px} - {c0}*{pz})"
+    cxz = f"({c0}*{py} - {c1}*{px})"
+    wedge = (
+        f"((({ax}-{px})*{cxx} + ({ay}-{py})*{cxy} + ({az}-{pz})*{cxz}) < 0"
+        f" AND (({bx}-{px})*{cxx} + ({by}-{py})*{cxy} + ({bz}-{pz})*{cxz}) > 0)"
+    )
+    planar = (
+        f"(abs({xa2} - {xb2}) < {ab2} + "
+        f"(4.75*{eps!r}*({xa2} + {xb2} + {ab2}) + 8*{eps!r}*{eps!r}))"
+    )
+    qr = f"(1 - sqrt(({cxx}*{cxx} + {cxy}*{cxy} + {cxz}*{cxz}) / {cn2}))"
+    dint = f"({xdc}*{xdc}/{cn2} + {qr}*{qr})"
+    dend = f"least({xa2}, {xb2})"
+    return f"(CASE WHEN {planar} AND {wedge} THEN least({dint}, {dend}) ELSE {dend} END)"
+
+
 def _edge_distance_sql(x: str, y: str, z: str) -> str:
     """Min chord2 from point (x,y,z) to every PIP-quad boundary edge, as a
     per-polygon CASE tree (least over the per-edge terms)."""
@@ -795,6 +828,106 @@ def q_chain_project_oracle() -> str:
     r AS (SELECT k, edge_idx,
         row_number() OVER (PARTITION BY k ORDER BY dist, edge_idx) AS rn FROM d)
     SELECT k, edge_idx, edge_idx + 1 AS next_vertex FROM r WHERE rn = 1
+    """
+
+
+def q_edge_target_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 edge-target tier (S2ClosestEdgeQuery.EdgeTarget): the nearest
+    PIP-quad boundary edge per QUERY EDGE (50 deterministic orders-derived
+    edges); edge-pair distance = 0 on crossing else min of the four
+    endpoint-to-edge distances. The oracle replicates both directions of
+    the endpoint distances (constant- and symbolic-edge A21 SQL) plus the
+    4-sign crossing test, so the argmin matches bit-for-bit."""
+    from .operators import edgequeries
+
+    edges = []
+    for pid, poly in pip_polygons().items():
+        v = poly.loops[0].vertices
+        for k in range(len(v)):
+            edges.append((pid, k, v[k], v[(k + 1) % len(v)]))
+    q = (
+        tables.load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 50)
+        .select(
+            F.col("o_orderkey").alias("qid"),
+            geo.lat_col("o_orderkey").alias("lat0"),
+            geo.lng_col("o_orderkey").alias("lng0"),
+            geo.lat_col(F.col("o_orderkey") + 7).alias("lat1"),
+            geo.lng_col(F.col("o_orderkey") + 7).alias("lng1"),
+        )
+    )
+    return edgequeries.closest_index_edge_to_edges(q, edges, query_id="qid")
+
+
+def q_edge_target_closest_oracle() -> str:
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    rows = []
+    for pid, poly in pip_polygons().items():
+        v = poly.loops[0].vertices
+        for k in range(len(v)):
+            a, b = v[k], v[(k + 1) % len(v)]
+            # forward terms: query endpoints to the CONSTANT index edge
+            fwd0 = _edge_term_sql(a, b, "x0", "y0", "z0")
+            fwd1 = _edge_term_sql(a, b, "x1", "y1", "z1")
+            # reverse terms: constant index endpoints to the QUERY edge
+            rev0 = _edge_term_sql_sym(
+                "x0", "y0", "z0", "x1", "y1", "z1", d(a[0]), d(a[1]), d(a[2])
+            )
+            rev1 = _edge_term_sql_sym(
+                "x0", "y0", "z0", "x1", "y1", "z1", d(b[0]), d(b[1]), d(b[2])
+            )
+            det = (
+                "({px}*(({qy})*({rz}) - ({qz})*({ry}))"
+                " + {py}*(({qz})*({rx}) - ({qx})*({rz}))"
+                " + {pz}*(({qx})*({ry}) - ({qy})*({rx})))"
+            )
+
+            def s(p, q_, r):
+                coords = {
+                    "q0": ("x0", "y0", "z0"), "q1": ("x1", "y1", "z1"),
+                    "ea": (d(a[0]), d(a[1]), d(a[2])),
+                    "eb": (d(b[0]), d(b[1]), d(b[2])),
+                }
+                P, Q, R = coords[p], coords[q_], coords[r]
+                return "sign(" + det.format(
+                    px=P[0], py=P[1], pz=P[2],
+                    qx=Q[0], qy=Q[1], qz=Q[2],
+                    rx=R[0], ry=R[1], rz=R[2],
+                ) + ")"
+
+            acb, bda = s("q0", "ea", "q1"), s("q1", "eb", "q0")
+            cbd, dac = s("ea", "q1", "eb"), s("eb", "q0", "ea")
+            crossing = (
+                f"({acb} = {bda} AND {acb} = {cbd} AND {acb} = {dac}"
+                f" AND {acb} <> 0)"
+            )
+            rows.append(
+                f"SELECT qid, '{pid}' AS shape_id, {k} AS edge_id, "
+                f"(CASE WHEN {crossing} THEN 0.0 ELSE "
+                f"least({fwd0}, {fwd1}, {rev0}, {rev1}) END) AS dist FROM q"
+            )
+    edge_rows = " UNION ALL ".join(rows)
+    return f"""
+    WITH q0 AS (SELECT o_orderkey AS qid,
+        {geo.lat_sql('o_orderkey')} AS la0, {geo.lng_sql('o_orderkey')} AS ln0,
+        {geo.lat_sql('(o_orderkey + 7)')} AS la1,
+        {geo.lng_sql('(o_orderkey + 7)')} AS ln1
+        FROM orders WHERE o_orderkey < 50),
+    q AS (SELECT qid,
+        cos(radians(la0))*cos(radians(ln0)) AS x0,
+        cos(radians(la0))*sin(radians(ln0)) AS y0,
+        sin(radians(la0)) AS z0,
+        cos(radians(la1))*cos(radians(ln1)) AS x1,
+        cos(radians(la1))*sin(radians(ln1)) AS y1,
+        sin(radians(la1)) AS z1
+        FROM q0),
+    dists AS ({edge_rows}),
+    r AS (SELECT qid, shape_id, edge_id,
+        row_number() OVER (PARTITION BY qid
+            ORDER BY dist, shape_id, edge_id) AS rn FROM dists)
+    SELECT qid AS query_id, shape_id, edge_id FROM r WHERE rn = 1
     """
 
 
@@ -2465,6 +2598,7 @@ def all_queries():
         "closest_edge": q_closest_edge,
         "furthest_edge": q_furthest_edge,
         "chain_project": q_chain_project,
+        "edge_target_closest": q_edge_target_closest,
         "crossing_pairs": q_crossing_pairs,
         "hausdorff_witness": q_hausdorff_witness,
         "chain_interp": q_chain_interp,
@@ -2523,6 +2657,7 @@ def all_oracles():
         "closest_edge": q_closest_edge_oracle(),
         "furthest_edge": q_furthest_edge_oracle(),
         "chain_project": q_chain_project_oracle(),
+        "edge_target_closest": q_edge_target_closest_oracle(),
         "crossing_pairs": q_crossing_pairs_oracle(),
         "hausdorff_witness": q_hausdorff_witness_oracle(),
         "chain_interp": q_chain_interp_oracle(),

@@ -315,3 +315,40 @@ def test_hausdorff_pruned_tiny_hole_chain_aware(spark):
     want = edgequeries.directed_hausdorff_brute(pdf, idx).collect()
     assert got[0]["worst_point_id"] == want[0]["worst_point_id"]
     assert got[0]["chord2"] == want[0]["chord2"]
+
+
+def test_edge_pair_min_chord2_properties():
+    """Edge-pair distance kernel: symmetry, zero on crossing/touching,
+    and agreement with a dense-sampling lower bound."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import edges as ek
+
+    def pt(la, ln):
+        return np.ravel(ci.latlng_to_xyz(np.radians(la), np.radians(ln)))
+
+    rng = np.random.RandomState(3)
+    for _ in range(50):
+        a0, a1 = pt(rng.uniform(-60, 60), rng.uniform(-170, 170)), pt(
+            rng.uniform(-60, 60), rng.uniform(-170, 170))
+        b0, b1 = pt(rng.uniform(-60, 60), rng.uniform(-170, 170)), pt(
+            rng.uniform(-60, 60), rng.uniform(-170, 170))
+        d_ab = float(ek.edge_pair_min_chord2(a0[None], a1[None], b0[None], b1[None])[0])
+        d_ba = float(ek.edge_pair_min_chord2(b0[None], b1[None], a0[None], a1[None])[0])
+        assert abs(d_ab - d_ba) < 1e-18
+        # dense-sample lower bound: sampled pairwise chord2 never beats
+        # the kernel by more than sampling error
+        ts = np.linspace(0, 1, 17)
+        pa = np.array([(1 - t) * a0 + t * a1 for t in ts])
+        pa /= np.linalg.norm(pa, axis=1, keepdims=True)
+        pb = np.array([(1 - t) * b0 + t * b1 for t in ts])
+        pb /= np.linalg.norm(pb, axis=1, keepdims=True)
+        diff = pa[:, None, :] - pb[None, :, :]
+        sample_min = float((diff ** 2).sum(axis=2).min())
+        assert d_ab <= sample_min + 1e-12
+    # crossing and shared-vertex pairs are exactly zero
+    assert float(ek.edge_pair_min_chord2(
+        pt(0, -1)[None], pt(0, 1)[None], pt(-1, 0)[None], pt(1, 0)[None])[0]) == 0.0
+    assert float(ek.edge_pair_min_chord2(
+        pt(0, 0)[None], pt(0, 1)[None], pt(0, 1)[None], pt(1, 1)[None])[0]) == 0.0
