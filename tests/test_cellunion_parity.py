@@ -145,3 +145,56 @@ def test_contains_monotone_under_parent_and_superset():
     parent_union = cov.union_normalize([int(x) for x in parents])
     assert contains_union(parent_union, union)
     assert not contains_union(union, parent_union)
+
+
+def test_expand_radius_covers_nearby_points():
+    """S2CellUnionTest.testExpand invariant: after expand(min_radius),
+    every sampled point within min_radius of the original union is
+    covered by the expanded union."""
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+    from s2_geometry_library_java_spark.kernel import sphere
+
+    rng = np.random.RandomState(21)
+    for _ in range(10):
+        # a small cluster of level-10..14 cells
+        lat0, lng0 = rng.uniform(-60, 60), rng.uniform(-170, 170)
+        ids = []
+        for _k in range(6):
+            la = lat0 + rng.uniform(-0.5, 0.5)
+            ln = lng0 + rng.uniform(-0.5, 0.5)
+            lvl = rng.randint(10, 15)
+            ids.append(int(c.parent(
+                ci.latlng_degrees_to_cell_id(np.float64(la), np.float64(ln)), lvl
+            )))
+        base = cov.union_normalize(ids)
+        radius = rng.uniform(0.5, 3.0) * 1e-3  # radians
+        grown = cov.union_expand_radius(base, radius)
+
+        def covered(union, leaf):
+            b = lambda v: int(np.uint64(v) ^ np.uint64(1 << 63))
+            for u in union:
+                lo = b(int(c.range_min(np.array([u], dtype=np.uint64))[0]))
+                hi = b(int(c.range_max(np.array([u], dtype=np.uint64))[0]))
+                if lo <= b(leaf) <= hi:
+                    return True
+            return False
+
+        # sample points at distance <= radius from random base-cell centers
+        for _s in range(40):
+            u = base[rng.randint(len(base))]
+            cx, cy, cz = ci.cell_id_to_xyz(np.array([u], dtype=np.uint64))
+            p = np.array([float(cx[0]), float(cy[0]), float(cz[0])])
+            # random offset within the radius
+            t = rng.normal(size=3)
+            t -= (t @ p) * p
+            t /= np.linalg.norm(t)
+            ang = rng.uniform(0, radius)
+            q = p * np.cos(ang) + t * np.sin(ang)
+            q /= np.linalg.norm(q)
+            # q is within radius of the BASE union (distance to u's center
+            # <= radius, so distance to the union <= radius)
+            leaf = int(np.atleast_1d(ci.xyz_to_cell_id(q[0], q[1], q[2]))[0])
+            # center may be outside the cell's own coverage only if q
+            # drifted past the boundary; the expand guarantee still holds
+            # because distance(q, union) <= ang <= radius
+            assert covered(grown, leaf), (ang, radius)
