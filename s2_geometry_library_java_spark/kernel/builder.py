@@ -173,10 +173,16 @@ class Graph:
     need)."""
 
     def __init__(self, sites: np.ndarray, chains: list[list[int]],
-                 layers: np.ndarray, simplify_tolerance: float | None = None):
+                 layers: np.ndarray, simplify_tolerance: float | None = None,
+                 labels: np.ndarray | None = None):
         self.sites = sites
         self.chains = chains
         self.layers = layers
+        #: per input-edge label (-1 = unlabeled), aligned with chains
+        self.labels = (
+            labels if labels is not None
+            else np.full(len(chains), -1, dtype=np.int64)
+        )
         #: set when the builder ran with simplify_edge_chains; the default
         #: tolerance for simplified_layer_edges
         self.simplify_tolerance = simplify_tolerance
@@ -198,6 +204,26 @@ class Graph:
                     seen.add((s, e))
                 out.append((s, e))
         return out
+
+    def layer_edges_with_labels(
+        self, layer: int
+    ) -> dict[tuple[int, int], list[int]]:
+        """Directed (src_site, dst_site) -> sorted list of input-edge
+        labels that produced it (S2BuilderGraph.LabelFetcher semantics):
+        every input edge contributing a snapped sub-edge adds its label;
+        duplicate input edges merge their labels; -1 (unlabeled) inputs
+        are skipped in the lists but still create entries."""
+        out: dict[tuple[int, int], set[int]] = {}
+        for chain, lay, lbl in zip(self.chains, self.layers, self.labels):
+            if lay != layer:
+                continue
+            for s, e in zip(chain, chain[1:]):
+                if s == e:
+                    continue
+                labels = out.setdefault((s, e), set())
+                if int(lbl) >= 0:
+                    labels.add(int(lbl))
+        return {k: sorted(v) for k, v in out.items()}
 
     def simplified_layer_edges(self, layer: int, tolerance: float | None = None
                                ) -> list[tuple[int, int]]:
@@ -438,21 +464,28 @@ class SnapBuilder:
         self._a: list[np.ndarray] = []
         self._b: list[np.ndarray] = []
         self._layers: list[int] = []
+        self._labels: list[int] = []
 
-    def add_edge(self, a: np.ndarray, b: np.ndarray, layer: int = 0) -> None:
+    def add_edge(self, a: np.ndarray, b: np.ndarray, layer: int = 0,
+                 label: int = -1) -> None:
+        # label: opaque input-edge label surviving snapping
+        # (S2Builder.setLabel / S2BuilderGraph label sets); -1 = unlabeled
         self._a.append(np.asarray(a, dtype=np.float64))
         self._b.append(np.asarray(b, dtype=np.float64))
         self._layers.append(layer)
+        self._labels.append(int(label))
 
-    def add_loop(self, vertices: np.ndarray, layer: int = 0) -> None:
+    def add_loop(self, vertices: np.ndarray, layer: int = 0,
+                 label: int = -1) -> None:
         v = np.asarray(vertices, dtype=np.float64)
         for k in range(len(v)):
-            self.add_edge(v[k], v[(k + 1) % len(v)], layer)
+            self.add_edge(v[k], v[(k + 1) % len(v)], layer, label=label)
 
-    def add_polyline(self, vertices: np.ndarray, layer: int = 0) -> None:
+    def add_polyline(self, vertices: np.ndarray, layer: int = 0,
+                     label: int = -1) -> None:
         v = np.asarray(vertices, dtype=np.float64)
         for k in range(len(v) - 1):
-            self.add_edge(v[k], v[k + 1], layer)
+            self.add_edge(v[k], v[k + 1], layer, label=label)
 
     # -- crossings ----------------------------------------------------------
 
@@ -688,7 +721,8 @@ class SnapBuilder:
             if self.simplify_edge_chains
             else None
         )
-        return Graph(S, chains, layers, simplify_tolerance=tol)
+        return Graph(S, chains, layers, simplify_tolerance=tol,
+                     labels=np.asarray(self._labels, dtype=np.int64))
 
 
 

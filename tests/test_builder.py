@@ -433,3 +433,35 @@ def test_voronoi_filter_all_exact_matches_float(monkeypatch):
     base = bu._voronoi_filter(S, cand, d2, x, y, r2)
     monkeypatch.setattr(bu, "VORONOI_TIE_EPS", 10.0)
     assert bu._voronoi_filter(S, cand, d2, x, y, r2) == base
+
+
+def test_edge_labels_survive_snapping():
+    """S2Builder.setLabel / S2BuilderGraph label sets: input-edge labels
+    map onto every snapped sub-edge, crossings split both labelled edges,
+    and duplicate input edges merge their labels."""
+    def pt(la, ln):
+        return np.ravel(ci.latlng_to_xyz(np.radians(la), np.radians(ln)))
+
+    bld = bu.SnapBuilder(bu.IdentitySnapFunction(1e-9), split_crossing_edges=True)
+    bld.add_edge(pt(0.0, -1.0), pt(0.0, 1.0), label=7)    # equatorial
+    bld.add_edge(pt(-1.0, 0.0), pt(1.0, 0.0), label=9)    # crossing meridian
+    bld.add_edge(pt(0.0, -1.0), pt(0.0, 1.0), label=11)   # duplicate of edge 7
+    g = bld.build()
+    labelled = g.layer_edges_with_labels(0)
+    # the crossing splits both input edges: 4 labelled sub-edges
+    assert len(labelled) == 4
+    by_label = {}
+    for edge, labels in labelled.items():
+        for l in labels:
+            by_label.setdefault(l, []).append(edge)
+    assert len(by_label[7]) == 2 and len(by_label[9]) == 2
+    # duplicate input edge merged label 11 onto label 7's sub-edges
+    assert sorted(by_label[11]) == sorted(by_label[7])
+    for edge in by_label[7]:
+        assert labelled[edge] == [7, 11]
+    # unlabeled edges still appear, with empty label lists
+    bld2 = bu.SnapBuilder(bu.IdentitySnapFunction(1e-9))
+    bld2.add_edge(pt(5.0, 5.0), pt(5.0, 6.0))
+    g2 = bld2.build()
+    (edge, labels), = g2.layer_edges_with_labels(0).items()
+    assert labels == []
