@@ -57,8 +57,14 @@ def knn_bruteforce(
     query_id: str = "query_id",
     lat: str = "lat",
     lng: str = "lng",
+    max_chord2: float | None = None,
 ) -> DataFrame:
-    """(query_id, rank, neighbor_id, chord2) exact k nearest."""
+    """(query_id, rank, neighbor_id, chord2) exact k nearest.
+
+    ``max_chord2`` adds the reference's inclusive maxDistance option
+    (S2ClosestPointQuery.Options.setMaxDistance): neighbors beyond the
+    cap are dropped BEFORE ranking, so queries may return fewer than k
+    rows."""
     q = F.broadcast(
         _with_xyz(queries, lat, lng, "q").select(
             F.col(query_id).alias("query_id"), "qx", "qy", "qz"
@@ -68,6 +74,8 @@ def knn_bruteforce(
         F.col(index_id).alias("neighbor_id"), "ix", "iy", "iz"
     )
     scored = q.crossJoin(x).select("query_id", "neighbor_id", _chord2().alias("chord2"))
+    if max_chord2 is not None:
+        scored = scored.where(F.col("chord2") <= F.lit(float(max_chord2)))
     w = Window.partitionBy("query_id").orderBy(F.asc("chord2"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -104,6 +112,14 @@ def density_seed_level(w: F.Column, hist_level: int, k: int) -> F.Column:
     return F.when(w.isNull() | (w <= 0), F.lit(0)).otherwise(lvl)
 
 
+def _capped(df: DataFrame | None, max_chord2: float | None):
+    """Inclusive maxDistance post-filter (sound on exact top-k output:
+    capping after ranking equals ranking the capped candidate set)."""
+    if df is None or max_chord2 is None:
+        return df
+    return df.where(F.col("chord2") <= F.lit(float(max_chord2)))
+
+
 def knn_cell_join(
     index: DataFrame,
     queries: DataFrame,
@@ -117,6 +133,7 @@ def knn_cell_join(
     max_rounds: int = 3,
     density_hist: list[tuple[int, int]] | None = None,
     hist_level: int | None = None,
+    max_chord2: float | None = None,
 ) -> DataFrame:
     """Scale-path kNN via cell-ring equi-joins with completeness proof.
 
@@ -190,7 +207,7 @@ def knn_cell_join(
     remaining = qs2
     for round_no in range(max_rounds):
         if round_no > 0 and remaining.isEmpty():
-            return results
+            return _capped(results, max_chord2)
         # level set this round, computed driver-side: every seed level
         # decremented round_no times (a superset of the live set is fine —
         # unused levels contribute empty join keys, no extra scan)
@@ -258,4 +275,4 @@ def knn_cell_join(
             .select("query_id", "rank", "neighbor_id", "chord2")
         )
         results = brute if results is None else results.unionByName(brute)
-    return results
+    return _capped(results, max_chord2)

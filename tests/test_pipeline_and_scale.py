@@ -525,3 +525,35 @@ def test_boolean_pairs_mixed_open_model_distributed(spark):
     assert ":36.0" in u["degen_edges"]
     i = rows["intersection"]
     assert i["n_loops"] == 0 and i["n_degen_edges"] == 0 and i["n_degen_points"] == 0
+
+
+def test_knn_max_distance_cap(spark):
+    """F4 maxDistance option (S2ClosestPointQuery.Options.setMaxDistance):
+    capped cell-join kNN equals capped brute force, and queries with
+    fewer than k in-range neighbors return short result lists."""
+    import numpy as np
+
+    from s2_geometry_library_java_spark.kernel import sphere
+    from s2_geometry_library_java_spark.operators import knn
+
+    rng = np.random.RandomState(9)
+    pts = [(int(i), float(10 + rng.uniform(-1, 1)), float(20 + rng.uniform(-1, 1)))
+           for i in range(60)]
+    pts += [(1000, 50.0, -120.0)]  # a far outlier
+    idx = spark.createDataFrame(pts, "id long, lat double, lng double")
+    qs = [(0, 10.0, 20.0), (1, 50.0, -120.0), (2, -40.0, 100.0)]
+    queries = spark.createDataFrame(qs, "query_id long, lat double, lng double")
+    cap = float(sphere.chord2_from_angle(np.radians(3.0)))
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    brute = rows(knn.knn_bruteforce(idx, queries, k=5, max_chord2=cap))
+    cell = rows(knn.knn_cell_join(idx, queries, k=5, max_chord2=cap))
+    assert brute == cell
+    per_q = {q: sum(1 for row in brute if row[0] == q) for q in (0, 1, 2)}
+    assert per_q[0] == 5          # dense cluster: full k
+    assert per_q[1] == 1          # only the outlier is in range
+    assert per_q[2] == 0          # nothing within 3 degrees
