@@ -120,6 +120,41 @@ def _capped(df: DataFrame | None, max_chord2: float | None):
     return df.where(F.col("chord2") <= F.lit(float(max_chord2)))
 
 
+def filter_neighbors_in_region(results: DataFrame, index: DataFrame, region,
+                               index_id: str = "id", lat: str = "lat",
+                               lng: str = "lng") -> DataFrame:
+    """F4 region-filter option (S2ClosestPointQuery.Options.setRegion):
+    keep only result neighbors whose index point lies inside ``region``
+    (any kernel region with contains_points). One Arrow-batched UDF over
+    the joined-back index coordinates; ranks are NOT recomputed — like
+    the reference, the filter composes with k (you may get fewer than k
+    in-region neighbors)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from ..kernel import cellid as s2
+
+    @pandas_udf(BooleanType())
+    def inside(lat_s: pd.Series, lng_s: pd.Series) -> pd.Series:
+        x, y, z = s2.latlng_to_xyz(
+            np.radians(lat_s.to_numpy()), np.radians(lng_s.to_numpy())
+        )
+        return pd.Series(np.asarray(region.contains_points(x, y, z), dtype=bool))
+
+    coords = index.select(
+        F.col(index_id).alias("neighbor_id"),
+        F.col(lat).alias("_nlat"),
+        F.col(lng).alias("_nlng"),
+    )
+    return (
+        results.join(F.broadcast(coords), "neighbor_id")
+        .where(inside(F.col("_nlat"), F.col("_nlng")))
+        .drop("_nlat", "_nlng")
+    )
+
+
 def knn_cell_join(
     index: DataFrame,
     queries: DataFrame,

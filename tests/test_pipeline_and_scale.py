@@ -557,3 +557,19 @@ def test_knn_max_distance_cap(spark):
     assert per_q[0] == 5          # dense cluster: full k
     assert per_q[1] == 1          # only the outlier is in range
     assert per_q[2] == 0          # nothing within 3 degrees
+
+
+def test_knn_region_filter(spark):
+    """F4 region option (S2ClosestPointQuery.Options.setRegion): only
+    neighbors inside the region survive."""
+    from s2_geometry_library_java_spark.kernel import region as rgk
+    from s2_geometry_library_java_spark.operators import knn
+
+    pts = [(0, 10.0, 20.0), (1, 10.2, 20.2), (2, 30.0, 60.0), (3, 10.1, 19.9)]
+    idx = spark.createDataFrame(pts, "id long, lat double, lng double")
+    queries = spark.createDataFrame([(0, 10.0, 20.0)], "query_id long, lat double, lng double")
+    res = knn.knn_bruteforce(idx, queries, k=4)
+    cap = rgk.Cap.from_latlng_deg(10.0, 20.0, 1.0)  # 1-degree disc
+    kept = knn.filter_neighbors_in_region(res, idx, cap).collect()
+    ids = sorted(r["neighbor_id"] for r in kept)
+    assert ids == [0, 1, 3]  # the faraway point 2 is filtered out
