@@ -69,9 +69,16 @@ def run(sf_dir: str, cpus: int, extra_conf: dict | None = None):
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    import statistics
+
     from s2_geometry_library_java_spark import queries as q
 
     registry = q.all_queries()
+    # Some benchmarked paths are components of merged driver gates
+    # (pip_indexed inside pip_variants, pricing/nation inside
+    # relational_suite) — time them individually via their functions.
+    for extra in ("pip_indexed", "pricing_summary", "nation_revenue"):
+        registry.setdefault(extra, getattr(q, f"q_{extra}"))
     # Untimed warm-up: spin up the Python worker pool (numpy + package
     # import per worker) and JIT the Arrow/codegen paths, so per-query
     # timings measure the OPERATOR, not one-time worker spawn. The
@@ -80,13 +87,24 @@ def run(sf_dir: str, cpus: int, extra_conf: dict | None = None):
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     registry["cellid_encode"](spark, sf_dir).count()
 
+    # Median of REPS runs per query so BENCH_r{N} captures steady state
+    # instead of sampling one host-throttling phase (round-4 verdict #7:
+    # identical code measured 2-5x apart across phases on this host).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        if reps > 1:
+            timings[f"{name}_min"] = round(min(samples), 3)
+            timings[f"{name}_max"] = round(max(samples), 3)
         timings[f"{name}_rows"] = n
 
     # flagship docs/sec: the full interleaved-document pipeline
@@ -97,13 +115,16 @@ def run(sf_dir: str, cpus: int, extra_conf: dict | None = None):
     from s2_geometry_library_java_spark.sources import docs as docsrc
     from s2_geometry_library_java_spark.sources import tables
 
-    t0 = time.time()
     documents = tables.load_table(spark, sf_dir, "documents")
     n_docs = documents.count()
-    d = docsrc.with_spans(documents)
-    spans = docsrc.geotagged_media_spans(d)
-    tiled = tiling.tile_points(spans, level=12)
-    hits = pip.pip_join(
+    flagship_samples = []
+    flagship_rows = 0
+    for _rep in range(reps):
+        t0 = time.time()
+        d = docsrc.with_spans(documents)
+        spans = docsrc.geotagged_media_spans(d)
+        tiled = tiling.tile_points(spans, level=12)
+        hits = pip.pip_join(
         spark,
         tiled.select(
             F.concat_ws("_", "doc_id", "offset").alias("span_key"), "lat", "lng", "leaf"
@@ -111,20 +132,34 @@ def run(sf_dir: str, cpus: int, extra_conf: dict | None = None):
         q.pip_polygons(),
         point_id="span_key",
         leaf_col="leaf",
-    ).withColumnRenamed("point_id", "span_key")
-    n_out = (
-        tiled.withColumn("span_key", F.concat_ws("_", "doc_id", "offset"))
-        .join(hits, "span_key", "left")
-        .groupBy("tile", "polygon_id")
-        .agg(F.count("*").alias("n_spans"), F.count_distinct("doc_id").alias("n_docs"))
-        .count()
-    )
-    flagship_sec = time.time() - t0
+        ).withColumnRenamed("point_id", "span_key")
+        flagship_rows = (
+            tiled.withColumn("span_key", F.concat_ws("_", "doc_id", "offset"))
+            .join(hits, "span_key", "left")
+            .groupBy("tile", "polygon_id")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.count_distinct("doc_id").alias("n_docs"),
+            )
+            .count()
+        )
+        flagship_samples.append(time.time() - t0)
+    flagship_sec = statistics.median(flagship_samples)
     timings["flagship_pipeline"] = round(flagship_sec, 3)
-    timings["flagship_rows"] = n_out
+    if reps > 1:
+        timings["flagship_pipeline_min"] = round(min(flagship_samples), 3)
+        timings["flagship_pipeline_max"] = round(max(flagship_samples), 3)
+    timings["flagship_rows"] = flagship_rows
     timings["docs_per_sec"] = round(n_docs / flagship_sec, 1)
 
-    total = round(sum(v for k, v in timings.items() if not k.endswith(("_rows", "per_sec"))), 3)
+    total = round(
+        sum(
+            v
+            for k, v in timings.items()
+            if not k.endswith(("_rows", "per_sec", "_min", "_max"))
+        ),
+        3,
+    )
     spark.stop()
     return total, timings, n_docs
 

@@ -2572,7 +2572,146 @@ def q_user_events_oracle() -> str:
 
 
 # ===========================================================================
-# Registry
+# Merged gates. The driver's CORRECTNESS artifact records at most 50
+# queries (r4 registered 54; the artifact carried exactly the first 50 in
+# registry order), so related gates are unioned under a tag column: every
+# value the individual gates checked is still value-hashed, in one row set.
+# ===========================================================================
+
+def q_region_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2+C6 merged: cap, wrapping-rect, and composite (cap AND rect via
+    the coverer) containment, tagged by region kind."""
+    cap = q_cap_contains(spark, sf_dir).select(
+        F.lit("cap").alias("region"), "k", "inside"
+    )
+    rect = q_rect_contains(spark, sf_dir).select(
+        F.lit("rect").alias("region"), "k", "inside"
+    )
+    comp = q_composite_region(spark, sf_dir).select(
+        F.lit("composite").alias("region"), "k", F.lit(True).alias("inside")
+    )
+    return cap.unionByName(rect).unionByName(comp)
+
+
+def q_region_contains_oracle() -> str:
+    return f"""
+    SELECT 'cap' AS region, k, inside FROM ({q_cap_contains_oracle()})
+    UNION ALL
+    SELECT 'rect' AS region, k, inside FROM ({q_rect_contains_oracle()})
+    UNION ALL
+    SELECT 'composite' AS region, k, TRUE AS inside
+    FROM ({q_composite_region_oracle()})
+    """
+
+
+def q_pip_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 merged: the zero-Python convex-det path and the indexed
+    (executor-side covering, E2) path, tagged — both must reproduce the
+    same membership as the pip_contains oracle."""
+    conv = q_pip_convex(spark, sf_dir).select(
+        F.lit("convex").alias("variant"), "k", "polygon_id"
+    )
+    idx = q_pip_indexed(spark, sf_dir).select(
+        F.lit("indexed").alias("variant"), "k", "polygon_id"
+    )
+    return conv.unionByName(idx)
+
+
+def q_pip_variants_oracle() -> str:
+    return f"""
+    SELECT 'convex' AS variant, k, polygon_id FROM ({q_pip_contains_oracle()})
+    UNION ALL
+    SELECT 'indexed' AS variant, k, polygon_id FROM ({q_pip_contains_oracle()})
+    """
+
+
+def q_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 merged: kernel-constructed intersection and difference polygons,
+    membership-checked via the standard PIP join, tagged by op."""
+    inter = q_boolean_intersection(spark, sf_dir).select(
+        F.lit("intersection").alias("op"), "k"
+    )
+    diff = q_boolean_difference(spark, sf_dir).select(
+        F.lit("difference").alias("op"), "k"
+    )
+    return inter.unionByName(diff)
+
+
+def q_boolean_ops_oracle() -> str:
+    return f"""
+    SELECT 'intersection' AS op, k FROM ({_q_boolean_oracle("intersection")})
+    UNION ALL
+    SELECT 'difference' AS op, k FROM ({_q_boolean_oracle("difference")})
+    """
+
+
+def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.I merged: the four plain relational gates (TPC-H Q1-style pricing
+    summary, 4-way join nation revenue, event aggregation, window functions)
+    normalized to one tagged schema. All outputs are exact ints/strings."""
+    pricing = q_pricing_summary(spark, sf_dir).select(
+        F.lit("pricing").alias("gate"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("n").alias("v1"),
+        F.col("sum_qty").alias("v2"),
+        F.col("sum_price_cents").alias("v3"),
+        F.col("sum_disc_pct").alias("v4"),
+    )
+    nation = q_nation_revenue(spark, sf_dir).select(
+        F.lit("nation").alias("gate"),
+        F.col("n_name").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("revenue_cents").alias("v1"),
+        F.col("n_orders").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.lit(0).cast("long").alias("v4"),
+    )
+    users = q_user_events(spark, sf_dir).select(
+        F.lit("user").alias("gate"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").alias("v1"),
+        F.col("value_cents").alias("v2"),
+        F.col("last_event").cast("long").alias("v3"),
+        F.lit(0).cast("long").alias("v4"),
+    )
+    windows = q_event_windows(spark, sf_dir).select(
+        F.lit("window").alias("gate"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_id").cast("string").alias("k2"),
+        F.col("rn").cast("long").alias("v1"),
+        F.coalesce(F.col("prev_event").cast("long"), F.lit(-1)).alias("v2"),
+        F.col("running_n").alias("v3"),
+        F.lit(0).cast("long").alias("v4"),
+    )
+    return pricing.unionByName(nation).unionByName(users).unionByName(windows)
+
+
+def q_relational_suite_oracle() -> str:
+    return f"""
+    SELECT 'pricing' AS gate, l_returnflag AS k1, l_linestatus AS k2,
+           n AS v1, sum_qty AS v2, sum_price_cents AS v3, sum_disc_pct AS v4
+    FROM ({q_pricing_summary_oracle()})
+    UNION ALL
+    SELECT 'nation', n_name, '', revenue_cents, n_orders, 0, 0
+    FROM ({q_nation_revenue_oracle()})
+    UNION ALL
+    SELECT 'user', CAST(user_id AS VARCHAR), event_type,
+           n, value_cents, CAST(last_event AS BIGINT), 0
+    FROM ({q_user_events_oracle()})
+    UNION ALL
+    SELECT 'window', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+           CAST(rn AS BIGINT), COALESCE(CAST(prev_event AS BIGINT), -1),
+           CAST(running_n AS BIGINT), 0
+    FROM ({q_event_windows_oracle()})
+    """
+
+
+# ===========================================================================
+# Registry — EXACTLY 50 entries. The driver records at most 50 CORRECTNESS
+# rows; tests/test_queries_oracle.py pins len(all_queries()) <= 50 so the
+# artifact row set always equals the registry.
 # ===========================================================================
 
 def all_queries():
@@ -2584,12 +2723,9 @@ def all_queries():
         "tile_counts": q_tile_counts,
         "mercator_tiles": q_mercator_tiles,
         "face_counts": q_face_counts,
-        "cap_contains": q_cap_contains,
-        "rect_contains": q_rect_contains,
-        "composite_region": q_composite_region,
+        "region_contains": q_region_contains,
         "pip_contains": q_pip_contains,
-        "pip_convex": q_pip_convex,
-        "pip_indexed": q_pip_indexed,
+        "pip_variants": q_pip_variants,
         "pip_general": q_pip_general,
         "knn_brute": q_knn_brute,
         "knn_cell": q_knn_cell,
@@ -2610,8 +2746,7 @@ def all_queries():
         "buffer_geometry": q_buffer_geometry,
         "winding_union": q_winding_union,
         "buffered_region": q_buffered_region,
-        "boolean_intersection": q_boolean_intersection,
-        "boolean_difference": q_boolean_difference,
+        "boolean_ops": q_boolean_ops,
         "covering_tokens": q_covering_tokens,
         "region_terms": q_region_terms,
         "dedup_exact": q_dedup_exact,
@@ -2627,10 +2762,7 @@ def all_queries():
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "union_intersection_membership": q_union_intersection_membership,
-        "pricing_summary": q_pricing_summary,
-        "nation_revenue": q_nation_revenue,
-        "user_events": q_user_events,
-        "event_windows": q_event_windows,
+        "relational_suite": q_relational_suite,
     }
 
 
@@ -2643,12 +2775,9 @@ def all_oracles():
         "tile_counts": q_tile_counts_oracle(),
         "mercator_tiles": q_mercator_tiles_oracle(),
         "face_counts": q_face_counts_oracle(),
-        "cap_contains": q_cap_contains_oracle(),
-        "rect_contains": q_rect_contains_oracle(),
-        "composite_region": q_composite_region_oracle(),
+        "region_contains": q_region_contains_oracle(),
         "pip_contains": q_pip_contains_oracle(),
-        "pip_convex": q_pip_contains_oracle(),
-        "pip_indexed": q_pip_contains_oracle(),
+        "pip_variants": q_pip_variants_oracle(),
         "pip_general": q_pip_general_oracle(),
         "knn_brute": _knn_oracle(),
         "knn_cell": _knn_oracle(),
@@ -2662,8 +2791,7 @@ def all_oracles():
         "hausdorff_witness": q_hausdorff_witness_oracle(),
         "chain_interp": q_chain_interp_oracle(),
         "buffered_region": q_buffered_region_oracle(),
-        "boolean_intersection": _q_boolean_oracle("intersection"),
-        "boolean_difference": _q_boolean_oracle("difference"),
+        "boolean_ops": q_boolean_ops_oracle(),
         "convex_hull": q_convex_hull_oracle(),
         "pip_models": q_pip_models_oracle(),
         "boolean_degenerate": q_boolean_degenerate_oracle(),
@@ -2686,10 +2814,7 @@ def all_oracles():
         "lsh_pairs": q_lsh_pairs_oracle(),
         "jaccard_pairs": q_jaccard_pairs_oracle(),
         "union_intersection_membership": q_union_intersection_membership_oracle(),
-        "pricing_summary": q_pricing_summary_oracle(),
-        "nation_revenue": q_nation_revenue_oracle(),
-        "user_events": q_user_events_oracle(),
-        "event_windows": q_event_windows_oracle(),
+        "relational_suite": q_relational_suite_oracle(),
     }
 
 
