@@ -187,24 +187,165 @@ def lsh_bucketed_neighbors(
     return pairs
 
 
-def ivf_centroid_seeds(
-    index: DataFrame, id_col: str, vec_col: str, n_centroids: int
-) -> DataFrame:
-    """(centroid_id, cv) deterministic IVF coarse centroids: the
-    ``n_centroids`` lowest-id vectors. A deterministic seeding keeps the
-    whole IVF path SQL-oracle-checkable; production deployments would
-    refine these with Lloyd iterations (the query plan is identical —
-    only the centroid table changes)."""
-    # distributed top-K (TakeOrderedAndProject) first; the global
-    # row_number window then only ever sees K rows
-    seeds = (
-        index.select(_c(id_col).alias("cid_src"), _c(vec_col).alias("cv"))
-        .orderBy("cid_src")
-        .limit(n_centroids)
+#: fixed-point scale for exact (order-independent) centroid sums: component
+#: sums are BIGINT, so Lloyd updates hash-match any engine regardless of
+#: aggregation order. Cosine is scale-invariant, so the un-divided integer
+#: sum vector IS the centroid (no mean, no float division).
+IVF_SCALE = float(1 << 20)
+
+
+def quantized_vec(vec) -> Column:
+    """array<bigint> fixed-point quantization of an embedding column."""
+    return F.transform(
+        _c(vec), lambda e: F.round(e.cast("double") * F.lit(IVF_SCALE)).cast("long")
     )
-    return seeds.withColumn(
-        "rn", F.row_number().over(Window.orderBy("cid_src"))
-    ).select((F.col("rn") - 1).alias("centroid_id"), "cv")
+
+
+def _sum_vectors(members: DataFrame, dim: int) -> DataFrame:
+    """(centroid_id, cv) elementwise BIGINT sum of quantized member vectors.
+
+    posexplode -> partial-aggregated groupBy((centroid_id, pos)) is ONE
+    shuffle of N*dim skinny rows with map-side combine — the scalable
+    elementwise-sum shape (never collect_list of vectors per centroid).
+    Empty clusters simply vanish (no rows), same as a SQL GROUP BY."""
+    e = members.select("centroid_id", F.posexplode("q").alias("pos", "val"))
+    s = e.groupBy("centroid_id", "pos").agg(F.sum("val").alias("s"))
+    return (
+        s.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            "centroid_id",
+            F.transform("ps", lambda x: x["s"].cast("double")).alias("cv"),
+        )
+    )
+
+
+def _collect_centroid_matrix(centroids: DataFrame):
+    """Driver-side (ids, C) numpy view of the (tiny) centroid table,
+    rows ordered by ascending centroid_id."""
+    rows = sorted(
+        (r["centroid_id"], np.asarray(r["cv"], dtype=np.float64))
+        for r in centroids.collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.stack([r[1] for r in rows]) if rows else np.zeros((0, 1))
+    return ids, C
+
+
+def _seq_dots(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, K) dot products accumulated STRICTLY in dimension order —
+    bit-identical to the SQL list_reduce / Column aggregate form (never
+    np.dot, whose pairwise/SIMD order differs)."""
+    n, dim = X.shape
+    out = np.zeros((n, C.shape[0]), dtype=np.float64)
+    for d in range(dim):
+        out += X[:, d : d + 1] * C[:, d]
+    return out
+
+
+def make_ivf_assign_udf(ids: np.ndarray, C: np.ndarray):
+    """pandas UDF embedding -> best centroid_id by cosine (tie -> smallest
+    id). One Arrow pass over the data, no N x K row expansion: the K x dim
+    centroid matrix rides in the UDF closure (broadcast-by-serialization)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    cnorm = np.zeros(len(C), dtype=np.float64)
+    for d in range(C.shape[1]):
+        cnorm += C[:, d] * C[:, d]
+
+    @pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        xnorm = np.zeros(len(X), dtype=np.float64)
+        for d in range(X.shape[1]):
+            xnorm += X[:, d] * X[:, d]
+        sims = _seq_dots(X, C) / np.sqrt(xnorm[:, None] * cnorm[None, :])
+        # columns are in ascending centroid_id order; argmax returns the
+        # FIRST maximum -> ties break to the smallest id, as in the SQL
+        # row_number(ORDER BY sim DESC, centroid_id) mirror.
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return assign
+
+
+def make_ivf_probe_udf(ids: np.ndarray, C: np.ndarray, nprobe: int):
+    """pandas UDF embedding -> the nprobe nearest centroid ids (sim DESC,
+    id ASC) as an array — replaces the query x centroid nested-loop join."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    cnorm = np.zeros(len(C), dtype=np.float64)
+    for d in range(C.shape[1]):
+        cnorm += C[:, d] * C[:, d]
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        xnorm = np.zeros(len(X), dtype=np.float64)
+        for d in range(X.shape[1]):
+            xnorm += X[:, d] * X[:, d]
+        sims = _seq_dots(X, C) / np.sqrt(xnorm[:, None] * cnorm[None, :])
+        # stable sort on -sim over columns already ordered by ascending
+        # centroid_id -> ties break to the smallest id.
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(ids[order]))
+
+    return probe
+
+
+def ivf_train_centroids(
+    index: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    dim: int = 64,
+    iters: int = 2,
+    init_planes: int = 6,
+) -> DataFrame:
+    """(centroid_id, cv) deterministic k-means-style IVF coarse centroids.
+
+    Seeding is a derandomized k-means|| analogue: ONE pass oversamples the
+    data into 2**init_planes hyperplane sign buckets (the same
+    deterministic rational hyperplanes as the LSH path — each bucket is a
+    directional cluster candidate, standing in for k-means||'s sampled
+    candidate set), then the ``n_centroids`` heaviest buckets' exact
+    integer component sums seed the centroids (count DESC, bucket ASC).
+    ``iters`` Lloyd iterations refine: assignment is a single Arrow pass
+    (argmax cosine against the broadcast K x dim matrix, no N x K row
+    expansion); the update is an exact BIGINT elementwise sum (cosine is
+    scale-invariant, so the sum vector needs no division) — every step is
+    order-independent or sequential-order, hence SQL-oracle mirrorable.
+
+    Scale: per iteration, one Arrow projection pass + one skinny
+    (centroid_id, pos) shuffle with map-side combine. K and iters are
+    constants; nothing is ever quadratic in N.
+    """
+    pts = index.select(
+        _c(id_col).alias("id"),
+        _c(vec_col).alias("v"),
+        quantized_vec(vec_col).alias("q"),
+        lsh_bucket(vec_col, init_planes, dim).alias("bucket"),
+    ).persist()
+    wb = Window.orderBy(F.desc("n"), F.asc("bucket"))
+    top = (
+        pts.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bucket"))
+        .limit(n_centroids)
+        .select("bucket", (F.row_number().over(wb) - 1).alias("centroid_id"))
+    )
+    members = pts.join(F.broadcast(top), "bucket").select("centroid_id", "q")
+    cents = _sum_vectors(members, dim)
+    for _ in range(iters):
+        ids, C = _collect_centroid_matrix(cents)
+        assign = make_ivf_assign_udf(ids, C)
+        members = pts.select(assign(F.col("v")).alias("centroid_id"), "q")
+        cents = _sum_vectors(members, dim)
+    cents = cents.persist()
+    cents.count()  # materialize before releasing the training scan
+    pts.unpersist()
+    return cents
 
 
 def ivf_topk(
@@ -216,61 +357,48 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    train_iters: int = 2,
+    dim: int = 64,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id) approximate top-k by cosine via an
     IVF (inverted-file) coarse quantizer — the scale path complementing
     the banded-LSH variant:
 
-    1. every index vector is assigned to its best coarse centroid with a
-       single map-side-combinable aggregation (max of a (sim, -id)
-       struct — ONE shuffle of N rows, never N x K);
-    2. each query probes its ``nprobe`` nearest centroids;
-    3. candidates = equi-join on centroid id (bucket join, never
-       all-pairs at scale), refined by exact cosine + per-query top-k
+    1. coarse centroids from ``ivf_train_centroids`` (deterministic
+       bucket-sum seeding + exact-integer Lloyd refinement), or any
+       caller-supplied (centroid_id, cv) table — the plan is
+       centroid-table-agnostic;
+    2. every index vector is assigned to its best list in ONE Arrow pass
+       (argmax cosine against the closure-held K x dim matrix — no
+       N x K row expansion, no nested-loop join);
+    3. each query probes its ``nprobe`` nearest centroids (same Arrow
+       form, array output exploded);
+    4. candidates = equi-join on list id (bucket join, never all-pairs
+       at scale), refined by exact JVM-side cosine + per-query top-k
        window.
 
-    Centroids are broadcast (K rows). Dot products use the sequential
-    aggregate(zip_with(...)) form so a SQL oracle summing in index order
-    matches bit-for-bit. Approximate by construction: a true neighbor
-    assigned to an unprobed list is missed (recall grows with nprobe).
+    Dot products everywhere accumulate in dimension order, so a SQL
+    oracle running the identical algorithm matches bit-for-bit.
+    Approximate by construction: a true neighbor assigned to an unprobed
+    list is missed (recall grows with nprobe).
     """
     if centroids is None:
-        centroids = ivf_centroid_seeds(index, id_col, vec_col, n_centroids)
-    cents = F.broadcast(centroids)
-    x = index.select(_c(id_col).alias("neighbor_id"), _c(vec_col).alias("xv"))
-    # 1. list assignment: argmax_centroid cosine, one partial-aggregated
-    # shuffle; ties -> smallest centroid id (max of (sim, -centroid_id))
-    assigned = (
-        x.join(cents)
-        .select(
-            "neighbor_id",
-            "xv",
-            F.struct(
-                cosine("xv", "cv").alias("sim"),
-                (-F.col("centroid_id")).alias("neg_cid"),
-            ).alias("sc"),
+        centroids = ivf_train_centroids(
+            index, id_col, vec_col, n_centroids, dim=dim, iters=train_iters
         )
-        .groupBy("neighbor_id")
-        .agg(F.max("sc").alias("best"), F.first("xv").alias("xv"))
-        .select(
-            "neighbor_id", "xv", (-F.col("best.neg_cid")).alias("list_id")
-        )
+    ids, C = _collect_centroid_matrix(centroids)
+    assign = make_ivf_assign_udf(ids, C)
+    probe = make_ivf_probe_udf(ids, C, nprobe)
+    assigned = index.select(
+        _c(id_col).alias("neighbor_id"),
+        _c(vec_col).alias("xv"),
+        assign(_c(vec_col)).alias("list_id"),
     )
-    # 2. query probes: top-nprobe centroids per query
-    q = queries.select(_c(id_col).alias("query_id"), _c(vec_col).alias("qv"))
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("csim"), F.asc("centroid_id")
+    probes = queries.select(
+        _c(id_col).alias("query_id"),
+        _c(vec_col).alias("qv"),
+        F.explode(probe(_c(vec_col))).alias("list_id"),
     )
-    probes = (
-        q.join(cents)
-        .select(
-            "query_id", "qv", "centroid_id", cosine("qv", "cv").alias("csim")
-        )
-        .withColumn("prn", F.row_number().over(wq))
-        .where(F.col("prn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("list_id"))
-    )
-    # 3. bucket join + exact refine
     scored = probes.join(assigned, "list_id").where(
         F.col("query_id") != F.col("neighbor_id")
     )

@@ -2201,11 +2201,13 @@ def q_ann_topk_oracle() -> str:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN scale path: deterministic seeded coarse
-    centroids, single-shuffle argmax list assignment, nprobe bucket join,
-    exact cosine refine. Approximate by construction; the oracle runs the
-    IDENTICAL algorithm in SQL (same sequential-order dot products), so
-    the match is exact."""
+    """IVF (inverted-file) ANN scale path: deterministic k-means-style
+    training (hyperplane bucket-sum seeding + 2 exact-integer Lloyd
+    iterations), one-Arrow-pass argmax list assignment (no N x K row
+    expansion), nprobe bucket join, exact cosine refine. Approximate by
+    construction; the oracle runs the IDENTICAL algorithm — training
+    included — in SQL (same sequential-order dot products, exact BIGINT
+    centroid sums), so the match is exact."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.ivf_topk(
@@ -2213,7 +2215,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_ivf_oracle() -> str:
+def q_ann_ivf_oracle(
+    n_centroids: int = 8,
+    iters: int = 2,
+    init_planes: int = 6,
+    dim: int = 64,
+    nprobe: int = 2,
+    k: int = 5,
+) -> str:
+    """SQL mirror of ivf_train_centroids + ivf_topk (defaults must match
+    q_ann_ivf / similarity.ivf_topk defaults)."""
     dot = (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(list_zip({a}, {b}), "
@@ -2226,27 +2237,70 @@ def q_ann_ivf_oracle() -> str:
             f" * {dot.format(a=b, b=b)})"
         )
 
+    # mirror of similarity.lsh_bucket(embedding, init_planes, dim)
+    planes = []
+    for p in range(init_planes):
+        proj = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(0, {dim}), "
+            "d -> CAST(embedding[CAST(d + 1 AS INTEGER)] AS DOUBLE)"
+            f" * ((d * 11 + {p * 37}) % 21 - 10) / 10.0)), (x, y) -> x + y)"
+        )
+        planes.append(
+            f"(CASE WHEN {proj} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(planes)
+    scale = float(1 << 20)
+
+    def sum_cte(t: int) -> str:
+        # mirror of similarity._sum_vectors (exact BIGINT elementwise sum)
+        return f"""
+    c{t} AS (
+        SELECT centroid_id, list(CAST(s AS DOUBLE) ORDER BY d) AS cv
+        FROM (SELECT centroid_id, d, SUM(q[CAST(d AS INTEGER)]) AS s
+              FROM m{t} CROSS JOIN generate_series(1, {dim}) AS g{t}(d)
+              GROUP BY 1, 2)
+        GROUP BY centroid_id)"""
+
+    lloyd = []
+    for t in range(1, iters + 1):
+        lloyd.append(f"""
+    a{t} AS (
+        SELECT id, q, centroid_id,
+               row_number() OVER (PARTITION BY id
+                   ORDER BY {cos('v', 'cv')} DESC, centroid_id) AS rn
+        FROM qv CROSS JOIN c{t - 1}),
+    m{t} AS (SELECT centroid_id, q FROM a{t} WHERE rn = 1),{sum_cte(t)}""")
+
     return f"""
-    WITH cents AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-               embedding AS cv
-        FROM embeddings ORDER BY vec_id LIMIT 8),
+    WITH qv AS (
+        SELECT vec_id AS id, embedding AS v,
+               list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE) * {scale!r}) AS BIGINT)) AS q,
+               {bucket_expr} AS bucket
+        FROM embeddings),
+    tb AS (SELECT bucket, COUNT(*) AS n FROM qv GROUP BY bucket
+           ORDER BY n DESC, bucket LIMIT {n_centroids}),
+    top AS (SELECT bucket,
+                   row_number() OVER (ORDER BY n DESC, bucket) - 1 AS centroid_id
+            FROM tb),
+    m0 AS (SELECT centroid_id, q FROM qv JOIN top USING (bucket)),{sum_cte(0)},
+    {','.join(lloyd)},
     assigned AS (
-        SELECT vec_id AS neighbor_id, embedding AS xv, centroid_id AS list_id,
-               row_number() OVER (PARTITION BY vec_id
-                   ORDER BY {cos('embedding', 'cv')} DESC, centroid_id) AS arn
-        FROM embeddings CROSS JOIN cents),
+        SELECT id AS neighbor_id, v AS xv, centroid_id AS list_id,
+               row_number() OVER (PARTITION BY id
+                   ORDER BY {cos('v', 'cv')} DESC, centroid_id) AS arn
+        FROM qv CROSS JOIN c{iters}),
     lists AS (SELECT neighbor_id, xv, list_id FROM assigned WHERE arn = 1),
-    q AS (SELECT vec_id AS query_id, embedding AS qv
-          FROM embeddings WHERE vec_id < 10),
+    qq AS (SELECT id AS query_id, v AS qv FROM qv WHERE id < 10),
     probes AS (
         SELECT query_id, qv, centroid_id AS list_id,
                row_number() OVER (PARTITION BY query_id
                    ORDER BY {cos('qv', 'cv')} DESC, centroid_id) AS prn
-        FROM q CROSS JOIN cents),
+        FROM qq CROSS JOIN c{iters}),
     cand AS (
         SELECT p.query_id, p.qv, l.neighbor_id, l.xv
-        FROM (SELECT * FROM probes WHERE prn <= 2) p
+        FROM (SELECT * FROM probes WHERE prn <= {nprobe}) p
         JOIN lists l USING (list_id)
         WHERE p.query_id <> l.neighbor_id),
     ranked AS (
@@ -2254,7 +2308,7 @@ def q_ann_ivf_oracle() -> str:
                row_number() OVER (PARTITION BY query_id
                    ORDER BY {cos('qv', 'xv')} DESC, neighbor_id) AS rank
         FROM cand)
-    SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {k}
     """
 
 

@@ -55,17 +55,69 @@ def test_band_keys_table_disjoint(spark):
     assert tables == {0, 1, 2, 3}
 
 
-def test_ivf_topk_matches_numpy_reference_and_recall(spark):
-    """IVF list assignment, probing, and refine match an independent numpy
-    implementation of the same algorithm; recall vs exact brute top-1 is
-    high on clustered data (every query's true top-1 usually shares its
-    list when vectors cluster)."""
-    import numpy as np
+def _ivf_numpy_reference(V, n_centroids, nprobe, k, iters=2, init_planes=6):
+    """Independent numpy mirror of ivf_train_centroids + ivf_topk."""
+    n, dim = V.shape
 
-    from s2_geometry_library_java_spark.operators import similarity
+    def cos(a, b):
+        return (a @ b) / np.sqrt((a @ a) * (b @ b))
 
+    Q = np.round(V * float(1 << 20)).astype(np.int64)
+    W = np.array(
+        [
+            [similarity.hyperplane_weight(p, d) for d in range(dim)]
+            for p in range(init_planes)
+        ]
+    )
+    proj = V @ W.T  # (n, P)
+    buckets = ((proj >= 0).astype(np.int64) << np.arange(init_planes)).sum(axis=1)
+    uniq, counts = np.unique(buckets, return_counts=True)
+    order = sorted(range(len(uniq)), key=lambda i: (-counts[i], uniq[i]))
+    top = [uniq[i] for i in order[:n_centroids]]
+    cents = {
+        cid: Q[buckets == b].sum(axis=0).astype(np.float64)
+        for cid, b in enumerate(top)
+    }
+    for _ in range(iters):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        assign = [
+            cids[
+                max(range(len(cids)), key=lambda j: (cos(V[i], C[j]), -cids[j]))
+            ]
+            for i in range(n)
+        ]
+        cents = {
+            c: Q[[i for i in range(n) if assign[i] == c]].sum(axis=0).astype(
+                np.float64
+            )
+            for c in set(assign)
+        }
+    cids = sorted(cents)
+    C = np.stack([cents[c] for c in cids])
+    assign = np.array(
+        [
+            cids[max(range(len(cids)), key=lambda j: (cos(V[i], C[j]), -cids[j]))]
+            for i in range(n)
+        ]
+    )
+
+    def topk(qid):
+        sims = sorted(
+            range(len(cids)), key=lambda j: (-cos(V[qid], C[j]), cids[j])
+        )[:nprobe]
+        probed = {cids[j] for j in sims}
+        cand = [i for i in range(n) if assign[i] in probed and i != qid]
+        return sorted(cand, key=lambda i: (-cos(V[qid], V[i]), i))[:k]
+
+    return topk
+
+
+def test_ivf_topk_matches_numpy_reference(spark):
+    """IVF training (bucket-sum seeding + integer Lloyd), list assignment,
+    probing, and refine match an independent numpy implementation of the
+    same algorithm."""
     rng = np.random.RandomState(11)
-    # clustered vectors: 4 well-separated cluster directions + noise
     base = rng.normal(size=(4, 16))
     base /= np.linalg.norm(base, axis=1, keepdims=True)
     V = np.vstack([
@@ -80,30 +132,52 @@ def test_ivf_topk_matches_numpy_reference_and_recall(spark):
         (r["query_id"], r["rank"]): r["neighbor_id"]
         for r in similarity.ivf_topk(
             emb, queries, "vec_id", "embedding", k=3,
-            n_centroids=6, nprobe=2,
+            n_centroids=6, nprobe=2, dim=16,
         ).collect()
     }
+    ref = _ivf_numpy_reference(V, n_centroids=6, nprobe=2, k=3)
+    for qid in range(6):
+        for rank, nid in enumerate(ref(qid), 1):
+            assert got[(qid, rank)] == nid, (qid, rank)
+
+
+def test_ivf_recall_at_k_vs_brute(spark):
+    """Round-4 verdict #2 'done' criterion: on clustered synthetic
+    embeddings, trained-IVF recall@k vs exact brute force >= 0.9 at
+    nprobe=2 (the lowest-id placeholder seeding this trainer replaced had
+    arbitrary recall on exactly this kind of input)."""
+    rng = np.random.RandomState(123455)
+    n_clusters, per, dim, k = 8, 50, 32, 5
+    base = rng.normal(size=(n_clusters, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    V = np.vstack([
+        base[i % n_clusters] + 0.12 * rng.normal(size=dim)
+        for i in range(n_clusters * per)
+    ]).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(len(V))],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where("vec_id < 40")
+    got = {}
+    for r in similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=k,
+        n_centroids=n_clusters, nprobe=2, dim=dim,
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
 
     def cos(a, b):
         return (a @ b) / np.sqrt((a @ a) * (b @ b))
 
-    C = V[:6]  # seeded centroids = lowest-id vectors
-    assign = np.array([
-        max(range(6), key=lambda c: (cos(V[i], C[c]), -c)) for i in range(len(V))
-    ])
-    for qid in range(6):
-        sims = [(cos(V[qid], C[c]), -c) for c in range(6)]
-        probed = sorted(range(6), key=lambda c: sims[c], reverse=True)[:2]
-        cand = [i for i in range(len(V)) if assign[i] in probed and i != qid]
-        ranked = sorted(cand, key=lambda i: (-cos(V[qid], V[i]), i))[:3]
-        for rank, nid in enumerate(ranked, 1):
-            assert got[(qid, rank)] == nid, (qid, rank)
-    # recall sanity vs brute top-1
-    hits = 0
-    for qid in range(6):
-        brute1 = max(
-            (i for i in range(len(V)) if i != qid),
-            key=lambda i: (cos(V[qid], V[i]), -i),
+    hits = total = 0
+    for qid in range(40):
+        brute = set(
+            sorted(
+                (i for i in range(len(V)) if i != qid),
+                key=lambda i: (-cos(V[qid], V[i]), i),
+            )[:k]
         )
-        hits += int(got[(qid, 1)] == brute1)
-    assert hits >= 4, f"IVF recall@1 too low on clustered data: {hits}/6"
+        hits += len(brute & got.get(qid, set()))
+        total += k
+    recall = hits / total
+    assert recall >= 0.9, f"IVF recall@{k} {recall:.3f} < 0.9"
