@@ -205,6 +205,22 @@ class Graph:
                 out.append((s, e))
         return out
 
+    def lax_edges(self, layer: int) -> list[tuple[int, int]]:
+        """Directed (src_site, dst_site) pairs of one layer with
+        degeneracies PRESERVED: a degenerate input edge (single-site
+        chain) becomes a (s, s) edge, duplicates are kept — the input
+        surface for kernel.laxlayers (the reference's lax layers receive
+        the unfiltered graph and apply their own GraphOptions)."""
+        out = []
+        for chain, lay in zip(self.chains, self.layers):
+            if lay != layer:
+                continue
+            if len(chain) == 1:
+                out.append((chain[0], chain[0]))
+            else:
+                out.extend(zip(chain, chain[1:]))
+        return out
+
     def layer_edges_with_labels(
         self, layer: int
     ) -> dict[tuple[int, int], list[int]]:

@@ -2762,6 +2762,100 @@ def q_relational_suite_oracle() -> str:
     """
 
 
+def _lax_quad_corners(k: int):
+    """Pair geometry from an integer key: quad A and quad B whose spatial
+    relationship is selected by k % 4 (0 overlap, 1 shared full edge,
+    2 shared single vertex, 3 disjoint); position varies with k."""
+    lat0 = -20.0 + ((k * 7) % 9) * 5.0
+    lng0 = -60.0 + ((k * 13) % 7) * 18.0
+    r = k % 4
+    dlat, dlng = {0: (0.0, 3.0), 1: (0.0, 6.0), 2: (6.0, 6.0), 3: (0.0, 9.0)}[r]
+    a = (lat0, lat0 + 6.0, lng0, lng0 + 6.0)
+    b = (lat0 + dlat, lat0 + 6.0 + dlat, lng0 + dlng, lng0 + 6.0 + dlng)
+    return a, b
+
+
+_LAX_MODES = ["KEEP", "DISCARD", "DISCARD_HOLES", "DISCARD_SHELLS"]
+
+
+def q_lax_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lax polygon layer over mixed-dimension boolean output
+    (S2LaxPolygonLayer.java:134,204 DegenerateBoundaries KEEP / DISCARD /
+    DISCARD_HOLES / DISCARD_SHELLS; S2PolygonDegeneracyFinder.java:82):
+    per orders-key pair of quads (overlapping / edge-tangent /
+    vertex-tangent / disjoint by k%4), run the CLOSED intersection and
+    OPEN union through boolean_op_mixed, assemble polygon + degeneracies
+    through LaxPolygonLayer under every mode, and emit loop-class counts.
+    The oracle derives the expected counts arithmetically from the pair
+    relationship: an edge tangency yields one degenerate sibling-pair
+    loop classified as a SHELL under closed intersection (kept by
+    DISCARD_HOLES, dropped by DISCARD_SHELLS) and as a crack HOLE inside
+    the open union (dropped by DISCARD_HOLES, splitting the union into 2
+    loops when kept); a vertex tangency yields one degenerate point
+    loop."""
+    from .operators import laxops
+
+    keys = (
+        tables.load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .where(F.col("k") < 120)
+    )
+
+    def make_pairs(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                a, b = _lax_quad_corners(int(k))
+                rows.append((int(k), _bp_quad_text(*a), _bp_quad_text(*b),
+                             "intersection", "closed"))
+                rows.append((int(k), _bp_quad_text(*a), _bp_quad_text(*b),
+                             "union", "open"))
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "a_text", "b_text", "op", "model"]
+            )
+
+    pairs = keys.repartition(4).mapInPandas(
+        make_pairs,
+        "pair_id long, a_text string, b_text string, op string, model string",
+    )
+    out = laxops.lax_boolean_counts(pairs, _LAX_MODES)
+    return out.select(
+        F.col("pair_id").alias("k"),
+        F.concat_ws("_", "model", "op").alias("family"),
+        "mode",
+        F.col("n_regular").cast("long").alias("n_regular"),
+        F.col("n_edge").cast("long").alias("n_edge"),
+        F.col("n_point").cast("long").alias("n_point"),
+    )
+
+
+def q_lax_layers_oracle() -> str:
+    return """
+    WITH keys AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 120),
+    modes(mode) AS (VALUES ('KEEP'), ('DISCARD'),
+                           ('DISCARD_HOLES'), ('DISCARD_SHELLS')),
+    fams(family) AS (VALUES ('closed_intersection'), ('open_union')),
+    g AS (SELECT k, family, mode, k % 4 AS r
+          FROM keys CROSS JOIN modes CROSS JOIN fams)
+    SELECT k, family, mode,
+      CAST(CASE WHEN family = 'closed_intersection'
+            THEN CASE WHEN r = 0 THEN 1 ELSE 0 END
+            ELSE CASE WHEN r = 0 THEN 1
+                      WHEN r = 1 THEN
+                        CASE WHEN mode IN ('KEEP', 'DISCARD_SHELLS')
+                             THEN 2 ELSE 1 END
+                      ELSE 2 END
+           END AS BIGINT) AS n_regular,
+      CAST(CASE WHEN family = 'closed_intersection' AND r = 1
+                 AND mode IN ('KEEP', 'DISCARD_HOLES')
+            THEN 1 ELSE 0 END AS BIGINT) AS n_edge,
+      CAST(CASE WHEN family = 'closed_intersection' AND r = 2
+                 AND mode IN ('KEEP', 'DISCARD_HOLES')
+            THEN 1 ELSE 0 END AS BIGINT) AS n_point
+    FROM g
+    """
+
+
 # ===========================================================================
 # Registry — EXACTLY 50 entries. The driver records at most 50 CORRECTNESS
 # rows; tests/test_queries_oracle.py pins len(all_queries()) <= 50 so the
@@ -2817,6 +2911,7 @@ def all_queries():
         "jaccard_pairs": q_jaccard_pairs,
         "union_intersection_membership": q_union_intersection_membership,
         "relational_suite": q_relational_suite,
+        "lax_layers": q_lax_layers,
     }
 
 
@@ -2869,6 +2964,7 @@ def all_oracles():
         "jaccard_pairs": q_jaccard_pairs_oracle(),
         "union_intersection_membership": q_union_intersection_membership_oracle(),
         "relational_suite": q_relational_suite_oracle(),
+        "lax_layers": q_lax_layers_oracle(),
     }
 
 
