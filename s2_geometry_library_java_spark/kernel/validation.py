@@ -108,3 +108,146 @@ def find_polygon_validation_error(loops: list[np.ndarray]) -> str | None:
                             "degenerately"
                         )
     return None
+
+
+# ---------------------------------------------------------------------------
+# S2ValidQuery constraint tiers (S2ValidationQueries.java:325 S2ValidQuery)
+# ---------------------------------------------------------------------------
+
+def _classify_loop_error(msg: str) -> str:
+    if "minimum 3" in msg:
+        return "too_few_vertices"
+    if "unit length" in msg:
+        return "non_unit"
+    if "degenerate" in msg:
+        return "degenerate_edge"
+    if "antipodal" in msg:
+        return "antipodal"
+    if "duplicates" in msg:
+        return "duplicate_vertex"
+    return "self_intersection"
+
+
+def _check_duplicate_edges(loops) -> tuple[str, str] | None:
+    """S2ValidQuery.checkForDuplicateEdges
+    (S2ValidationQueries.java:1089): polygon shapes may not contain
+    duplicate edges or reverse-duplicate (sibling) edges across any of
+    their chains."""
+    seen: dict[tuple, tuple[int, int]] = {}
+    for k, lp in enumerate(loops):
+        v = np.asarray(lp)
+        n = len(v)
+        for i in range(n):
+            a = tuple(v[i])
+            b = tuple(v[(i + 1) % n])
+            if (a, b) in seen:
+                return ("duplicate_edge",
+                        f"loop {k} edge {i} duplicates {seen[(a, b)]}")
+            if (b, a) in seen:
+                return ("duplicate_edge",
+                        f"loop {k} edge {i} is the reverse of {seen[(b, a)]}")
+            seen[(a, b)] = (k, i)
+    return None
+
+
+def _check_vertex_crossings(loops) -> tuple[str, str] | None:
+    """S2ValidQuery.checkVertexCrossings
+    (S2ValidationQueries.java:832): chains meeting at a shared vertex
+    must not interleave — the incident wedge boundary-direction pairs of
+    any two occurrences must not alternate around the vertex."""
+    from collections import defaultdict
+
+    from . import predicates
+
+    occ: dict[tuple, list[tuple[int, np.ndarray, np.ndarray]]] = defaultdict(list)
+    for k, lp in enumerate(loops):
+        v = np.asarray(lp)
+        n = len(v)
+        for i in range(n):
+            occ[tuple(v[i])].append((k, v[(i - 1) % n], v[(i + 1) % n]))
+    for key, wedges in occ.items():
+        if len(wedges) < 2:
+            continue
+        vtx = np.asarray(key, dtype=np.float64)
+        e1 = predicates.ortho(vtx)
+        e2 = np.cross(vtx, e1)
+
+        def theta(p):
+            d = p - float(p @ vtx) * vtx
+            return float(np.arctan2(d @ e2, d @ e1))
+
+        for x in range(len(wedges)):
+            for y in range(x + 1, len(wedges)):
+                k1, a1, c1 = wedges[x]
+                k2, a2, c2 = wedges[y]
+                t_lo, t_hi = sorted((theta(a1), theta(c1)))
+
+                def inside(p):
+                    t = theta(p)
+                    return t_lo < t < t_hi
+
+                # the pair {a1,c1} splits directions into two arcs; the
+                # wedges interleave iff exactly one of {a2,c2} falls in
+                # the (t_lo, t_hi) arc
+                if inside(a2) != inside(c2):
+                    return ("vertex_crossing",
+                            f"chains {k1} and {k2} cross at a shared vertex")
+    return None
+
+
+def _check_chain_orientation(loops) -> tuple[str, str] | None:
+    """S2ValidQuery.checkChainOrientation
+    (S2ValidationQueries.java:1013): interior must be on the left — a
+    chain nested at even depth is CCW, at odd depth CW (S2Polygon's
+    shell/hole orientation invariant). Depth is counted by strict
+    containment of a representative vertex in the other chains."""
+    from . import region as rg
+    from . import sphere
+
+    if len(loops) == 0:
+        return None
+    rloops = [rg.Loop(np.asarray(lp, dtype=np.float64)) for lp in loops]
+    for i, lp in enumerate(loops):
+        v = np.asarray(lp, dtype=np.float64)
+        depth = 0
+        for j, other in enumerate(rloops):
+            if j == i:
+                continue
+            # orient the containment test CCW regardless of the stored
+            # winding: a CW loop's parity containment is the complement
+            inside = bool(other.contains_points(
+                v[0:1, 0], v[0:1, 1], v[0:1, 2]
+            )[0])
+            # signed_loop_area is in [0, 4pi): a CW loop reports the
+            # complement's area (> 2pi), and its parity containment is
+            # the complement region
+            if sphere.signed_loop_area(np.asarray(loops[j])) > 2.0 * np.pi:
+                inside = not inside
+            depth += int(inside)
+        ccw = sphere.signed_loop_area(v) <= 2.0 * np.pi
+        if ccw != (depth % 2 == 0):
+            return ("orientation",
+                    f"loop {i} at depth {depth} has interior on the right")
+    return None
+
+
+def find_valid_query_error(loops) -> tuple[str, str] | None:
+    """Full S2ValidQuery tier stack over a polygon's loops: per-chain
+    basics, cross-chain crossings/touches, duplicate + sibling edges,
+    shared-vertex wedge crossings, and shell/hole orientation. Returns
+    (error_code, message) or None when valid."""
+    for k, lp in enumerate(loops):
+        msg = find_loop_validation_error(np.asarray(lp, dtype=np.float64))
+        if msg is not None:
+            return (_classify_loop_error(msg), f"loop {k}: {msg}")
+    basic = find_polygon_validation_error(
+        [np.asarray(lp, dtype=np.float64) for lp in loops]
+    )
+    if basic is not None:
+        return ("loop_crossing", basic)
+    for check in (_check_duplicate_edges, _check_vertex_crossings,
+                  _check_chain_orientation):
+        err = check(loops)
+        if err is not None:
+            return err
+    return None

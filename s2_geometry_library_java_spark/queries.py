@@ -2856,6 +2856,146 @@ def q_lax_layers_oracle() -> str:
     """
 
 
+def q_cell_index_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/F stabbing surface: S2CellIndex (cellId, label) multimap queried
+    by target cells (S2CellIndex.java:60 ContentsIterator, :225
+    visitIntersectingCells) as two ancestor equi-joins
+    (operators/cellindex.intersecting_pairs). Index = customer-derived
+    cells at mixed levels 8-12 with labels k%37 (a true multimap:
+    duplicate cells and duplicate (cell,label) pairs occur); targets =
+    order-derived cells at levels 9-11 grouped 8-per-query, so one query
+    unions several leaf ranges and the at-most-once visit guarantee is
+    load-bearing. The oracle is the direct range-overlap semantics on the
+    SQL-encoded cell ids (nested-or-disjoint leaf ranges)."""
+    from .functions import encode_cols as ec
+    from .operators import cellindex
+
+    cust = _points_from_keys(
+        tables.load_table(spark, sf_dir, "customer"), "c_custkey"
+    ).where(F.col("k") < 2000)
+    idx = cust.select(
+        cc.parent(
+            ec.cell_id_from_face_ij_cols(F.col("face"), F.col("i"), F.col("j")),
+            (F.col("k") % 5 + 8).cast("int"),
+        ).alias("cell_id"),
+        (F.col("k") % 37).alias("label"),
+    )
+    ords = _points_from_keys(
+        tables.load_table(spark, sf_dir, "orders"), "o_orderkey"
+    ).where(F.col("k") < 48)
+    tgt = ords.select(
+        ((F.col("k") - F.col("k") % 8) / 8).cast("long").alias("query_id"),
+        cc.parent(
+            ec.cell_id_from_face_ij_cols(F.col("face"), F.col("i"), F.col("j")),
+            (F.col("k") % 3 + 9).cast("int"),
+        ).alias("target"),
+    )
+    return cellindex.intersecting_pairs(idx, tgt)
+
+
+def q_cell_index_contents_oracle() -> str:
+    enc_c = oracle.hilbert_encode_sql(_pts_sql("customer", "c_custkey"), ["k"])
+    enc_o = oracle.hilbert_encode_sql(_pts_sql("orders", "o_orderkey"), ["k"])
+    i_min = oracle.range_min_sql("i.cell_id")
+    i_max = oracle.range_max_sql("i.cell_id")
+    t_min = oracle.range_min_sql("t.target")
+    t_max = oracle.range_max_sql("t.target")
+    return f"""
+    WITH idx0 AS ({enc_c}),
+    idx AS (SELECT {oracle.parent_sql('cell_id', '(k % 5 + 8)')} AS cell_id,
+                   k % 37 AS label
+            FROM idx0 WHERE k < 2000),
+    tgt0 AS ({enc_o}),
+    tgt AS (SELECT CAST((k - k % 8) / 8 AS BIGINT) AS query_id,
+                   {oracle.parent_sql('cell_id', '(k % 3 + 9)')} AS target
+            FROM tgt0 WHERE k < 48)
+    SELECT DISTINCT t.query_id, i.cell_id, i.label
+    FROM idx i JOIN tgt t
+    ON NOT ({i_max} < {t_min} OR {t_max} < {i_min})
+    """
+
+
+def _validation_fixture_loops(k: int) -> list:
+    """Per-key polygon fixture whose S2ValidQuery verdict is determined by
+    k % 6: 0 valid, 1 degenerate edge, 2 self-intersection, 3 duplicate
+    (reverse) edge across loops, 4 shared-vertex wedge crossing,
+    5 wrong-orientation (CCW) hole."""
+    lat0 = -20.0 + ((k * 3) % 9) * 5.0
+    lng0 = -60.0 + ((k * 5) % 7) * 18.0
+    f = k % 6
+
+    def V(pts):
+        return rg.Loop.from_latlng_degrees(pts).vertices
+
+    def quad(la, lo, h=6.0):
+        return V([(la, lo), (la, lo + h), (la + h, lo + h), (la + h, lo)])
+
+    if f == 0:
+        return [quad(lat0, lng0)]
+    if f == 1:
+        v = quad(lat0, lng0)
+        return [np.vstack([v, v[-1]])]
+    if f == 2:  # bowtie
+        return [V([(lat0, lng0), (lat0 + 6, lng0 + 6),
+                   (lat0, lng0 + 6), (lat0 + 6, lng0)])]
+    if f == 3:  # two quads sharing a full edge (reverse duplicate)
+        return [quad(lat0, lng0), quad(lat0, lng0 + 6.0)]
+    if f == 4:  # lens + chain through it sharing both pinch vertices
+        a, b = (lat0, lng0), (lat0 + 10.0, lng0)
+        l1 = V([a, (lat0 + 5, lng0 + 3), b, (lat0 + 5, lng0 + 8)])
+        l2 = V([a, (lat0 + 5, lng0 + 5), b, (lat0 + 5, lng0 - 8)])
+        return [l1, l2]
+    # f == 5: CCW hole inside a CCW shell (interior on the right)
+    return [
+        quad(lat0, lng0, 10.0),
+        V([(lat0 + 2, lng0 + 2), (lat0 + 2, lng0 + 8),
+           (lat0 + 8, lng0 + 8), (lat0 + 8, lng0 + 2)]),
+    ]
+
+
+def q_validation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 depth: the S2ValidQuery constraint tier stack
+    (S2ValidationQueries.java:325; duplicate edges :1089, vertex
+    crossings :832, chain orientation :1013; plus
+    S2PolygonDegeneracyFinder-adjacent basics) over per-key polygon
+    fixtures spanning valid, degenerate, self-intersecting,
+    duplicate-edge, vertex-crossing, and mis-oriented-hole shapes. The
+    kernel runs executor-side in mapInPandas; the oracle derives the
+    expected verdict class arithmetically from the fixture family."""
+    keys = (
+        tables.load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .where(F.col("k") < 180)
+    )
+
+    def run(batches):
+        from .kernel import validation as val
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["k"]:
+                err = val.find_valid_query_error(_validation_fixture_loops(int(k)))
+                rows.append((int(k), "ok" if err is None else err[0]))
+            yield pd.DataFrame(rows, columns=["k", "verdict"])
+
+    return keys.repartition(4).mapInPandas(run, "k long, verdict string")
+
+
+def q_validation_verdicts_oracle() -> str:
+    return """
+    SELECT o_orderkey AS k,
+      CASE o_orderkey % 6
+        WHEN 0 THEN 'ok'
+        WHEN 1 THEN 'degenerate_edge'
+        WHEN 2 THEN 'self_intersection'
+        WHEN 3 THEN 'duplicate_edge'
+        WHEN 4 THEN 'vertex_crossing'
+        ELSE 'orientation'
+      END AS verdict
+    FROM orders WHERE o_orderkey < 180
+    """
+
+
 # ===========================================================================
 # Registry — EXACTLY 50 entries. The driver records at most 50 CORRECTNESS
 # rows; tests/test_queries_oracle.py pins len(all_queries()) <= 50 so the
@@ -2912,6 +3052,8 @@ def all_queries():
         "union_intersection_membership": q_union_intersection_membership,
         "relational_suite": q_relational_suite,
         "lax_layers": q_lax_layers,
+        "cell_index_contents": q_cell_index_contents,
+        "validation_verdicts": q_validation_verdicts,
     }
 
 
@@ -2965,6 +3107,8 @@ def all_oracles():
         "union_intersection_membership": q_union_intersection_membership_oracle(),
         "relational_suite": q_relational_suite_oracle(),
         "lax_layers": q_lax_layers_oracle(),
+        "cell_index_contents": q_cell_index_contents_oracle(),
+        "validation_verdicts": q_validation_verdicts_oracle(),
     }
 
 

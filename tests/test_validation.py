@@ -48,3 +48,32 @@ def test_polygon_cross_loop():
     assert "crosses" in val.find_polygon_validation_error([a, b])
     hole = _v([(3.0, 3.0), (3.0, 7.0), (7.0, 7.0), (7.0, 3.0)])  # nested: fine
     assert val.find_polygon_validation_error([a, hole]) is None
+
+
+def test_valid_query_tiers():
+    """S2ValidQuery tier stack (S2ValidationQueries.java:325): duplicate
+    edges, shared-vertex wedge crossings, and chain orientation."""
+    lat0, lng0 = 5.0, 20.0
+
+    def quad(la, lo, h=6.0):
+        return _v([(la, lo), (la, lo + h), (la + h, lo + h), (la + h, lo)])
+
+    assert val.find_valid_query_error([quad(lat0, lng0)]) is None
+    # reverse-duplicate edge across loops (two quads sharing a full edge)
+    err = val.find_valid_query_error([quad(lat0, lng0), quad(lat0, lng0 + 6)])
+    assert err[0] == "duplicate_edge"
+    # shared-vertex wedge crossing: chain passes through a lens's pinch
+    a, b = (lat0, lng0), (lat0 + 10, lng0)
+    l1 = _v([a, (lat0 + 5, lng0 + 3), b, (lat0 + 5, lng0 + 8)])
+    l2 = _v([a, (lat0 + 5, lng0 + 5), b, (lat0 + 5, lng0 - 8)])
+    assert val.find_valid_query_error([l1, l2])[0] == "vertex_crossing"
+    # CCW hole inside CCW shell -> orientation; CW hole -> valid
+    shell = quad(lat0, lng0, 10.0)
+    ccw_hole = _v([(lat0 + 2, lng0 + 2), (lat0 + 2, lng0 + 8),
+                   (lat0 + 8, lng0 + 8), (lat0 + 8, lng0 + 2)])
+    cw_hole = ccw_hole[::-1].copy()
+    assert val.find_valid_query_error([shell, ccw_hole])[0] == "orientation"
+    assert val.find_valid_query_error([shell, cw_hole]) is None
+    # vertex TOUCH without interleaving stays valid
+    touch = _v([(lat0, lng0), (lat0 - 6, lng0 - 6), (lat0 - 6, lng0)])
+    assert val.find_valid_query_error([quad(lat0, lng0), touch]) is None
