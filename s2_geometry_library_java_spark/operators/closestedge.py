@@ -165,6 +165,36 @@ def closest_edges(
     fallback_level_step: int = 3,
     max_rounds: int = 3,
     covering_seed: bool | str = False,
+    max_chord2: float | None = None,
+    distance_cap: str = "inclusive",
+) -> DataFrame:
+    """Top-k nearest indexed edges per query, with S2ClosestEdgeQuery's
+    maxDistance options: ``distance_cap='inclusive'`` keeps edges AT the
+    cap; 'conservative' pads by the max point-to-edge FP error
+    (S2EdgeUtil.getUpdateMinDistanceMaxError) so true-within-cap edges
+    are never dropped. Applied as an exact-top-k post-filter (sound:
+    capping after ranking equals ranking the capped set)."""
+    from .knn import effective_max_chord2
+
+    res = _closest_edges_impl(
+        index, queries, k, level, query_id, lat, lng,
+        fallback_level_step, max_rounds, covering_seed,
+    )
+    eff = effective_max_chord2(max_chord2, distance_cap, edges=True)
+    return res if eff is None else res.where(F.col("chord2") <= F.lit(eff))
+
+
+def _closest_edges_impl(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    level: int = 8,
+    query_id: str = "query_id",
+    lat: str = "lat",
+    lng: str = "lng",
+    fallback_level_step: int = 3,
+    max_rounds: int = 3,
+    covering_seed: bool | str = False,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k nearest indexed
     edges per query. ``index`` is shape_index_df output built with

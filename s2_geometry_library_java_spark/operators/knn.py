@@ -58,13 +58,17 @@ def knn_bruteforce(
     lat: str = "lat",
     lng: str = "lng",
     max_chord2: float | None = None,
+    distance_cap: str = "inclusive",
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, chord2) exact k nearest.
 
-    ``max_chord2`` adds the reference's inclusive maxDistance option
-    (S2ClosestPointQuery.Options.setMaxDistance): neighbors beyond the
-    cap are dropped BEFORE ranking, so queries may return fewer than k
-    rows."""
+    ``max_chord2`` adds the reference's maxDistance option
+    (S2ClosestPointQuery.Options): neighbors beyond the cap are dropped
+    BEFORE ranking, so queries may return fewer than k rows.
+    ``distance_cap='conservative'`` pads the cap by the max FP error
+    (setConservativeMaxDistance) so true-within-cap points are never
+    under-reported."""
+    max_chord2 = effective_max_chord2(max_chord2, distance_cap)
     q = F.broadcast(
         _with_xyz(queries, lat, lng, "q").select(
             F.col(query_id).alias("query_id"), "qx", "qy", "qz"
@@ -120,6 +124,29 @@ def _capped(df: DataFrame | None, max_chord2: float | None):
     return df.where(F.col("chord2") <= F.lit(float(max_chord2)))
 
 
+def effective_max_chord2(
+    max_chord2: float | None, distance_cap: str = "inclusive",
+    edges: bool = False,
+) -> float | None:
+    """Resolve a maxDistance option to the squared-chord filter value.
+
+    'inclusive' = setInclusiveMaxDistance (points AT the cap returned);
+    'conservative' = setConservativeMaxDistance
+    (S2ClosestPointQuery.java:174-186): the cap is padded by the maximum
+    floating-point distance error, so no point (edge, with
+    ``edges=True``) whose TRUE distance is within the cap can be
+    under-reported — callers then refine with exact predicates."""
+    from ..kernel import sphere
+
+    if max_chord2 is None:
+        return None
+    if distance_cap == "inclusive":
+        return float(max_chord2)
+    if distance_cap == "conservative":
+        return sphere.conservative_max_chord2(float(max_chord2), edges=edges)
+    raise ValueError(f"unknown distance_cap: {distance_cap!r}")
+
+
 def filter_neighbors_in_region(results: DataFrame, index: DataFrame, region,
                                index_id: str = "id", lat: str = "lat",
                                lng: str = "lng") -> DataFrame:
@@ -169,6 +196,7 @@ def knn_cell_join(
     density_hist: list[tuple[int, int]] | None = None,
     hist_level: int | None = None,
     max_chord2: float | None = None,
+    distance_cap: str = "inclusive",
 ) -> DataFrame:
     """Scale-path kNN via cell-ring equi-joins with completeness proof.
 
@@ -189,6 +217,7 @@ def knn_cell_join(
     from ..functions import columns as cc
     from ..localdf import local_df
 
+    max_chord2 = effective_max_chord2(max_chord2, distance_cap)
     idx = _with_xyz(index, lat, lng, "i").select(
         F.col(index_id).alias("neighbor_id"), "ix", "iy", "iz",
         udfs.cell_id_from_latlng_deg(F.col(lat), F.col(lng), 30).alias("leaf"),

@@ -573,3 +573,54 @@ def test_knn_region_filter(spark):
     kept = knn.filter_neighbors_in_region(res, idx, cap).collect()
     ids = sorted(r["neighbor_id"] for r in kept)
     assert ids == [0, 1, 3]  # the faraway point 2 is filtered out
+
+
+def test_density_interpolation_splits_hot_metro(spark):
+    """Round-4 verdict #4 'done' criterion: a single cell heavier than a
+    whole target partition is split FRACTIONALLY along its Hilbert range
+    (S2DensityClusterQuery.CellInterpolator semantics) — max partition
+    weight <= 1.5x target on a one-hot-metro fixture."""
+    from s2_geometry_library_java_spark.functions import udfs
+
+    n, n_parts = 4000, 8
+    # 90% of rows in one ~level-8 metro cell, 10% spread widely
+    pts = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9,
+               F.lit(33.0) + (F.col("id") % 97) / 2000.0)
+        .otherwise(-40.0 + (F.col("id") % 80)).alias("lat"),
+        F.when(F.col("id") % 10 < 9,
+               F.lit(-112.0) + (F.col("id") % 89) / 2000.0)
+        .otherwise(-170.0 + (F.col("id") % 340)).alias("lng"),
+    ).withColumn("leaf", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 30))
+    out = density.repartition_by_hilbert_range(
+        pts, "leaf", n_parts, histogram_level=8
+    )
+    sizes = (
+        out.groupBy(F.spark_partition_id().alias("p")).count().toPandas()["count"]
+    )
+    assert out.count() == n
+    target = n / n_parts
+    assert sizes.max() <= 1.5 * target, f"max {sizes.max()} vs target {target}"
+    # the metro cell was genuinely split across several partitions
+    assert len(sizes) >= n_parts - 1
+
+
+def test_equal_weight_boundaries_interpolates_within_cell():
+    from s2_geometry_library_java_spark.kernel import cellid as ci
+
+    cell = int(ci.parent(ci.latlng_degrees_to_cell_id(33.0, -112.0), 8))
+    light = [
+        (int(ci.parent(ci.latlng_degrees_to_cell_id(float(la), 60.0), 8)), 1)
+        for la in range(-30, -10, 2)
+    ]
+    boundaries = density.equal_weight_boundaries(light + [(cell, 1000)], 5)
+    assert len(boundaries) == 4
+    # the heavy cell's leaf range must contain several boundaries
+    b = int(cell) ^ (1 << 63)  # biased order (cell is a uint64 value)
+    lsb = b & -b
+    rmin, rmax = b - (lsb - 1), b + (lsb - 1)
+    inside = [x for x in boundaries if rmin <= x <= rmax]
+    assert len(inside) >= 3, (boundaries, rmin, rmax)
+    # boundaries strictly increasing
+    assert boundaries == sorted(set(boundaries))
