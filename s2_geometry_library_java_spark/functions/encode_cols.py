@@ -81,24 +81,58 @@ def ij_col(s: Column) -> Column:
 
 
 def cell_id_from_face_ij_cols(face: Column, i: Column, j: Column) -> Column:
-    """fromFaceIJ (S2CellId.java:1206-1240) as 8 chained lookup gathers."""
-    bits = face.bitwiseAND(F.lit(1)).cast("long")
-    pos = F.lit(0).cast("long")
-    for k in range(7, -1, -1):
+    """fromFaceIJ (S2CellId.java:1206-1240) as an ``aggregate`` fold over
+    the 8 lookup steps.
+
+    The naive chained form (step k's ``bits`` substituted into step k-1
+    TWICE, once via ``idx`` and once via the next ``bits``) duplicates the
+    upstream tree ~2^8 times — a plan Catalyst needs ~15 s just to
+    analyze. The fold keeps ONE copy of the lambda in the plan and carries
+    ``i``/``j`` in the accumulator so caller expressions are evaluated
+    once per row, not once per step."""
+    lut = F.lit(_LUT)
+
+    def step(acc, k):
+        shift = (k * 4).cast("int")
         idx = (
-            bits
-            + F.shiftleft(F.shiftrightunsigned(i, 4 * k).bitwiseAND(F.lit(15)), 6)
-            + F.shiftleft(F.shiftrightunsigned(j, 4 * k).bitwiseAND(F.lit(15)), 2)
+            acc["bits"]
+            + F.shiftleft(
+                F.call_function("shiftrightunsigned", acc["i"], shift).bitwiseAND(
+                    F.lit(15)
+                ),
+                6,
+            )
+            + F.shiftleft(
+                F.call_function("shiftrightunsigned", acc["j"], shift).bitwiseAND(
+                    F.lit(15)
+                ),
+                2,
+            )
         )
-        val = _lut_gather(idx).cast("long")
+        val = F.element_at(lut, (idx + 1).cast("int")).cast("long")
         chunk = F.shiftrightunsigned(val, 2)
-        if k == 7:  # only 4 meaningful bits at the top step
-            chunk = chunk.bitwiseAND(F.lit(15))
-        pos = pos.bitwiseOR(F.shiftleft(chunk, 8 * k))
-        bits = val.bitwiseAND(F.lit(3))
+        # only 4 meaningful bits at the top step (30 = 7*4 + 2 levels)
+        chunk = F.when(k == 7, chunk.bitwiseAND(F.lit(15))).otherwise(chunk)
+        new_pos = acc["pos"].bitwiseOR(
+            F.call_function("shiftleft", chunk, (k * 8).cast("int"))
+        )
+        return F.struct(
+            val.bitwiseAND(F.lit(3)).alias("bits"),
+            new_pos.alias("pos"),
+            acc["i"].alias("i"),
+            acc["j"].alias("j"),
+        )
+
+    init = F.struct(
+        face.bitwiseAND(F.lit(1)).cast("long").alias("bits"),
+        F.lit(0).cast("long").alias("pos"),
+        i.cast("long").alias("i"),
+        j.cast("long").alias("j"),
+    )
+    folded = F.aggregate(F.sequence(F.lit(7), F.lit(0), F.lit(-1)), init, step)
     return (
         F.shiftleft(face.cast("long"), POS_BITS)
-        + F.shiftleft(pos, 1)
+        + F.shiftleft(folded["pos"], 1)
         + F.lit(1).cast("long")
     )
 
@@ -139,47 +173,10 @@ def with_cell_id(
         {"_i": ij_col(st_col(F.col("_u"))), "_j": ij_col(st_col(F.col("_v")))}
     )
 
-    lut = F.lit(_LUT)
-
-    def step(acc, k):
-        # k counts 7..0; acc = struct(bits, pos)
-        shift = (k * 4).cast("int")
-        idx = (
-            acc["bits"]
-            + F.shiftleft(
-                F.call_function("shiftrightunsigned", F.col("_i"), shift).bitwiseAND(
-                    F.lit(15)
-                ),
-                6,
-            )
-            + F.shiftleft(
-                F.call_function("shiftrightunsigned", F.col("_j"), shift).bitwiseAND(
-                    F.lit(15)
-                ),
-                2,
-            )
-        )
-        val = F.element_at(lut, (idx + 1).cast("int")).cast("long")
-        chunk = F.shiftrightunsigned(val, 2)
-        chunk = F.when(k == 7, chunk.bitwiseAND(F.lit(15))).otherwise(chunk)
-        new_pos = acc["pos"].bitwiseOR(
-            F.call_function("shiftleft", chunk, (k * 8).cast("int"))
-        )
-        return F.struct(
-            val.bitwiseAND(F.lit(3)).alias("bits"), new_pos.alias("pos")
-        )
-
-    init = F.struct(
-        F.col("_face").bitwiseAND(F.lit(1)).cast("long").alias("bits"),
-        F.lit(0).cast("long").alias("pos"),
+    s = s.withColumn(
+        out,
+        cell_id_from_face_ij_cols(F.col("_face"), F.col("_i"), F.col("_j")),
     )
-    hilbert = F.aggregate(F.sequence(F.lit(7), F.lit(0), F.lit(-1)), init, step)
-    leaf = (
-        F.shiftleft(F.col("_face").cast("long"), POS_BITS)
-        + F.shiftleft(hilbert["pos"], 1)
-        + F.lit(1).cast("long")
-    )
-    s = s.withColumn(out, leaf)
     if level < 30:
         from . import columns as cc
 
