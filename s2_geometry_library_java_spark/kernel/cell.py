@@ -16,6 +16,19 @@ import numpy as np
 from . import cellid as ci
 
 
+#: outward face normals, row = face (S2Projections.faceUvToXyz(face,0,0))
+_FACE_NORMS = np.array(
+    [
+        (1.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0),
+        (0.0, 0.0, 1.0),
+        (-1.0, 0.0, 0.0),
+        (0.0, -1.0, 0.0),
+        (0.0, 0.0, -1.0),
+    ]
+)
+
+
 def _get_u_norm(face: int, u: float) -> np.ndarray:
     return np.array(
         [
@@ -231,3 +244,105 @@ class Cell:
         x, y, z = ci.face_uv_to_xyz(np.full(len(ss), self.face), u, v)
         p = np.stack([x, y, z], axis=1)
         return p / np.sqrt((p * p).sum(axis=1, keepdims=True))
+
+
+# ---------------------------------------------------------------------------
+# Batched cells x points kernels (A19 across many cells at once).
+#
+# The aligned forms take one cell id PER POINT ROW and compute every
+# elementwise formula identically to the scalar Cell methods above, so
+# results are bit-equal (pinned by tests/test_cell_batch.py). Used by the
+# covering-seed pruning paths, where a pandas batch carries thousands of
+# (covering_cell, query_point) rows spanning many distinct cells.
+# ---------------------------------------------------------------------------
+
+
+def _as_u64_ids(cell_ids) -> np.ndarray:
+    arr = np.asarray(cell_ids)
+    if arr.dtype != np.uint64:
+        arr = arr.astype(np.int64).view(np.uint64)
+    return arr
+
+
+def cells_geometry(unique_ids: np.ndarray):
+    """Vectorized (face, uv_bounds (n,4), vertices (n,4,3)) for a batch of
+    distinct cell ids — S2Cell.init across rows (S2Cell.java:93-140)."""
+    cids = _as_u64_ids(unique_ids)
+    face, i, j, _ = ci.to_face_ij_orientation(cids)
+    lev = np.asarray(ci.level(cids), dtype=np.int64)
+    size = np.int64(1) << (ci.MAX_LEVEL - lev)
+    i_lo = i & -size
+    j_lo = j & -size
+    u_lo = ci.st_to_uv(ci.ij_to_st_min(i_lo))
+    u_hi = ci.st_to_uv(ci.ij_to_st_min(i_lo + size))
+    v_lo = ci.st_to_uv(ci.ij_to_st_min(j_lo))
+    v_hi = ci.st_to_uv(ci.ij_to_st_min(j_lo + size))
+    uvb = np.stack([u_lo, u_hi, v_lo, v_hi], axis=1)
+    # vertex order SW,SE,NE,NW as in Cell.vertices
+    us = np.stack([u_lo, u_hi, u_hi, u_lo], axis=1)
+    vs = np.stack([v_lo, v_lo, v_hi, v_hi], axis=1)
+    f4 = np.repeat(np.asarray(face, dtype=np.int64), 4)
+    x, y, z = ci.face_uv_to_xyz(f4, us.ravel(), vs.ravel())
+    verts = np.stack([x, y, z], axis=1).reshape(-1, 4, 3)
+    verts = verts / np.sqrt((verts * verts).sum(axis=2, keepdims=True))
+    return np.asarray(face, dtype=np.int64), uvb, verts
+
+
+def _aligned_geometry(cell_ids):
+    """Per-row geometry gathered from the unique-cell vectorized pass."""
+    cids = _as_u64_ids(cell_ids)
+    uniq, inv = np.unique(cids, return_inverse=True)
+    face, uvb, verts = cells_geometry(uniq)
+    return face[inv], uvb[inv], verts[inv]
+
+
+def cells_contain_points(face: np.ndarray, uvb: np.ndarray,
+                         pts: np.ndarray) -> np.ndarray:
+    """Aligned S2Cell.contains (same formulas as Cell.contains_point):
+    row k tests pts[k] against the cell geometry in row k."""
+    hemi = (pts * _FACE_NORMS[face]).sum(axis=1) > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u, v = ci.face_xyz_to_uv(face, pts[:, 0], pts[:, 1], pts[:, 2])
+        inside = (
+            (uvb[:, 0] <= u) & (u <= uvb[:, 1])
+            & (uvb[:, 2] <= v) & (v <= uvb[:, 3])
+        )
+    return hemi & inside
+
+
+def cells_distance_chord2(cell_ids, points: np.ndarray) -> np.ndarray:
+    """Aligned batch of Cell.distance_chord2: row k is the min squared-
+    chord distance from points[k] to cell cell_ids[k] (0 when inside)."""
+    from . import edges as ek
+
+    pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    face, uvb, verts = _aligned_geometry(cell_ids)
+    va = verts
+    vb = np.roll(verts, -1, axis=1)
+    c = ek.robust_cross_prod(va.reshape(-1, 3), vb.reshape(-1, 3)).reshape(va.shape)
+    d = ek.min_chord2_to_edges(pts[:, None, :], va, vb, c).min(axis=1)
+    inside = cells_contain_points(face, uvb, pts)
+    return np.where(inside, 0.0, d)
+
+
+def cells_max_distance_chord2(cell_ids, points: np.ndarray) -> np.ndarray:
+    """Aligned batch of Cell.max_distance_chord2 (antipode trick)."""
+    from . import sphere
+
+    pts = np.atleast_2d(np.asarray(points, dtype=np.float64))
+    _, _, verts = _aligned_geometry(cell_ids)
+    d = np.zeros(len(pts))
+    for k in range(4):
+        d = np.maximum(
+            d,
+            sphere.chord2_between(
+                pts[:, 0], pts[:, 1], pts[:, 2],
+                verts[:, k, 0], verts[:, k, 1], verts[:, k, 2],
+            ),
+        )
+    far = d > 2.0
+    if np.any(far):
+        dmin = cells_distance_chord2(_as_u64_ids(cell_ids)[far], -pts[far])
+        ang = np.pi - sphere.angle_from_chord2(dmin)
+        d[far] = np.maximum(d[far], sphere.chord2_from_angle(ang))
+    return np.minimum(d, 4.0)

@@ -363,24 +363,16 @@ def _cell_bounds_udf(which: str):
     @_pandas_udf("double")
     def f(cell_id: _pd.Series, px: _pd.Series, py: _pd.Series,
           pz: _pd.Series) -> _pd.Series:
-        from ..kernel.cell import Cell
+        from ..kernel.cell import cells_distance_chord2, cells_max_distance_chord2
 
-        out = np.empty(len(cell_id), dtype=np.float64)
-        x = px.to_numpy(np.float64)
-        y = py.to_numpy(np.float64)
-        z = pz.to_numpy(np.float64)
-        pts = np.stack([x, y, z], axis=1)
+        pts = np.stack(
+            [px.to_numpy(np.float64), py.to_numpy(np.float64),
+             pz.to_numpy(np.float64)],
+            axis=1,
+        )
         cids = cell_id.to_numpy(np.int64)
-        for cid in np.unique(cids):
-            m = cids == cid
-            cell = Cell(int(np.uint64(np.int64(cid))))
-            vals = (
-                cell.distance_chord2(pts[m])
-                if which == "min"
-                else cell.max_distance_chord2(pts[m])
-            )
-            out[m] = vals
-        return _pd.Series(out)
+        fn = cells_distance_chord2 if which == "min" else cells_max_distance_chord2
+        return _pd.Series(fn(cids, pts))
 
     return f
 
