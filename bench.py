@@ -37,8 +37,7 @@ HEADLINE = [
     "minhash_signatures",
     "simhash",
     "ann_topk",
-    "ann_lsh_pairs",
-    "lsh_buckets",
+    "ann_lsh",
     "doc_stats",
     "pricing_summary",
     "nation_revenue",

@@ -185,3 +185,109 @@ def ngram_jaccard_pairs(
         )
         .select("a", "b", "common", (F.col("na") + F.col("nb") - F.col("common")).alias("union_sz"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering: connected components over candidate pairs.
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in ``edges``; component = min node id
+    reachable — the canonical duplicate-cluster representative.
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round is
+    two groupBy-min shuffles over the current edge set and converges in
+    O(log n) rounds regardless of component diameter — the 100-TB shape.
+    A plain label-propagation loop needs O(diameter) rounds (a 1M-doc
+    duplicate chain would need 1M shuffles); star contraction collapses
+    giant components without ever serializing one through a single task.
+    No driver-side state: the edge set stays distributed, monotonically
+    contracting toward stars; ``localCheckpoint`` truncates the iterative
+    lineage so the Catalyst plan doesn't double per round.
+
+    Convergence is detected exactly (count + exceptAll emptiness), not by
+    hash. Raises after ``max_iter`` rounds — 25 covers n ~ 2^25 splits.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def both(df: DataFrame) -> DataFrame:
+        return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def large_star(df: DataFrame) -> DataFrame:
+        nb = both(df)
+        mins = nb.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            nb.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient each edge toward its larger endpoint: rows (u, v<=u)
+        nb = both(df).where(F.col("v") < F.col("u"))
+        mins = nb.groupBy("u").agg(F.min("v").alias("m"))
+        joined = nb.join(mins, "u")
+        return (
+            joined.select(F.col("v").alias("n"), F.col("m"))
+            .union(joined.select(F.col("u").alias("n"), F.col("m")).distinct())
+            .where(F.col("n") != F.col("m"))
+            .select(
+                F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v")
+            )
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        nxt = small_star(large_star(e)).localCheckpoint()
+        if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
+            e = nxt
+            break
+        e = nxt
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # converged edges are stars (node > root) -> assignment = min neighbor
+    return (
+        both(e)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("id"), F.least("mn", F.col("u")).alias("component"))
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, component) for EVERY document: MinHash-LSH candidate pairs
+    contracted to duplicate clusters; docs with no candidate partner are
+    their own singleton component. The keep-one-per-component filter is
+    ``WHERE id = component``."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_hashes, band_rows, shingle_n)
+    comp = connected_components(pairs, "a", "b")
+    return (
+        df.select(_c(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )

@@ -2699,6 +2699,31 @@ def q_boolean_ops_oracle() -> str:
     """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-LSH merged: the banded multi-table candidate pairs (the
+    scale path) and the single-table bucket ids (the documented small-scale
+    form), tagged. Every value the two individual gates checked is still
+    value-hashed."""
+    pairs = q_ann_lsh_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("part"), F.col("a").alias("k"), F.col("b").alias("v")
+    )
+    buckets = q_lsh_buckets(spark, sf_dir).select(
+        F.lit("bucket").alias("part"),
+        F.col("vec_id").alias("k"),
+        F.col("bucket").alias("v"),
+    )
+    return pairs.unionByName(buckets)
+
+
+def q_ann_lsh_oracle() -> str:
+    return f"""
+    SELECT 'pair' AS part, a AS k, b AS v FROM ({q_ann_lsh_pairs_oracle()})
+    UNION ALL
+    SELECT 'bucket' AS part, vec_id AS k, bucket AS v
+    FROM ({q_lsh_buckets_oracle()})
+    """
+
+
 def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.I merged: the four plain relational gates (TPC-H Q1-style pricing
     summary, 4-way join nation revenue, event aggregation, window functions)
@@ -3043,12 +3068,12 @@ def all_queries():
         "doc_stats": q_doc_stats,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
-        "lsh_buckets": q_lsh_buckets,
+        "ann_lsh": q_ann_lsh,
         "span_invariant": q_span_invariant,
         "media_tiles": q_media_tiles,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "union_intersection_membership": q_union_intersection_membership,
         "relational_suite": q_relational_suite,
         "lax_layers": q_lax_layers,
@@ -3098,12 +3123,12 @@ def all_oracles():
         "doc_stats": q_doc_stats_oracle(),
         "ann_topk": q_ann_topk_oracle(),
         "ann_ivf": q_ann_ivf_oracle(),
-        "ann_lsh_pairs": q_ann_lsh_pairs_oracle(),
-        "lsh_buckets": q_lsh_buckets_oracle(),
+        "ann_lsh": q_ann_lsh_oracle(),
         "span_invariant": q_span_invariant_oracle(),
         "media_tiles": q_media_tiles_oracle(),
         "lsh_pairs": q_lsh_pairs_oracle(),
         "jaccard_pairs": q_jaccard_pairs_oracle(),
+        "dedup_clusters": q_dedup_clusters_oracle(),
         "union_intersection_membership": q_union_intersection_membership_oracle(),
         "relational_suite": q_relational_suite_oracle(),
         "lax_layers": q_lax_layers_oracle(),
@@ -3166,6 +3191,38 @@ def q_lsh_pairs_oracle() -> str:
     bands AS ({bands})
     SELECT DISTINCT l.id AS a, r.id AS b
     FROM bands l JOIN bands r ON l.band = r.band AND l.id < r.id
+    """
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: the MinHash-LSH candidate pairs contracted
+    to duplicate clusters by alternating large-star/small-star connected
+    components (O(log n) shuffle rounds — the 100-TB dedup shape); every
+    doc, including singletons, is assigned its min-reachable-id component.
+    Keep-one-per-cluster is ``WHERE doc_id = component``."""
+    return dedup.near_dup_clusters(
+        _docs_with_near_dups(spark, sf_dir), "doc_id", "text",
+        n_hashes=8, band_rows=2,
+    ).select(F.col("id").alias("doc_id"), "component")
+
+
+def q_dedup_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure: component = MIN(id) reachable over
+    the (symmetric) candidate-pair edges — the same representative rule the
+    star contraction computes."""
+    return f"""
+    WITH RECURSIVE pairs AS ({q_lsh_pairs_oracle()}),
+    {_DOCS_DUP_SQL},
+    edges AS (SELECT a AS s, b AS d FROM pairs
+              UNION SELECT b AS s, a AS d FROM pairs),
+    walk(id, comp) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.s, w.comp FROM edges e JOIN walk w ON w.id = e.d
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
+    SELECT dd.doc_id, COALESCE(c.component, dd.doc_id) AS component
+    FROM docs_dup dd LEFT JOIN comp c ON c.id = dd.doc_id
     """
 
 

@@ -1,0 +1,99 @@
+"""connected_components (alternating large-star/small-star) vs a
+driver-side union-find oracle, plus the near_dup_clusters end-to-end
+shape (every doc assigned, component = min reachable id)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from s2_geometry_library_java_spark.operators.dedup import (
+    connected_components,
+    near_dup_clusters,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per node
+    comp = {}
+    for x in list(parent):
+        root = find(x)
+        comp.setdefault(root, root)
+        comp[x] = root
+    # roots may not be the min id under naive union-find ordering unless we
+    # always attach larger root under smaller (done above), so find(x) IS
+    # the min reachable id.
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, pairs):
+    edges = spark.createDataFrame(pairs, "a: long, b: long")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    want = set(_union_find(pairs).items())
+    assert got == want
+
+
+def test_chain(spark):
+    # a long path: worst case for label propagation, O(log n) for stars
+    _check(spark, [(i, i + 1) for i in range(60)])
+
+
+def test_clique_and_singleton_edges(spark):
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(100, 101), (200, 201), (300, 301)]
+    _check(spark, pairs)
+
+
+def test_random_graphs(spark):
+    rng = random.Random(123455)
+    for _ in range(3):
+        n = 120
+        pairs = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(90)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        _check(spark, pairs)
+
+
+def test_reversed_and_duplicate_edges(spark):
+    _check(spark, [(5, 1), (1, 5), (5, 1), (9, 5), (2, 9), (7, 3)])
+
+
+def test_near_dup_clusters_assigns_every_doc(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    d = docs.unionByName(twins)
+    out = near_dup_clusters(d, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) == d.count()  # every doc assigned exactly once
+    comp = {r["id"]: r["component"] for r in rows}
+    # component representative is a member of the component and is minimal
+    by_comp = {}
+    for i, c in comp.items():
+        assert c <= i
+        by_comp.setdefault(c, []).append(i)
+    for c, members in by_comp.items():
+        assert c == min(members)
