@@ -48,6 +48,8 @@ HEADLINE = [
     # round 4 additions
     "furthest_edge",
     "ann_ivf",
+    # round 5 additions
+    "dedup_clusters",
 ]
 
 

@@ -94,6 +94,50 @@ def test_multimodal_features(spark):
         multimodal.extract_features(media).limit(1).toPandas()
 
 
+def test_multimodal_resize(spark):
+    docs = docsrc.with_spans(tables.load_table(spark, SF_DIR, "documents"))
+    media = multimodal.synthesize_media_assets(docsrc.exploded_spans(docs))
+    small = multimodal.resize_media(
+        media, 16, 16, resizer=multimodal.deterministic_fake_resizer
+    )
+    pdf = small.limit(20).toPandas()
+    assert len(pdf) == 20
+    assert (pdf["width"] == 16).all() and (pdf["height"] == 16).all()
+    # 32x32 -> 16x16 quarters the payload (fake resizer scales by pixels)
+    assert all(len(p) == 8 for p in pdf["payload"])
+    # deterministic: same input -> same bytes
+    pdf2 = small.limit(20).toPandas()
+    assert list(pdf["payload"]) == list(pdf2["payload"])
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|image resize"):
+        multimodal.resize_media(media, 16, 16).limit(1).toPandas()
+
+
+def test_multimodal_frame_sampling(spark):
+    from pyspark.sql import functions as F
+
+    docs = docsrc.with_spans(tables.load_table(spark, SF_DIR, "documents"))
+    media = multimodal.synthesize_media_assets(docsrc.exploded_spans(docs))
+    videos = media.limit(10).withColumn("kind", F.lit("video")).withColumn(
+        "duration_ms", (F.length("media_ref") * 700).cast("int")
+    )
+    frames = multimodal.sample_frames(
+        videos, every_ms=1000, max_frames=4,
+        extractor=multimodal.deterministic_fake_frame_extractor,
+    )
+    pdf = frames.toPandas()
+    vids = videos.select("media_ref", "duration_ms").toPandas()
+    want = int(sum(min(d // 1000, 4) for d in vids["duration_ms"]))
+    assert len(pdf) == want
+    assert (pdf["t_ms"] == pdf["frame_no"] * 1000).all()
+    assert all(len(p) == 16 for p in pdf["payload"])
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|frame extraction"):
+        multimodal.sample_frames(videos).toPandas()
+
+
 def test_simple_covering_flood_fill():
     from s2_geometry_library_java_spark.kernel import cellid as ci
     from s2_geometry_library_java_spark.kernel import coverer as cv
