@@ -75,6 +75,40 @@ def test_reversed_and_duplicate_edges(spark):
     _check(spark, [(5, 1), (1, 5), (5, 1), (9, 5), (2, 9), (7, 3)])
 
 
+def test_embedding_cosine_near_dup_clusters(spark):
+    """Embedding-cosine near-dup DEDUP: banded hyperplane LSH pairs +
+    exact cosine refine, contracted to clusters by connected components —
+    each perturbed twin must land in its original's component."""
+    from s2_geometry_library_java_spark.operators.similarity import lsh_banded_pairs
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(150)
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(0.0)
+        ).alias("embedding"),
+    )
+    d = emb.unionByName(twins)
+    pairs = lsh_banded_pairs(
+        d, "vec_id", "embedding", n_tables=4, planes_per_table=16, dim=64,
+        min_cosine=0.9,
+    )
+    comp = connected_components(pairs, "a", "b")
+    lookup = {r["id"]: r["component"] for r in comp.collect()}
+    n = emb.count()
+    linked = sum(
+        1 for vid in range(n)
+        if vid in lookup and lookup.get(vid) == lookup.get(vid + 1000000)
+    )
+    # banded LSH is approximate: >= 90% of twins must cluster with their
+    # original (matches the banded-recall bound test_similarity_banded pins)
+    assert linked >= 0.9 * n, f"{linked}/{n} twins clustered"
+
+
 def test_near_dup_clusters_assigns_every_doc(spark):
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
