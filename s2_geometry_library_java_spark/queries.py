@@ -182,14 +182,24 @@ def q_composite_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_composite_region_oracle() -> str:
+    # The rect leg MUST mirror the kernel's xyz -> latlng ROUNDTRIP
+    # (S2LatLngRect.contains(S2Point) converts the point back via atan2,
+    # kernel/cellid.xyz_to_latlng): testing the original degrees instead
+    # flips points sitting exactly on a rect boundary — atan2(y,x) of the
+    # projected point can differ from radians(lng) by one ulp (first seen
+    # at sf0.1: k=4000 lies exactly on lng=20.0).
     cx, cy, cz = _CAP.center
+    r2 = _RECT2
     return f"""
     WITH ll AS ({_latlng_sql('customer', 'c_custkey')}),
     p AS (SELECT k, lat, lng, {_XYZ_SQL} FROM ll)
     SELECT k FROM p
     WHERE least(4.0, (x-({cx!r}))*(x-({cx!r})) + (y-({cy!r}))*(y-({cy!r}))
         + (z-({cz!r}))*(z-({cz!r}))) <= {_CAP.radius2!r}
-      AND lat >= 10.0 AND lat <= 50.0 AND lng >= 20.0 AND lng <= 60.0
+      AND atan2(z, sqrt(x*x + y*y)) >= {float(r2.lat_lo)!r}
+      AND atan2(z, sqrt(x*x + y*y)) <= {float(r2.lat_hi)!r}
+      AND atan2(y, x) >= {float(r2.lng_lo)!r}
+      AND atan2(y, x) <= {float(r2.lng_hi)!r}
     """
 
 
@@ -281,11 +291,25 @@ def q_cell_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pts.select(
         cc.parent(udfs.cell_id_from_face_ij("face", "i", "j"), lvl).alias("cell_id")
     )
+    # The per-face leaf total reaches ~rows x 4^27 — past int64 at sf0.1
+    # (and trivially at 100 TB). Sum in TWO 64-bit limbs split at bit 31
+    # (exact, order-independent, overflow-free to ~4e9 rows/face; beyond
+    # that the same carry step composes per partial aggregate):
+    # total = leaves_hi * 2^31 + leaves_lo.
+    lv = cc.leaf_cells_covered("cell_id")
+    mask31 = F.lit(2147483647)
     return (
         enc.groupBy(cc.face("cell_id").alias("face"))
         .agg(
             F.count("*").alias("n_cells"),
-            F.sum(cc.leaf_cells_covered("cell_id")).alias("leaves"),
+            F.sum(F.shiftright(lv, 31)).alias("hi_raw"),
+            F.sum(lv.bitwiseAND(mask31)).alias("lo_raw"),
+        )
+        .select(
+            "face",
+            "n_cells",
+            (F.col("hi_raw") + F.shiftright(F.col("lo_raw"), 31)).alias("leaves_hi"),
+            F.col("lo_raw").bitwiseAND(mask31).alias("leaves_lo"),
         )
     )
 
@@ -298,10 +322,18 @@ def q_cell_measures_oracle() -> str:
     )
     lvl = oracle.level_sql("cell_id")
     return f"""
-    SELECT CAST((cell_id >> 61) & 7 AS INTEGER) AS face,
-      COUNT(*) AS n_cells,
-      CAST(SUM(CAST(1 AS BIGINT) << (2 * (30 - {lvl}))) AS BIGINT) AS leaves
-    FROM ({leveled}) GROUP BY 1
+    SELECT face, n_cells,
+      CAST(hi_raw + (lo_raw >> 31) AS BIGINT) AS leaves_hi,
+      CAST(lo_raw & 2147483647 AS BIGINT) AS leaves_lo
+    FROM (
+      SELECT CAST((cell_id >> 61) & 7 AS INTEGER) AS face,
+        COUNT(*) AS n_cells,
+        CAST(SUM(lv >> 31) AS BIGINT) AS hi_raw,
+        CAST(SUM(lv & 2147483647) AS BIGINT) AS lo_raw
+      FROM (SELECT cell_id,
+              (CAST(1 AS BIGINT) << (2 * (30 - {lvl}))) AS lv
+            FROM ({leveled}))
+      GROUP BY 1)
     """
 
 
