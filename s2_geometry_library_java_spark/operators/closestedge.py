@@ -108,6 +108,7 @@ def furthest_edges(
     fallback_level_step: int = 3,
     max_rounds: int = 3,
     covering_seed: bool | str = "auto",
+    interiors: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k FURTHEST indexed
     edges per query (S2FurthestEdgeQuery over S2BestEdgesQueryBase) via
@@ -115,7 +116,18 @@ def furthest_edges(
     min angle from -p, i.e. chord2_far = 4 - chord2_near(-p). The whole
     search therefore reuses closest_edges on the negated query points —
     same ring pruning, same completeness proof — and only the output
-    distance is transformed."""
+    distance is transformed.
+
+    ``interiors``: optional shapes table (shape_id, text) enabling
+    Options.includeInteriors (S2BestEdgesQueryBase.java:399,410 — default
+    TRUE in the reference; opt-in here by passing the geometry). A shape
+    whose interior contains the ANTIPODE of the query point
+    (S2FurthestEdgeQuery.java:369-381 visitBestDistanceContainingShapes
+    over the antipodal connected-component point) contributes an interior
+    result at the maximum distance: (shape_id, edge_id=-1, chord2=4.0);
+    Result.isInterior() == edge_id < 0 (S2BestEdgesQueryBase.java:317,347).
+    Because this wrapper already negates the query points, the inner
+    closest_edges call tests containment of exactly those antipodes."""
     neg = queries.select(
         F.col(query_id).alias(query_id),
         (-F.col(lat)).alias("lat"),
@@ -144,6 +156,7 @@ def furthest_edges(
         # persisted index once — a cache warm-up the search needs anyway
         # — and turns the seed on above AUTO_COVERING_SEED_EDGES.
         covering_seed=covering_seed,
+        interiors=interiors,
     )
     return near.select(
         "query_id",
@@ -167,19 +180,62 @@ def closest_edges(
     covering_seed: bool | str = False,
     max_chord2: float | None = None,
     distance_cap: str = "inclusive",
+    interiors: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k nearest indexed edges per query, with S2ClosestEdgeQuery's
     maxDistance options: ``distance_cap='inclusive'`` keeps edges AT the
     cap; 'conservative' pads by the max point-to-edge FP error
     (S2EdgeUtil.getUpdateMinDistanceMaxError) so true-within-cap edges
     are never dropped. Applied as an exact-top-k post-filter (sound:
-    capping after ranking equals ranking the capped set)."""
+    capping after ranking equals ranking the capped set).
+
+    ``interiors``: optional shapes table (shape_id, text) enabling
+    Options.includeInteriors (S2BestEdgesQueryBase.java:399,410 — the
+    reference DEFAULT; opt-in here because the DataFrame index carries
+    edges only, not parseable geometry). Each shape whose interior
+    contains the query point (S2ClosestEdgeQuery.java:479-484
+    visitBestDistanceContainingShapes over S2ContainsPointQuery)
+    contributes a Result at distance zero with edge_id = -1;
+    Result.isInterior() == edge_id < 0 (S2BestEdgesQueryBase.java:317,347).
+    Interior rows merge into the same top-k ranking — ordering by
+    (distance, shape_id, edge_id) matches the reference Result order, so
+    a containing shape's interior result outranks its boundary edges.
+    Scale shape: the containment test is the indexed PIP broadcast hash
+    join (operators/shapes.pip_join_indexed) — no per-query work beyond
+    the one extra union + re-rank."""
     from .knn import effective_max_chord2
 
     res = _closest_edges_impl(
         index, queries, k, level, query_id, lat, lng,
         fallback_level_step, max_rounds, covering_seed,
     )
+    if interiors is not None:
+        from . import shapes as shape_ops
+
+        contained = shape_ops.pip_join_indexed(
+            queries.sparkSession, queries, interiors,
+            point_id=query_id, lat=lat, lng=lng,
+        )
+        interior_rows = contained.select(
+            F.col("point_id").alias("query_id"),
+            F.col("polygon_id").alias("shape_id"),
+            F.lit(-1).cast("int").alias("edge_id"),
+            F.lit(0.0).alias("chord2"),
+        )
+        # Re-rank the union: the impl's per-query top-k plus interior
+        # zeros — sound because every edge row dropped by the impl ranked
+        # below k edge rows that ARE present, and interior rows only push
+        # rankings down further.
+        w = Window.partitionBy("query_id").orderBy(
+            F.asc("chord2"), F.asc("shape_id"), F.asc("edge_id")
+        )
+        res = (
+            res.select("query_id", "shape_id", "edge_id", "chord2")
+            .unionByName(interior_rows)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "shape_id", "edge_id", "chord2")
+        )
     eff = effective_max_chord2(max_chord2, distance_cap, edges=True)
     return res if eff is None else res.where(F.col("chord2") <= F.lit(eff))
 

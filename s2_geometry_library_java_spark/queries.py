@@ -756,24 +756,44 @@ def q_closest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # max_rounds=2: one retry tier stays exercised; with this fixture's
     # global query spread, far queries reach the (tiny-index) exact brute
-    # remnant after round 2 anyway, and a third ring round only adds jobs
+    # remnant after round 2 anyway, and a third ring round only adds jobs.
+    # interiors=shapes exercises Options.includeInteriors
+    # (S2BestEdgesQueryBase.java:399,410): contained queries rank an
+    # interior zero-distance result first (edge_id = -1 == isInterior).
     out = closestedge.closest_edges(
-        idx, supp, k=1, level=4, query_id="k", max_rounds=2
+        idx, supp, k=1, level=4, query_id="k", max_rounds=2, interiors=shapes
     )
-    return out.select(F.col("query_id").alias("k"), F.col("shape_id").alias("polygon_id"))
+    return out.select(
+        F.col("query_id").alias("k"),
+        F.col("shape_id").alias("polygon_id"),
+        (F.col("edge_id") < 0).alias("is_interior"),
+    )
 
 
 def q_closest_edge_oracle() -> str:
+    # Interior results mirror the kernel: a query strictly inside a convex
+    # quad (all boundary dets positive — same construction as the PIP
+    # oracle) ranks at distance 0.0 for that quad; fixture boundaries sit
+    # off the 0.01-degree synthetic grid so no point lies ON a boundary.
     dist_rows = " UNION ALL ".join(
         f"SELECT k, '{pid}' AS pid, ({expr}) AS dist FROM p"
         for pid, expr in _edge_distance_sql("x", "y", "z")
     )
     return f"""
     WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('supplier', 's_suppkey')})),
+    e(pid, ax, ay, az, bx, by, bz) AS (VALUES {_quad_edges_sql_values()}),
+    dets AS (SELECT p.k, e.pid,
+        (ax*(by*z - bz*y) + ay*(bz*x - bx*z) + az*(bx*y - by*x)) AS det
+        FROM p CROSS JOIN e),
+    inside AS (SELECT k, pid FROM dets GROUP BY k, pid HAVING bool_and(det > 0)),
     d AS ({dist_rows}),
-    ranked AS (SELECT k, pid,
-        row_number() OVER (PARTITION BY k ORDER BY dist, pid) AS rn FROM d)
-    SELECT k, pid AS polygon_id FROM ranked WHERE rn = 1
+    d2 AS (SELECT d.k, d.pid,
+        CASE WHEN i.pid IS NOT NULL THEN 0.0 ELSE d.dist END AS dist,
+        (i.pid IS NOT NULL) AS is_interior
+        FROM d LEFT JOIN inside i ON d.k = i.k AND d.pid = i.pid),
+    ranked AS (SELECT k, pid, is_interior,
+        row_number() OVER (PARTITION BY k ORDER BY dist, pid) AS rn FROM d2)
+    SELECT k, pid AS polygon_id, is_interior FROM ranked WHERE rn = 1
     """
 
 
@@ -795,27 +815,46 @@ def q_furthest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         geo.lat_col("s_suppkey").alias("lat"),
         geo.lng_col("s_suppkey").alias("lng"),
     )
+    # interiors=shapes: a quad containing the query's ANTIPODE yields a
+    # maximum-distance interior result (S2FurthestEdgeQuery.java:369-381)
     out = closestedge.furthest_edges(
-        idx, supp, k=1, level=4, query_id="k", max_rounds=2
+        idx, supp, k=1, level=4, query_id="k", max_rounds=2, interiors=shapes
     )
-    return out.select(F.col("query_id").alias("k"), F.col("shape_id").alias("polygon_id"))
+    return out.select(
+        F.col("query_id").alias("k"),
+        F.col("shape_id").alias("polygon_id"),
+        (F.col("edge_id") < 0).alias("is_interior"),
+    )
 
 
 def q_furthest_edge_oracle() -> str:
     """Antipode identity in SQL: max chord2 to an edge set = 4 - min
     chord2 from (-x,-y,-z), so the furthest polygon is the one with the
     smallest antipode min-distance (the same _edge_distance_sql kernel as
-    the closest_edge oracle, evaluated at the negated point)."""
+    the closest_edge oracle, evaluated at the negated point). Interior
+    results mirror furthest_edges: a quad strictly containing the antipode
+    (all dets positive at the negated point) ranks at antipode-distance
+    0.0 — i.e. the full sphere diameter."""
     dist_rows = " UNION ALL ".join(
         f"SELECT k, '{pid}' AS pid, ({expr}) AS dist FROM p"
         for pid, expr in _edge_distance_sql("(-x)", "(-y)", "(-z)")
     )
     return f"""
     WITH p AS (SELECT k, {_XYZ_SQL} FROM ({_latlng_sql('supplier', 's_suppkey')})),
+    e(pid, ax, ay, az, bx, by, bz) AS (VALUES {_quad_edges_sql_values()}),
+    dets AS (SELECT p.k, e.pid,
+        (ax*(by*(-z) - bz*(-y)) + ay*(bz*(-x) - bx*(-z))
+         + az*(bx*(-y) - by*(-x))) AS det
+        FROM p CROSS JOIN e),
+    inside AS (SELECT k, pid FROM dets GROUP BY k, pid HAVING bool_and(det > 0)),
     d AS ({dist_rows}),
-    ranked AS (SELECT k, pid,
-        row_number() OVER (PARTITION BY k ORDER BY dist, pid) AS rn FROM d)
-    SELECT k, pid AS polygon_id FROM ranked WHERE rn = 1
+    d2 AS (SELECT d.k, d.pid,
+        CASE WHEN i.pid IS NOT NULL THEN 0.0 ELSE d.dist END AS dist,
+        (i.pid IS NOT NULL) AS is_interior
+        FROM d LEFT JOIN inside i ON d.k = i.k AND d.pid = i.pid),
+    ranked AS (SELECT k, pid, is_interior,
+        row_number() OVER (PARTITION BY k ORDER BY dist, pid) AS rn FROM d2)
+    SELECT k, pid AS polygon_id, is_interior FROM ranked WHERE rn = 1
     """
 
 

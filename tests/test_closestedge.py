@@ -355,3 +355,90 @@ def test_conservative_cap_on_closest_edges(spark):
         max_chord2=float(np.nextafter(d, 0.0)), distance_cap="inclusive"
     ).count()
     assert dropped == 0
+
+
+def test_include_interiors_closest(spark):
+    """Options.includeInteriors (S2BestEdgesQueryBase.java:399,410): a
+    query point inside a polygon gets a distance-zero interior result
+    with edge_id = -1 ranked FIRST; outside points are unchanged."""
+    shapes_df = spark.createDataFrame(
+        [
+            ("s0", "10.0:20.0, 10.0:30.0, 20.0:30.0, 20.0:20.0"),
+            ("s1", "-40.0:-120.0, -40.0:-110.0, -30.0:-110.0, -30.0:-120.0"),
+        ],
+        "shape_id string, text string",
+    ).coalesce(1)
+    idx = shape_ops.shape_index_df(shapes_df, min_level=4)
+    qdf = spark.createDataFrame(
+        [(0, 15.0, 25.0),      # inside s0
+         (1, -35.0, -115.0),   # inside s1
+         (2, 15.0, 40.0)],     # outside both
+        "query_id long, lat double, lng double",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in closestedge.closest_edges(
+            idx, qdf, k=1, level=4, interiors=shapes_df
+        ).collect()
+    }
+    assert rows[0]["shape_id"] == "s0" and rows[0]["edge_id"] == -1
+    assert rows[0]["chord2"] == 0.0 and rows[0]["rank"] == 1
+    assert rows[1]["shape_id"] == "s1" and rows[1]["edge_id"] == -1
+    # outside point: a normal edge result, identical to the no-option run
+    base = closestedge.closest_edges(idx, qdf, k=1, level=4).collect()
+    base2 = {r["query_id"]: r for r in base}[2]
+    assert rows[2]["edge_id"] == base2["edge_id"] >= 0
+    assert rows[2]["chord2"] == base2["chord2"]
+
+
+def test_include_interiors_topk_merge(spark):
+    """k=2 inside a shape: rank 1 is the interior zero, rank 2 the true
+    nearest boundary edge (the reference Result ordering — interior rows
+    merge into the same top-k, S2BestEdgesQueryBase.java:317)."""
+    shapes_df = spark.createDataFrame(
+        [("s0", "10.0:20.0, 10.0:30.0, 20.0:30.0, 20.0:20.0")],
+        "shape_id string, text string",
+    ).coalesce(1)
+    idx = shape_ops.shape_index_df(shapes_df, min_level=4)
+    qdf = spark.createDataFrame(
+        [(0, 15.0, 25.0)], "query_id long, lat double, lng double"
+    )
+    rows = sorted(
+        closestedge.closest_edges(
+            idx, qdf, k=2, level=4, interiors=shapes_df
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[0]["edge_id"] == -1 and rows[0]["chord2"] == 0.0
+    assert rows[1]["edge_id"] >= 0 and rows[1]["chord2"] > 0.0
+    base = closestedge.closest_edges(idx, qdf, k=1, level=4).collect()[0]
+    assert (rows[1]["shape_id"], rows[1]["edge_id"], rows[1]["chord2"]) == (
+        base["shape_id"], base["edge_id"], base["chord2"]
+    )
+
+
+def test_include_interiors_furthest_antipode(spark):
+    """S2FurthestEdgeQuery interiors (S2FurthestEdgeQuery.java:369-381):
+    a shape containing the query's ANTIPODE yields an interior result at
+    the maximum distance chord2 = 4.0."""
+    shapes_df = spark.createDataFrame(
+        [("s0", "10.0:20.0, 10.0:30.0, 20.0:30.0, 20.0:20.0")],
+        "shape_id string, text string",
+    ).coalesce(1)
+    idx = shape_ops.shape_index_df(shapes_df, min_level=4)
+    # antipode of (15, 25) is (-15, -155): query from there
+    qdf = spark.createDataFrame(
+        [(0, -15.0, -155.0), (1, 15.0, 40.0)],
+        "query_id long, lat double, lng double",
+    )
+    rows = {
+        r["query_id"]: r
+        for r in closestedge.furthest_edges(
+            idx, qdf, k=1, level=4, interiors=shapes_df, covering_seed=False
+        ).collect()
+    }
+    assert rows[0]["edge_id"] == -1 and rows[0]["chord2"] == 4.0
+    assert rows[0]["shape_id"] == "s0" and rows[0]["rank"] == 1
+    # antipode of (15, 40) = (-15, -140): outside s0 — normal edge result
+    assert rows[1]["edge_id"] >= 0 and rows[1]["chord2"] < 4.0
