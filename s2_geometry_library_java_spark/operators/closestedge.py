@@ -109,6 +109,7 @@ def furthest_edges(
     max_rounds: int = 3,
     covering_seed: bool | str = "auto",
     interiors: DataFrame | None = None,
+    max_error_rad: float = 0.0,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k FURTHEST indexed
     edges per query (S2FurthestEdgeQuery over S2BestEdgesQueryBase) via
@@ -157,6 +158,8 @@ def furthest_edges(
         # — and turns the seed on above AUTO_COVERING_SEED_EDGES.
         covering_seed=covering_seed,
         interiors=interiors,
+        # maxError is an angle bound, symmetric under the antipode map
+        max_error_rad=max_error_rad,
     )
     return near.select(
         "query_id",
@@ -181,6 +184,7 @@ def closest_edges(
     max_chord2: float | None = None,
     distance_cap: str = "inclusive",
     interiors: DataFrame | None = None,
+    max_error_rad: float = 0.0,
 ) -> DataFrame:
     """Top-k nearest indexed edges per query, with S2ClosestEdgeQuery's
     maxDistance options: ``distance_cap='inclusive'`` keeps edges AT the
@@ -188,6 +192,16 @@ def closest_edges(
     (S2EdgeUtil.getUpdateMinDistanceMaxError) so true-within-cap edges
     are never dropped. Applied as an exact-top-k post-filter (sound:
     capping after ranking equals ranking the capped set).
+
+    ``max_error_rad``: Options.maxError (S2BestEdgesQueryBase.java:467-484)
+    as an angle in radians — edges up to maxError further than the true
+    closest may be substituted in the results. Distributed payoff: the
+    ring completeness test accepts a k-th distance within maxError of the
+    ring bound, so borderline queries finish in the FIRST ring round
+    instead of retrying at coarser levels (each retry is a full
+    shuffle+join round at 100 TB). The proof stays sound: any unseen edge
+    lies outside the 3x3 ring, hence at angle >= MIN_WIDTH(L), and the
+    accepted k-th is within maxError of that floor.
 
     ``interiors``: optional shapes table (shape_id, text) enabling
     Options.includeInteriors (S2BestEdgesQueryBase.java:399,410 — the
@@ -207,7 +221,7 @@ def closest_edges(
 
     res = _closest_edges_impl(
         index, queries, k, level, query_id, lat, lng,
-        fallback_level_step, max_rounds, covering_seed,
+        fallback_level_step, max_rounds, covering_seed, max_error_rad,
     )
     if interiors is not None:
         from . import shapes as shape_ops
@@ -251,6 +265,7 @@ def _closest_edges_impl(
     fallback_level_step: int = 3,
     max_rounds: int = 3,
     covering_seed: bool | str = False,
+    max_error_rad: float = 0.0,
 ) -> DataFrame:
     """(query_id, rank, shape_id, edge_id, chord2) top-k nearest indexed
     edges per query. ``index`` is shape_index_df output built with
@@ -358,9 +373,13 @@ def _closest_edges_impl(
         )
         # Completeness: an edge with NO index cell inside the 3x3 ring at
         # lvl lies entirely outside it, hence >= MIN_WIDTH(lvl) away.
+        # Options.maxError relaxes the acceptance in ANGLE space: a k-th
+        # result within maxError of that floor is acceptable even if a
+        # marginally closer unseen edge exists outside the ring.
         bound = float(
             sphere.chord2_from_angle(
                 sphere.metric_value(sphere.MIN_WIDTH_DERIV, lvl)
+                + max_error_rad
             )
         )
         verdict = topk.groupBy("query_id").agg(

@@ -442,3 +442,46 @@ def test_include_interiors_furthest_antipode(spark):
     assert rows[0]["shape_id"] == "s0" and rows[0]["rank"] == 1
     # antipode of (15, 40) = (-15, -140): outside s0 — normal edge result
     assert rows[1]["edge_id"] >= 0 and rows[1]["chord2"] < 4.0
+
+
+def test_max_error_early_exit(spark):
+    """Options.maxError (S2BestEdgesQueryBase.java:467-484): relaxing the
+    ring completeness bound by maxError lets borderline queries finish in
+    the first ring round — fewer Spark jobs — while the returned distance
+    stays within maxError of the exact answer."""
+    from s2_geometry_library_java_spark.kernel import sphere
+
+    lvl = 8
+    w = float(sphere.metric_value(sphere.MIN_WIDTH_DERIV, lvl))
+    d_deg = float(np.degrees(1.5 * w))
+    # long quad whose near edge passes ~1.5*MIN_WIDTH(lvl) from the query:
+    # inside the 3x3 ring (candidates found) but past the strict bound, so
+    # the exact run must retry at coarser levels / brute
+    text = f"{d_deg!r}:-10.0, {d_deg!r}:10.0, {d_deg + 5.0!r}:10.0, {d_deg + 5.0!r}:-10.0"
+    shapes_df = spark.createDataFrame(
+        [("s0", text)], "shape_id string, text string"
+    ).coalesce(1)
+    idx = shape_ops.shape_index_df(shapes_df, min_level=lvl)
+    qdf = spark.createDataFrame(
+        [(0, 0.0, 0.0)], "query_id long, lat double, lng double"
+    )
+    sc = spark.sparkContext
+    tr = sc.statusTracker()
+    sc.setJobGroup("me-exact", "")
+    exact = closestedge.closest_edges(idx, qdf, k=1, level=lvl).collect()
+    n_exact = len(tr.getJobIdsForGroup("me-exact"))
+    sc.setJobGroup("me-approx", "")
+    approx = closestedge.closest_edges(
+        idx, qdf, k=1, level=lvl, max_error_rad=w
+    ).collect()
+    n_approx = len(tr.getJobIdsForGroup("me-approx"))
+    sc.setJobGroup(None, None)
+    a_exact = 2 * np.arcsin(0.5 * np.sqrt(exact[0]["chord2"]))
+    a_approx = 2 * np.arcsin(0.5 * np.sqrt(approx[0]["chord2"]))
+    # the option's contract: within maxError of the true best
+    assert a_approx <= a_exact + w + 1e-12
+    # and the distributed payoff: strictly fewer jobs (round-1 finish)
+    assert n_approx < n_exact
+    # on this fixture the in-ring edge IS the true best, so results match
+    assert approx[0]["edge_id"] == exact[0]["edge_id"]
+    assert approx[0]["chord2"] == exact[0]["chord2"]
