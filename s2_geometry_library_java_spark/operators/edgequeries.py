@@ -19,6 +19,8 @@ any hot path):
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -98,16 +100,50 @@ def _edges_cross_exact_udf():
     return exact_cross
 
 
+def shared_vertex_cols() -> Column:
+    """True when edges AB and CD share at least one vertex, by EXACT
+    coordinate equality. robustCrossing returns 0 exactly for these pairs
+    (S2EdgeUtil.java:1782-1784: "Returns 0 if any two vertices from
+    different edges are the same" — the SoS perturbation model makes
+    shared vertices the ONLY zero case). Both sides of every join in this
+    module derive xyz through the same latlng->xyz kernel, so identical
+    input vertices are bit-identical doubles and the equality is exact."""
+    same = lambda p, q: (  # noqa: E731
+        (F.col(p + "x") == F.col(q + "x"))
+        & (F.col(p + "y") == F.col(q + "y"))
+        & (F.col(p + "z") == F.col(q + "z"))
+    )
+    return same("a", "c") | same("a", "d") | same("b", "c") | same("b", "d")
+
+
 def crossing_edge_pairs(
-    index_a: DataFrame, index_b: DataFrame, level: int = 8
+    index_a: DataFrame,
+    index_b: DataFrame,
+    level: int = 8,
+    crossing_type: str = "interior",
 ) -> DataFrame:
-    """(a_shape, a_edge, b_shape, b_edge) for every properly-crossing edge
-    pair between two shape indexes (F6). Candidates = edges indexed into
-    the same level-`level` cell; crossing edges always share an index cell
-    at any level that covers the crossing point, and both indexes cover
-    their edges' full extent, so the equi-join misses nothing."""
+    """(a_shape, a_edge, b_shape, b_edge) for every crossing edge pair
+    between two shape indexes (F6). Candidates = edges indexed into the
+    same level-`level` cell; crossing edges always share an index cell at
+    any level that covers the crossing point, and both indexes cover their
+    edges' full extent, so the equi-join misses nothing.
+
+    ``crossing_type`` mirrors S2CrossingEdgesQuery.CrossingType
+    (S2CrossingEdgesQuery.java:236-247): "interior" reports pairs whose
+    robustCrossing sign is +1 (crossing at a point interior to both
+    edges); "all" additionally reports pairs that intersect only because
+    they share a vertex (robustCrossing == 0, which under the SoS
+    perturbation model happens ONLY for shared vertices —
+    S2EdgeUtil.java:1782-1795) and carries the visitor's ``is_interior``
+    flag as an output column (S2CrossingEdgesQuery.java:272-276).
+    Shared-vertex pairs are decided by exact coordinate equality BEFORE
+    the sign tier, matching the reference's precedence; adjacent pairs are
+    always reported (needAdjacent=true, the CrossingType.ALL default,
+    S2CrossingEdgesQuery.java:79)."""
     from ..functions import columns as cc
 
+    if crossing_type not in ("interior", "all"):
+        raise ValueError(f"crossing_type must be interior|all: {crossing_type}")
     a = index_a.select(
         F.col("shape_id").alias("a_shape"),
         F.col("edge_id").alias("a_edge"),
@@ -130,17 +166,152 @@ def crossing_edge_pairs(
         for n in ("ax", "ay", "az", "bx", "by", "bz",
                   "cx", "cy", "cz", "dx", "dy", "dz")
     ]
-    uncertain = edges_cross_uncertain_cols(*args)
+    shared = shared_vertex_cols()
+    uncertain = ~shared & edges_cross_uncertain_cols(*args)
     # JVM triage tier decides every certified row inside whole-stage
     # codegen; the (expected ~0) rows whose determinants fall inside the
     # triage bound escalate to the kernel's exact cascade. The split is a
     # filter pair over the same candidate subtree — the escalation branch
     # scans it again but processes only the degenerate residue.
-    sure = cand.where(~uncertain).where(edges_cross_cols(*args))
+    # Shared-vertex pairs never enter either sign tier (robustCrossing
+    # returns 0 for them before any determinant is evaluated).
+    sure = cand.where(~shared & ~uncertain).where(edges_cross_cols(*args))
     escalated = cand.where(uncertain).where(_edges_cross_exact_udf()(*args))
+    if crossing_type == "all":
+        touching = cand.where(shared).withColumn("is_interior", F.lit(False))
+        return (
+            sure.withColumn("is_interior", F.lit(True))
+            .unionByName(escalated.withColumn("is_interior", F.lit(True)))
+            .unionByName(touching)
+            .select("a_shape", "a_edge", "b_shape", "b_edge", "is_interior")
+        )
     return sure.unionByName(escalated).select(
         "a_shape", "a_edge", "b_shape", "b_edge"
     )
+
+
+def crossing_edges_for_edges(
+    index: DataFrame,
+    query_edges: DataFrame,
+    level: int = 8,
+    crossing_type: str = "interior",
+    candidates_only: bool = False,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """S2CrossingEdgeQuery: index edges crossed by each query edge.
+
+    The reference's one-edge-at-a-time query (S2CrossingEdgeQuery.java:
+    36-44 — "finds edges or shapes that are crossed by one edge at a
+    time"; see crossing_edge_pairs for the bulk index-vs-index form its
+    docs point to). ``query_edges`` carries (query_id, a_lat, a_lng,
+    b_lat, b_lng) in degrees; ``index`` is a shape_index_df built with
+    min_level >= ``level`` so the cell equi-join covers every candidate
+    (same completeness argument as crossing_edge_pairs).
+
+    * ``candidates_only=True`` — getCandidates semantics
+      (S2CrossingEdgeQuery.java:114-157): the superset of index edges
+      whose index cells intersect the query edge's level-``level``
+      covering, no crossing test.
+    * otherwise getCrossings (S2CrossingEdgeQuery.java:95-104): pairs
+      where robustCrossing >= the CrossingType threshold — "interior"
+      keeps proper crossings (+1), "all" also keeps shared-vertex
+      touches (0) and adds the ``is_interior`` flag.
+
+    Each query edge's covering is built independently (the reference
+    class targets "just a few edges" not worth bulk-indexing), but the
+    whole batch crosses the Arrow boundary once and the join + crossing
+    tiers run JVM-side."""
+    if crossing_type not in ("interior", "all"):
+        raise ValueError(f"crossing_type must be interior|all: {crossing_type}")
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from ..functions import columns as cc
+
+    out_schema = StructType([
+        StructField("query_id", StringType()),
+        StructField("cell_key", LongType()),
+        StructField("cx", DoubleType()), StructField("cy", DoubleType()),
+        StructField("cz", DoubleType()),
+        StructField("dx", DoubleType()), StructField("dy", DoubleType()),
+        StructField("dz", DoubleType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel import cellid as ci
+        from ..kernel import shapeindex as si
+
+        for pdf in batches:
+            ax_, ay_, az_ = ci.latlng_to_xyz(
+                np.radians(pdf["a_lat"].to_numpy(np.float64)),
+                np.radians(pdf["a_lng"].to_numpy(np.float64)),
+            )
+            bx_, by_, bz_ = ci.latlng_to_xyz(
+                np.radians(pdf["b_lat"].to_numpy(np.float64)),
+                np.radians(pdf["b_lng"].to_numpy(np.float64)),
+            )
+            rows = {k: [] for k in out_schema.fieldNames()}
+            for i, qid in enumerate(pdf["qid"]):
+                va = np.array([[ax_[i], ay_[i], az_[i]]])
+                vb = np.array([[bx_[i], by_[i], bz_[i]]])
+                # exactly-level-`level` cells intersecting this edge
+                for cid, edge_ids, _ in si.build_edge_soup_index(
+                    va, vb, max_edges_per_cell=1,
+                    max_level=level, min_level=level,
+                ):
+                    if len(edge_ids) == 0:
+                        continue
+                    rows["query_id"].append(qid)
+                    rows["cell_key"].append(
+                        int(np.int64(np.uint64(cid)))
+                    )
+                    rows["cx"].append(float(va[0, 0]))
+                    rows["cy"].append(float(va[0, 1]))
+                    rows["cz"].append(float(va[0, 2]))
+                    rows["dx"].append(float(vb[0, 0]))
+                    rows["dy"].append(float(vb[0, 1]))
+                    rows["dz"].append(float(vb[0, 2]))
+            yield pd.DataFrame(rows)
+
+    q = (
+        query_edges.select(
+            F.col(query_id).cast("string").alias("qid"),
+            "a_lat", "a_lng", "b_lat", "b_lng",
+        )
+        .mapInPandas(gen, out_schema)
+        # route through the same parent() expression as the index side so
+        # the signed-id join key representation is bit-identical
+        .withColumn("cell_key", cc.parent("cell_key", level))
+    )
+    idx = index.select(
+        "shape_id", "edge_id",
+        "ax", "ay", "az", "bx", "by", "bz",
+        cc.parent("cell_id", level).alias("cell_key"),
+    ).dropDuplicates(["shape_id", "edge_id", "cell_key"])
+    cand = idx.join(F.broadcast(q), "cell_key").dropDuplicates(
+        ["query_id", "shape_id", "edge_id"]
+    )
+    if candidates_only:
+        return cand.select("query_id", "shape_id", "edge_id")
+    args = [
+        F.col(n)
+        for n in ("ax", "ay", "az", "bx", "by", "bz",
+                  "cx", "cy", "cz", "dx", "dy", "dz")
+    ]
+    shared = shared_vertex_cols()
+    uncertain = ~shared & edges_cross_uncertain_cols(*args)
+    sure = cand.where(~shared & ~uncertain).where(edges_cross_cols(*args))
+    escalated = cand.where(uncertain).where(_edges_cross_exact_udf()(*args))
+    if crossing_type == "all":
+        touching = cand.where(shared).withColumn("is_interior", F.lit(False))
+        return (
+            sure.withColumn("is_interior", F.lit(True))
+            .unionByName(escalated.withColumn("is_interior", F.lit(True)))
+            .unionByName(touching)
+            .select("query_id", "shape_id", "edge_id", "is_interior")
+        )
+    return sure.unionByName(escalated).select("query_id", "shape_id", "edge_id")
 
 
 def directed_hausdorff_brute(

@@ -352,3 +352,121 @@ def test_edge_pair_min_chord2_properties():
         pt(0, -1)[None], pt(0, 1)[None], pt(-1, 0)[None], pt(1, 0)[None])[0]) == 0.0
     assert float(ek.edge_pair_min_chord2(
         pt(0, 0)[None], pt(0, 1)[None], pt(0, 1)[None], pt(1, 1)[None])[0]) == 0.0
+
+
+def _quad_text_(clat, clng, h):
+    pts = [(clat - h, clng - h), (clat - h, clng + h),
+           (clat + h, clng + h), (clat + h, clng - h)]
+    return ", ".join(f"{la!r}:{ln!r}" for la, ln in pts)
+
+
+def test_crossing_pairs_all_includes_shared_vertices(spark):
+    """CrossingType.ALL (S2CrossingEdgesQuery.java:236-247): pairs that
+    intersect only via a shared vertex (robustCrossing == 0,
+    S2EdgeUtil.java:1782-1795) are reported with is_interior=false;
+    proper crossings carry is_interior=true and equal the INTERIOR set."""
+    from s2_geometry_library_java_spark.operators import edgequeries
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    a_specs = {"a0": (10.0, 10.0, 4.0), "a1": (-20.0, 100.0, 5.0)}
+    # b0: shifted overlap (proper crossings); a0c: EXACT copy of a0
+    # (every same-index edge pair shares both vertices, adjacent pairs one)
+    b_specs = {"b0": (12.0, 12.0, 4.0), "a0c": (10.0, 10.0, 4.0)}
+    sa = spark.createDataFrame(
+        [(k, _quad_text_(*v)) for k, v in a_specs.items()],
+        "shape_id string, text string")
+    sb = spark.createDataFrame(
+        [(k, _quad_text_(*v)) for k, v in b_specs.items()],
+        "shape_id string, text string")
+    ia = shape_ops.shape_index_df(sa, min_level=5)
+    ib = shape_ops.shape_index_df(sb, min_level=5)
+    got = {
+        (r["a_shape"], r["a_edge"], r["b_shape"], r["b_edge"]): r["is_interior"]
+        for r in edgequeries.crossing_edge_pairs(
+            ia, ib, level=5, crossing_type="all").collect()
+    }
+    interior = {
+        (r["a_shape"], r["a_edge"], r["b_shape"], r["b_edge"])
+        for r in edgequeries.crossing_edge_pairs(ia, ib, level=5).collect()
+    }
+    # brute force: robustCrossing == 0 iff shared vertex; +1 iff kernel
+    # proper-crossing cascade says so
+    want = {}
+    for ka, va in a_specs.items():
+        pa = rg.Polygon.from_text(_quad_text_(*va)).loops[0].vertices
+        for kb, vb in b_specs.items():
+            pb = rg.Polygon.from_text(_quad_text_(*vb)).loops[0].vertices
+            for i in range(4):
+                for j in range(4):
+                    A, B = pa[i], pa[(i + 1) % 4]
+                    C, D = pb[j], pb[(j + 1) % 4]
+                    if any((P == Q).all() for P in (A, B) for Q in (C, D)):
+                        want[(ka, i, kb, j)] = False
+                    elif predicates._arcs_cross_scalar(A, B, C, D):
+                        want[(ka, i, kb, j)] = True
+    assert got == want
+    assert interior == {k for k, v in want.items() if v}
+    # the exact-copy shape contributes 4 same-edge + 8 adjacent pairs
+    assert sum(1 for (ka, i, kb, j), v in want.items()
+               if ka == "a0" and kb == "a0c" and not v) == 12
+
+
+def test_crossing_edges_for_edges_matches_brute(spark):
+    """S2CrossingEdgeQuery per-edge getCrossings/getCandidates vs brute
+    force over every index edge (S2CrossingEdgeQuery.java:95-157)."""
+    from s2_geometry_library_java_spark.operators import edgequeries
+    from s2_geometry_library_java_spark.operators import shapes as shape_ops
+
+    specs = {"p0": (10.0, 10.0, 4.0), "p1": (-20.0, 100.0, 5.0)}
+    shapes = spark.createDataFrame(
+        [(k, _quad_text_(*v)) for k, v in specs.items()],
+        "shape_id string, text string")
+    idx = shape_ops.shape_index_df(shapes, min_level=5)
+    # q0 slices through p0; q1 far away; q2 shares the exact SW corner
+    # vertex of p0 (6.0, 6.0) but does not properly cross anything
+    qrows = [
+        ("q0", 8.0, 4.0, 12.0, 16.0),
+        ("q1", 80.0, 0.0, 80.0, 10.0),
+        ("q2", 6.0, 6.0, 2.0, 2.0),
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id string, a_lat double, a_lng double, b_lat double, b_lng double")
+
+    got_int = {
+        (r["query_id"], r["shape_id"], r["edge_id"])
+        for r in edgequeries.crossing_edges_for_edges(idx, qdf, level=5).collect()
+    }
+    got_all = {
+        (r["query_id"], r["shape_id"], r["edge_id"]): r["is_interior"]
+        for r in edgequeries.crossing_edges_for_edges(
+            idx, qdf, level=5, crossing_type="all").collect()
+    }
+    cands = {
+        (r["query_id"], r["shape_id"], r["edge_id"])
+        for r in edgequeries.crossing_edges_for_edges(
+            idx, qdf, level=5, candidates_only=True).collect()
+    }
+
+    def pt(lat, lng):
+        x, y, z = s2.latlng_to_xyz(np.radians(np.array([lat])),
+                                   np.radians(np.array([lng])))
+        return np.array([x[0], y[0], z[0]])
+
+    want_all = {}
+    for qid, alat, alng, blat, blng in qrows:
+        A, B = pt(alat, alng), pt(blat, blng)
+        for sid, spec in specs.items():
+            pv = rg.Polygon.from_text(_quad_text_(*spec)).loops[0].vertices
+            for j in range(4):
+                C, D = pv[j], pv[(j + 1) % 4]
+                if any((P == Q).all() for P in (A, B) for Q in (C, D)):
+                    want_all[(qid, sid, j)] = False
+                elif predicates._arcs_cross_scalar(C, D, A, B):
+                    want_all[(qid, sid, j)] = True
+    assert got_all == want_all
+    assert got_int == {k for k, v in want_all.items() if v}
+    # shared-corner query edge is reported, and only via the vertex touch
+    assert any(q == "q2" and v is False for (q, s, e), v in got_all.items())
+    assert not any(q == "q1" for (q, s, e) in got_all)
+    # getCandidates is a superset of getCrossings
+    assert set(got_all) <= cands
