@@ -1110,22 +1110,27 @@ def _shifted_quad_text(clat: float, clng: float, h: float) -> str:
 
 
 def q_crossing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: all properly-crossing edge pairs between the query quads and a
-    shifted copy — shape-index cell join + four-determinant Column test."""
+    """F6: all crossing edge pairs between the query quads and a B set of
+    shifted + exact copies — shape-index cell join + four-determinant
+    Column test, CrossingType.ALL (shared-vertex touches carry
+    is_interior=false, S2CrossingEdgesQuery.java:236-247)."""
     from .operators import edgequeries
     from .operators import shapes as shape_ops
 
-    shapes_a = local_df(spark, 
+    shapes_a = local_df(spark,
         [(pid, _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
     ).coalesce(1)
-    shapes_b = local_df(spark, 
-        [(pid + "s", _shifted_quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
+    shapes_b = local_df(spark,
+        [(pid + "s", _shifted_quad_text(*spec)) for pid, spec in PIP_QUADS.items()]
+        + [(pid + "c", _quad_text(*spec)) for pid, spec in PIP_QUADS.items()],
         "shape_id string, text string",
     ).coalesce(1)
     idx_a = shape_ops.shape_index_df(shapes_a, min_level=6)
     idx_b = shape_ops.shape_index_df(shapes_b, min_level=6)
-    return edgequeries.crossing_edge_pairs(idx_a, idx_b, level=6)
+    return edgequeries.crossing_edge_pairs(
+        idx_a, idx_b, level=6, crossing_type="all"
+    )
 
 
 def q_crossing_pairs_oracle() -> str:
@@ -1142,13 +1147,17 @@ def q_crossing_pairs_oracle() -> str:
             )
     rows_b = []
     for pid, spec in PIP_QUADS.items():
-        poly = _quad_polygon(spec[0] + CROSS_SHIFT[0], spec[1] + CROSS_SHIFT[1], spec[2])
-        v = poly.loops[0].vertices
-        for k in range(len(v)):
-            a, b = v[k], v[(k + 1) % len(v)]
-            rows_b.append(
-                f"('{pid}s',{k},{d(a[0])},{d(a[1])},{d(a[2])},{d(b[0])},{d(b[1])},{d(b[2])})"
-            )
+        for suffix, poly in (
+            ("s", _quad_polygon(
+                spec[0] + CROSS_SHIFT[0], spec[1] + CROSS_SHIFT[1], spec[2])),
+            ("c", _quad_polygon(*spec)),
+        ):
+            v = poly.loops[0].vertices
+            for k in range(len(v)):
+                a, b = v[k], v[(k + 1) % len(v)]
+                rows_b.append(
+                    f"('{pid}{suffix}',{k},{d(a[0])},{d(a[1])},{d(a[2])},{d(b[0])},{d(b[1])},{d(b[2])})"
+                )
     det = (
         "({px}*(({qy})*({rz}) - ({qz})*({ry})) + {py}*(({qz})*({rx}) - ({qx})*({rz}))"
         " + {pz}*(({qx})*({ry}) - ({qy})*({rx})))"
@@ -1162,13 +1171,21 @@ def q_crossing_pairs_oracle() -> str:
         ) + ")"
 
     acb, bda, cbd, dac = s("a", "c", "b"), s("b", "d", "a"), s("c", "b", "d"), s("d", "a", "c")
+    # shared vertex (exact double equality) == robustCrossing 0; decided
+    # BEFORE the sign tier, mirroring crossing_edge_pairs
+    shared = " OR ".join(
+        f"({p}x = {q}x AND {p}y = {q}y AND {p}z = {q}z)"
+        for p, q in (("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+    )
     return f"""
     WITH ea(a_shape, a_edge, ax, ay, az, bx, by, bz) AS (VALUES {",".join(rows_a)}),
     eb(b_shape, b_edge, cx, cy, cz, dx, dy, dz) AS (VALUES {",".join(rows_b)})
     SELECT a_shape, CAST(a_edge AS INTEGER) AS a_edge,
-           b_shape, CAST(b_edge AS INTEGER) AS b_edge
+           b_shape, CAST(b_edge AS INTEGER) AS b_edge,
+           NOT ({shared}) AS is_interior
     FROM ea CROSS JOIN eb
-    WHERE {acb} = {bda} AND {acb} = {cbd} AND {acb} = {dac} AND {acb} <> 0
+    WHERE ({shared})
+       OR ({acb} = {bda} AND {acb} = {cbd} AND {acb} = {dac} AND {acb} <> 0)
     """
 
 
