@@ -212,11 +212,11 @@ def loop_centroid(vertices: np.ndarray) -> np.ndarray:
     return triangle_true_centroid(a, b, c).sum(axis=0)
 
 
-def signed_loop_area(vertices: np.ndarray) -> float:
-    """Signed area of a loop: sum of signed triangle areas from an origin
-    vertex (S2Loop.getArea semantics: CCW interior -> positive, in
-    [0, 4pi); computed via the shoelace-on-sphere Girard sum).
-    Vectorized over the fan triangles (one pass, no per-triangle loop)."""
+def raw_signed_loop_area(vertices: np.ndarray) -> float:
+    """Signed fan-sum area of an ORIENTED loop, WITHOUT the single-loop
+    [0, 4pi) adjustment: CCW interior -> positive, CW (hole) -> negative
+    (S2ShapeMeasures.java:193 signedLoopArea semantics — shape-level
+    callers sum per-loop values and adjust once, so holes subtract)."""
     v = np.asarray(vertices, dtype=np.float64)
     if len(v) < 3:
         return 0.0
@@ -237,7 +237,15 @@ def signed_loop_area(vertices: np.ndarray) -> float:
 
     area = ang(ab, ca) + ang(bc, ab) + ang(ca, bc) - np.pi
     sign = np.where((ab * c).sum(axis=-1) > 0, 1.0, -1.0)
-    total = float((sign * np.abs(area)).sum())
+    return float((sign * np.abs(area)).sum())
+
+
+def signed_loop_area(vertices: np.ndarray) -> float:
+    """Signed area of a loop: sum of signed triangle areas from an origin
+    vertex (S2Loop.getArea semantics: CCW interior -> positive, in
+    [0, 4pi); computed via the shoelace-on-sphere Girard sum).
+    Vectorized over the fan triangles (one pass, no per-triangle loop)."""
+    total = raw_signed_loop_area(vertices)
     if total < 0:
         total += 4.0 * np.pi
     return float(total)
