@@ -187,6 +187,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    shingle_n: int = 5,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: distinct word-n-gram collisions between
+    each training doc and each benchmark (eval-set) doc.
+
+    100-TB shape: the benchmark side is small by construction, so its
+    DISTINCT shingle set broadcasts and the training corpus NEVER
+    shuffles for the join — shingling and the hash-join probe are
+    map-side; the only shuffle is the (doc, bench) collision count, whose
+    cardinality is bounded by actual contamination, not corpus size.
+    Per-shingle fanout is bounded by the number of benchmark docs
+    containing it (<= |benchmark|). Distinctness of collisions is
+    enforced in the aggregate (count_distinct), not by a corpus-wide
+    pre-distinct, to keep the big side shuffle-free.
+
+    Returns (doc_id, bench_id, collisions, bench_size) where bench_size
+    is the benchmark doc's distinct-shingle count (so callers can compute
+    a containment fraction collisions/bench_size)."""
+    train = exploded_shingles(docs, id_col, text_col, shingle_n)
+    bench = exploded_shingles(
+        benchmark, bench_id_col, bench_text_col, shingle_n
+    ).distinct()
+    sizes = bench.groupBy("id").agg(F.count("*").alias("bench_size"))
+    bench = bench.join(sizes, "id").select(
+        F.col("id").alias("bid"), "sh", "bench_size"
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy(
+            F.col("id").alias("doc_id"),
+            F.col("bid").alias("bench_id"),
+            F.col("bench_size").alias("bench_size"),
+        )
+        .agg(F.count_distinct(F.col("sh")).alias("collisions"))
+        .where(F.col("collisions") >= min_collisions)
+        .select("doc_id", "bench_id", "collisions", "bench_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-duplicate clustering: connected components over candidate pairs.
 # ---------------------------------------------------------------------------

@@ -3315,17 +3315,34 @@ def q_dedup_clusters_oracle() -> str:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard >= 0.5 pairs (integer-exact threshold compare)."""
-    return dedup.ngram_jaccard_pairs(
-        _docs_with_near_dups(spark, sf_dir),
-        "doc_id",
-        "text",
-        threshold_pct=50,
-        max_doc_freq=50,
+    """Tagged union: exact n-gram Jaccard >= 0.5 pairs (integer-exact
+    threshold compare) + benchmark decontamination (5-gram collisions vs
+    a broadcast eval-set slice — the corpus side never shuffles)."""
+    docs = _docs_with_near_dups(spark, sf_dir)
+    jac = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold_pct=50, max_doc_freq=50
+    ).select(F.lit("jaccard").alias("kind"), "a", "b", "common", "union_sz")
+    bench = (
+        tables.load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 37 == 5)
+        .select(F.col("doc_id").alias("bench_id"), "text")
     )
+    contam = (
+        dedup.ngram_contamination(docs, bench, shingle_n=5)
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .select(
+            F.lit("contam").alias("kind"),
+            F.col("doc_id").alias("a"),
+            F.col("bench_id").alias("b"),
+            F.col("collisions").alias("common"),
+            F.col("bench_size").alias("union_sz"),
+        )
+    )
+    return jac.unionByName(contam)
 
 
 def q_jaccard_pairs_oracle() -> str:
+    gram5 = " || ' ' || ".join(f"w[i+{k}]" if k else "w[i]" for k in range(5))
     return f"""
     WITH {_DOCS_DUP_SQL},
     words AS (SELECT doc_id AS id,
@@ -3340,13 +3357,31 @@ def q_jaccard_pairs_oracle() -> str:
     sizes AS (SELECT id, COUNT(*) AS n_sh FROM kept GROUP BY id),
     pairs AS (SELECT l.id AS a, r.id AS b, COUNT(*) AS common
               FROM kept l JOIN kept r ON l.sh = r.sh AND l.id < r.id
-              GROUP BY l.id, r.id)
-    SELECT a, b, CAST(common AS BIGINT) AS common,
+              GROUP BY l.id, r.id),
+    t5 AS (SELECT id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+           i -> {gram5})) AS sh
+           FROM words),
+    bwords AS (SELECT doc_id AS bid,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM documents WHERE doc_id % 37 = 5),
+    b5 AS (SELECT DISTINCT bid, sh FROM (
+           SELECT bid, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+           i -> {gram5})) AS sh
+           FROM bwords)),
+    bsz AS (SELECT bid, COUNT(*) AS bench_size FROM b5 GROUP BY bid),
+    hits AS (SELECT t5.id AS a, b5.bid AS b, COUNT(DISTINCT t5.sh) AS common
+             FROM t5 JOIN b5 USING (sh) WHERE t5.id <> b5.bid
+             GROUP BY 1, 2)
+    SELECT 'jaccard' AS kind, a, b, CAST(common AS BIGINT) AS common,
            CAST(sa.n_sh + sb.n_sh - common AS BIGINT) AS union_sz
     FROM pairs
     JOIN sizes sa ON sa.id = a
     JOIN sizes sb ON sb.id = b
     WHERE 100 * common >= 50 * (sa.n_sh + sb.n_sh - common)
+    UNION ALL
+    SELECT 'contam' AS kind, a, b, CAST(common AS BIGINT) AS common,
+           CAST(bench_size AS BIGINT) AS union_sz
+    FROM hits JOIN bsz ON bsz.bid = hits.b
     """
 
 
