@@ -135,3 +135,16 @@ def F_ne(col, val):
     from pyspark.sql import functions as F
 
     return F.col(col) != val
+
+
+def test_approx_area_close_to_exact():
+    """approxArea ~ area within the documented per-vertex error bound
+    (S2ShapeMeasures.java:121-130); hole orientation respected."""
+    from s2_geometry_library_java_spark.operators import measures as m
+
+    exact = sphere.signed_loop_area(_pts(SHELL)) - sphere.signed_loop_area(
+        _pts(HOLE)[::-1]
+    )
+    approx = m.approx_shape_area("polygon", SHELL + "; " + HOLE)
+    assert abs(approx - exact) < 8 * 2.22e-15
+    assert m.approx_shape_area("polyline", LINE) == 0.0
