@@ -408,61 +408,328 @@ class PointVectorLayer:
         )
 
 
+# ---------------------------------------------------------------------------
+# PolylineBuilder (S2BuilderGraph.PolylineBuilder, S2BuilderGraph.java:1157)
+# ---------------------------------------------------------------------------
+
+NO_INPUT_EDGE_ID = 2**31 - 2  # S2BuilderGraph.java:79 (Integer.MAX_VALUE - 1)
+
+PATH = "PATH"
+WALK = "WALK"
+DIRECTED = "DIRECTED"
+UNDIRECTED = "UNDIRECTED"
+
+
+def _build_graph_with_ids(
+    input_edges: list[tuple[int, int]],
+    edge_type: str,
+    degenerate_edges: str,
+    sibling_pairs: str,
+    duplicate_edges: str,
+) -> tuple[list[tuple[int, int]], list[int], list[int] | None]:
+    """Build the (sorted edges, minInputEdgeIds, siblingMap) triple the
+    reference's PolylineBuilder.init consumes (S2BuilderGraph.java:1185).
+
+    Graph edges are sorted lexicographically with a stable sort over
+    input order, so edge ids reproduce the reference graph's edge ids
+    and VertexOutMap iteration order. Supported option combos are the
+    ones the polyline layers use; others raise ValueError.
+    """
+    if edge_type == UNDIRECTED:
+        if not (sibling_pairs == KEEP and duplicate_edges == KEEP):
+            raise ValueError(
+                "undirected polyline graphs support only KEEP/KEEP options")
+        doubled: list[tuple[int, int, int]] = []
+        for i, (a, b) in enumerate(input_edges):
+            if a == b and degenerate_edges == DISCARD:
+                continue
+            # Only the input-direction copy carries the input edge id
+            # (S2BuilderGraph.java:1230 comment).
+            doubled.append((a, b, i))
+            doubled.append((b, a, NO_INPUT_EDGE_ID))
+        order = sorted(range(len(doubled)),
+                       key=lambda k: (doubled[k][0], doubled[k][1], k))
+        edges = [(doubled[k][0], doubled[k][1]) for k in order]
+        ids = [doubled[k][2] for k in order]
+        # siblingMap: pair each edge with its reversed copy; among
+        # duplicates, match i-th (a,b) with i-th (b,a).
+        seen: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for eid, (a, b) in enumerate(edges):
+            seen[(a, b)].append(eid)
+        sibling = [0] * len(edges)
+        for (a, b), ids_fwd in seen.items():
+            if a > b or (a == b):
+                continue
+            ids_rev = seen[(b, a)]
+            for f, r in zip(ids_fwd, ids_rev):
+                sibling[f] = r
+                sibling[r] = f
+        return edges, ids, sibling
+
+    # DIRECTED: apply graph options while tracking min input edge ids.
+    cnt = Counter(input_edges)
+    per_edge_ids: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i, e in enumerate(input_edges):
+        per_edge_ids[e].append(i)
+    triples: list[tuple[int, int, int]] = []
+    for (a, b) in sorted(cnt):
+        ids_here = per_edge_ids[(a, b)]
+        n_out = cnt[(a, b)]
+        if a == b:
+            if degenerate_edges == DISCARD:
+                continue
+            keep = 1 if duplicate_edges == MERGE else n_out
+        elif sibling_pairs == KEEP:
+            keep = 1 if duplicate_edges == MERGE else n_out
+        else:
+            n_in = cnt.get((b, a), 0)
+            if sibling_pairs == DISCARD:
+                if n_out <= n_in:
+                    continue
+                keep = 1 if duplicate_edges == MERGE else n_out - n_in
+            else:  # DISCARD_EXCESS
+                if n_out < n_in:
+                    continue
+                keep = 1 if duplicate_edges == MERGE else max(1, n_out - n_in)
+        if duplicate_edges == MERGE:
+            triples.append((a, b, min(ids_here)))
+        else:
+            for inp in sorted(ids_here)[:keep]:
+                triples.append((a, b, inp))
+    edges = [(a, b) for a, b, _ in triples]
+    ids = [i for _, _, i in triples]
+    return edges, ids, None
+
+
+class PolylineBuilder:
+    """Exact port of S2BuilderGraph.PolylineBuilder
+    (S2BuilderGraph.java:1157-1510): assembles graph edges into PATH
+    polylines (break at every vertex whose in/out degree is not 1 —
+    buildPaths, :1227) or WALK polylines (each as long as possible,
+    loops spliced in — buildWalks, :1282), preserving input edge order
+    for idempotency. Runs per-shape inside Arrow batches at scale."""
+
+    def __init__(self, edges: list[tuple[int, int]],
+                 min_input_ids: list[int], directed: bool,
+                 sibling_map: list[int] | None = None):
+        self.edges = edges
+        self.ids = min_input_ids
+        self.directed = directed
+        self.sibling_map = sibling_map
+        self.out_map: dict[int, list[int]] = defaultdict(list)
+        self.in_map: dict[int, list[int]] = defaultdict(list)
+        for eid, (a, b) in enumerate(edges):
+            self.out_map[a].append(eid)
+            self.in_map[b].append(eid)
+        self.edges_left = len(edges) // (1 if directed else 2)
+        self.used = [False] * len(edges)
+        self.excess_used: dict[int, int] = defaultdict(int)
+        # getInputEdgeOrder (S2BuilderGraph.java:417)
+        self.input_order = sorted(range(len(edges)),
+                                  key=lambda k: (self.ids[k], k))
+
+    def _is_interior(self, v: int) -> bool:
+        if self.directed:
+            return (len(self.in_map.get(v, ())) == 1
+                    and len(self.out_map.get(v, ())) == 1)
+        return len(self.out_map.get(v, ())) == 2
+
+    def _excess_degree(self, v: int) -> int:
+        out_d = len(self.out_map.get(v, ()))
+        if self.directed:
+            return out_d - len(self.in_map.get(v, ()))
+        return out_d % 2
+
+    def _mark_used(self, eid: int) -> None:
+        self.used[eid] = True
+        if not self.directed:
+            self.used[self.sibling_map[eid]] = True
+        self.edges_left -= 1
+
+    def _fill_path(self, eid: int) -> list[int]:
+        # fillPath (S2BuilderGraph.java:1405-1441)
+        polyline: list[int] = []
+        start = self.edges[eid][0]
+        while True:
+            polyline.append(eid)
+            self._mark_used(eid)
+            v = self.edges[eid][1]
+            if not self._is_interior(v) or v == start:
+                break
+            if self.directed:
+                eid = self.out_map[v][0]
+            else:
+                for eid2 in self.out_map[v]:  # take the LAST unused
+                    if not self.used[eid2]:
+                        eid = eid2
+        return polyline
+
+    def _fill_walk(self, v: int, polyline: list[int]) -> None:
+        # fillWalk (S2BuilderGraph.java:1444-1485)
+        polyline.clear()
+        while True:
+            best_eid = -1
+            best_out_id = NO_INPUT_EDGE_ID + 2  # Integer.MAX_VALUE
+            for eid in self.out_map.get(v, ()):
+                if self.used[eid] or self.ids[eid] >= best_out_id:
+                    continue
+                best_out_id = self.ids[eid]
+                best_eid = eid
+            if best_eid < 0:
+                return
+            excess_unused = self._excess_degree(v) - self.excess_used[v]
+            if (excess_unused < 0) if self.directed else (
+                    excess_unused % 2 == 1):
+                for in_eid in self.in_map.get(v, ()):
+                    if (not self.used[in_eid]
+                            and self.ids[in_eid] <= best_out_id):
+                        return
+            polyline.append(best_eid)
+            self._mark_used(best_eid)
+            v = self.edges[best_eid][1]
+
+    def _maximize_walk(self, polyline: list[int]) -> None:
+        # maximizeWalk (S2BuilderGraph.java:1493-1509)
+        loop: list[int] = []
+        i = 0
+        while i <= len(polyline):
+            v = (self.edges[polyline[i]][0] if i == 0
+                 else self.edges[polyline[i - 1]][1])
+            for eid in self.out_map.get(v, ()):
+                if not self.used[eid]:
+                    self._fill_walk(v, loop)
+                    assert self.edges[loop[-1]][1] == v
+                    polyline[i:i] = loop
+                    break
+            i += 1
+
+    def _canonicalize_loop_order(self, loop: list[int]) -> list[int]:
+        # canonicalizeLoopOrder (S2BuilderGraph.java:648-683): rotate so
+        # the edge(s) with the largest input ids come last.
+        if len(loop) < 2:
+            return loop
+        pos = 0
+        saw_gap = False
+        for i in range(1, len(loop)):
+            cmp = self.ids[loop[i]] - self.ids[loop[pos]]
+            if cmp < 0:
+                saw_gap = True
+            elif cmp > 0 or not saw_gap:
+                pos = i
+                saw_gap = False
+        pos += 1
+        if pos == len(loop):
+            pos = 0
+        return loop[pos:] + loop[:pos]
+
+    def _canonical_chain_sort(self, chains: list[list[int]]) -> None:
+        # canonicalizeEdgeChainOrder (S2BuilderGraph.java:709)
+        chains.sort(key=lambda c: (self.ids[c[0]], c[0]))
+
+    def build_paths(self) -> list[list[int]]:
+        polylines: list[list[int]] = []
+        for eid in self.input_order:
+            if not self.used[eid] and not self._is_interior(
+                    self.edges[eid][0]):
+                polylines.append(self._fill_path(eid))
+        for eid in self.input_order:  # leftover loops
+            if self.edges_left <= 0:
+                break
+            if self.used[eid]:
+                continue
+            polylines.append(
+                self._canonicalize_loop_order(self._fill_path(eid)))
+        assert self.edges_left == 0
+        self._canonical_chain_sort(polylines)
+        return polylines
+
+    def build_walks(self) -> list[list[int]]:
+        # buildWalks (S2BuilderGraph.java:1282-1386)
+        polylines: list[list[int]] = []
+        for eid in self.input_order:
+            if self.used[eid]:
+                continue
+            v = self.edges[eid][0]
+            excess = self._excess_degree(v)
+            if excess <= 0:
+                continue
+            excess -= self.excess_used[v]
+            if (excess <= 0) if self.directed else (excess % 2 == 0):
+                continue
+            self.excess_used[v] += 1
+            polyline: list[int] = []
+            self._fill_walk(v, polyline)
+            polylines.append(polyline)
+            self.excess_used[self.edges[polyline[-1]][1]] -= 1
+        if self.edges_left > 0:
+            for polyline in polylines:
+                self._maximize_walk(polyline)
+        # Remaining edges form loops; start each from the vertex with
+        # one excess unused out-edge among edges sharing the minimal
+        # input id (handles an input edge split into a chain).
+        ordered = self.input_order
+        for i, eid in enumerate(ordered):
+            if self.edges_left <= 0:
+                break
+            if self.used[eid]:
+                continue
+            v = self.edges[eid][0]
+            input_id = self.ids[eid]
+            excess = 0
+            j = i
+            while j < len(ordered) and self.ids[ordered[j]] == input_id:
+                eid2 = ordered[j]
+                if not self.used[eid2]:
+                    if self.edges[eid2][0] == v:
+                        excess += 1
+                    if self.edges[eid2][1] == v:
+                        excess -= 1
+                j += 1
+            if excess == 1 or self.edges[eid][1] == v:
+                loop: list[int] = []
+                self._fill_walk(v, loop)
+                self._maximize_walk(loop)
+                polylines.append(loop)
+        assert self.edges_left == 0
+        self._canonical_chain_sort(polylines)
+        return polylines
+
+
 class PolylineVectorLayer:
-    """S2PolylineVectorLayer.java:51-120 (PolylineType.PATH): assemble
-    edges into maximal paths. Degenerate edges are discarded (the
-    reference's default graph options for polyline layers)."""
+    """S2PolylineVectorLayer.java:51-270: assemble edges into polyline
+    vertex chains. Options mirror the reference defaults (DIRECTED
+    edges, PolylineType.PATH, duplicates/siblings KEEP); degenerate
+    edges are discarded (graphOptions, S2PolylineVectorLayer.java:124).
+    PATH breaks at every vertex whose in/out degree differs from 1;
+    WALK makes each polyline as long as possible, splicing loops."""
 
     def __init__(self, duplicate_edges: str = KEEP,
-                 sibling_pairs: str = KEEP):
+                 sibling_pairs: str = KEEP,
+                 polyline_type: str = PATH,
+                 edge_type: str = DIRECTED):
         self.duplicate_edges = duplicate_edges
         self.sibling_pairs = sibling_pairs
+        self.polyline_type = polyline_type
+        self.edge_type = edge_type
 
     def build(
         self, sites: np.ndarray, edges: list[tuple[int, int]]
     ) -> list[list[int]]:
-        g = process_edges(
+        g_edges, g_ids, sibling = _build_graph_with_ids(
             edges,
+            edge_type=self.edge_type,
             degenerate_edges=DISCARD,
             sibling_pairs=self.sibling_pairs,
             duplicate_edges=self.duplicate_edges,
         )
-        out_adj: dict[int, list[int]] = defaultdict(list)
-        in_deg: dict[int, int] = defaultdict(int)
-        out_deg: dict[int, int] = defaultdict(int)
-        for s, e in g:
-            out_adj[s].append(e)
-            out_deg[s] += 1
-            in_deg[e] += 1
-        for dsts in out_adj.values():
-            dsts.sort()
-        used = Counter(g)
+        builder = PolylineBuilder(
+            g_edges, g_ids, directed=self.edge_type == DIRECTED,
+            sibling_map=sibling)
+        chains = (builder.build_paths() if self.polyline_type == PATH
+                  else builder.build_walks())
         lines: list[list[int]] = []
-
-        def walk(start: int) -> list[int]:
-            path = [start]
-            cur = start
-            while True:
-                nxt = None
-                for w in out_adj.get(cur, ()):
-                    if used[(cur, w)] > 0:
-                        nxt = w
-                        break
-                if nxt is None:
-                    break
-                used[(cur, nxt)] -= 1
-                path.append(nxt)
-                cur = nxt
-            return path
-
-        for v in sorted(k for k in out_adj if out_deg[k] > in_deg.get(k, 0)):
-            while any(used[(v, w)] > 0 for w in out_adj.get(v, ())):
-                path = walk(v)
-                if len(path) > 1:
-                    lines.append(path)
-        for s, e in sorted(set(g)):  # leftover cycles
-            if used[(s, e)] > 0:
-                path = walk(s)
-                if len(path) > 1:
-                    lines.append(path)
+        for chain in chains:
+            verts = [g_edges[chain[0]][0]]
+            verts.extend(g_edges[eid][1] for eid in chain)
+            lines.append(verts)
         return lines

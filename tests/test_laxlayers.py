@@ -205,17 +205,129 @@ def test_point_vector_layer():
         lax.PointVectorLayer().build(sites, [(0, 1)])
 
 
+def _parse_lines(polylines: list[str]):
+    """Parse polyline strings sharing one site table; returns (sites,
+    edges in input order, vertex-path lookup for expected strings)."""
+    sites: list[tuple[float, float, float]] = []
+    index: dict[tuple[float, float, float], int] = {}
+    edges: list[tuple[int, int]] = []
+
+    def site(tok: str) -> int:
+        la, ln = (float(v) for v in tok.split(":"))
+        x, y, z = ci.latlng_to_xyz(np.radians(la), np.radians(ln))
+        key = (float(x), float(y), float(z))
+        if key not in index:
+            index[key] = len(sites)
+            sites.append(key)
+        return index[key]
+
+    for line in polylines:
+        ids = [site(tok.strip()) for tok in line.split(",")]
+        if len(ids) == 1:
+            edges.append((ids[0], ids[0]))
+        for i in range(len(ids) - 1):
+            edges.append((ids[i], ids[i + 1]))
+
+    def path(line: str) -> list[int]:
+        return [site(tok.strip()) for tok in line.split(",")]
+
+    return np.asarray(sites, dtype=np.float64), edges, path
+
+
 def test_polyline_vector_layer_paths():
-    # two maximal paths through a shared junction
+    # PATH semantics: chains break at every vertex with in/out degree
+    # != 1, so a junction splits all three chains
+    # (S2BuilderGraph.java:1227 buildPaths).
     sites, _, _, _ = _parse("0:0; 0:1; 0:2; 1:1")
     layer = lax.PolylineVectorLayer()
     lines = layer.build(sites, [(0, 1), (1, 2), (3, 1)])
-    assert sorted(len(p) for p in lines) == [2, 3]
+    assert sorted(len(p) for p in lines) == [2, 2, 2]
+    # WALK extends through the junction: one 3-vertex walk remains
+    # (S2BuilderGraph.java:1282 buildWalks).
+    walks = lax.PolylineVectorLayer(polyline_type=lax.WALK).build(
+        sites, [(0, 1), (1, 2), (3, 1)])
+    assert sorted(len(p) for p in walks) == [2, 3]
     # sibling discard empties a back-and-forth pair
     lines2 = lax.PolylineVectorLayer(sibling_pairs=lax.DISCARD).build(
         sites, [(0, 1), (1, 0)]
     )
     assert lines2 == []
+
+
+def test_polyline_vector_layer_joining_directed():
+    # S2PolylineVectorLayerTest.testJoiningPolylines (directed case):
+    # polylines join through degree-1/1 vertices, output in input order.
+    sites, edges, path = _parse_lines(["1:1, 2:2", "3:3, 2:2", "0:0, 1:1"])
+    lines = lax.PolylineVectorLayer().build(sites, edges)
+    assert lines == [path("3:3, 2:2"), path("0:0, 1:1, 2:2")]
+
+
+def test_polyline_vector_layer_joining_undirected():
+    # S2PolylineVectorLayerTest.testJoiningPolylines (undirected case):
+    # one chain, direction chosen so the first edge entered the builder
+    # before the last.
+    sites, edges, path = _parse_lines(["1:1, 2:2", "3:3, 2:2", "0:0, 1:1"])
+    lines = lax.PolylineVectorLayer(edge_type=lax.UNDIRECTED).build(
+        sites, edges)
+    assert lines == [path("3:3, 2:2, 1:1, 0:0")]
+    # degenerate input polyline is discarded
+    sites2, edges2, path2 = _parse_lines(["1:1, 2:2", "3:3, 2:2", "1:1"])
+    lines2 = lax.PolylineVectorLayer(edge_type=lax.UNDIRECTED).build(
+        sites2, edges2)
+    assert lines2 == [path2("1:1, 2:2, 3:3")]
+
+
+def test_polyline_vector_layer_segment_network_unchanged():
+    # S2PolylineVectorLayerTest.testSegmentNetwork: a complex network of
+    # polylines meeting at shared vertices round-trips unchanged under
+    # PATH (idempotency).
+    network = [
+        "0:0, 1:1, 2:2",
+        "2:2, 2:3, 2:4",
+        "2:4, 3:4, 4:4",
+        "2:2, 3:2, 4:2",
+        "4:2, 4:3, 4:4",
+        "1:0, 2:2",
+        "0:1, 2:2",
+        "5:4, 4:4",
+        "4:5, 4:4",
+        "2:4, 2:5, 1:5, 1:4, 2:4",
+        "4:2, 6:1, 5:0",
+        "4:2, 7:0, 6:-1",
+        "11:1, 11:0, 10:0, 10:1, 11:1",
+    ]
+    sites, edges, path = _parse_lines(network)
+    lines = lax.PolylineVectorLayer().build(sites, edges)
+    assert lines == [path(p) for p in network]
+
+
+def test_polyline_vector_layer_multiple_intersecting_walks():
+    # S2PolylineVectorLayerTest.testMultipleIntersectingWalks: WALK
+    # idempotency for polylines sharing edges and loops.
+    walks_in = [
+        "5:5, 5:6, 6:5, 5:5, 5:4, 5:3",
+        "4:4, 5:5, 6:5, 5:6, 5:5, 5:6, 6:5, 5:5, 4:5",
+        "3:5, 5:5, 5:6, 6:5, 5:5, 5:6, 6:6, 7:7",
+    ]
+    sites, edges, path = _parse_lines(walks_in)
+    lines = lax.PolylineVectorLayer(polyline_type=lax.WALK).build(
+        sites, edges)
+    assert lines == [path(p) for p in walks_in]
+
+
+def test_polyline_vector_layer_early_walk_termination():
+    # S2PolylineVectorLayerTest.testEarlyWalkTermination: earlier input
+    # polylines terminating mid-walk force non-maximal walks.
+    walks_in = [
+        "0:1, 1:1",
+        "1:0, 1:1, 1:2",
+        "0:2, 1:2, 2:2",
+        "2:1, 2:2, 2:3",
+    ]
+    sites, edges, path = _parse_lines(walks_in)
+    lines = lax.PolylineVectorLayer(polyline_type=lax.WALK).build(
+        sites, edges)
+    assert lines == [path(p) for p in walks_in]
 
 
 def test_process_edges_semantics():
