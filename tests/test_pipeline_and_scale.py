@@ -668,3 +668,77 @@ def test_equal_weight_boundaries_interpolates_within_cell():
     assert len(inside) >= 3, (boundaries, rmin, rmax)
     # boundaries strictly increasing
     assert boundaries == sorted(set(boundaries))
+
+
+def test_streaming_geofence_matches_batch(spark, tmp_path):
+    """Stream-static geofence join: streaming hits over a file-source
+    stream bit-match the batch pip_join on the same rows, and the
+    watermarked windowed counts roll those hits up per (window, fence)."""
+    import datetime as dt
+
+    from s2_geometry_library_java_spark.kernel import region as rg
+    from s2_geometry_library_java_spark.operators import pip
+    from s2_geometry_library_java_spark.streaming import geofence
+
+    fences = {
+        "a": rg.Polygon.from_text("0:0, 0:10, 10:10, 10:0"),
+        "b": rg.Polygon.from_text("20:20, 20:30, 30:30, 30:20"),
+    }
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for k in range(120):
+        if k % 3 == 0:
+            lat, lng = 5.0 + (k % 7) * 0.3, 5.0 + (k % 11) * 0.3  # inside a
+        elif k % 3 == 1:
+            lat, lng = 25.0 + (k % 5) * 0.4, 25.0 + (k % 13) * 0.2  # inside b
+        else:
+            lat, lng = -40.0, 100.0  # outside both
+        rows.append((base + dt.timedelta(seconds=k), k % 10, lat, lng))
+    schema = "event_time timestamp, entity_id long, lat double, lng double"
+    src = str(tmp_path / "geofence_events")
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    hits = geofence.geofence_hits(spark, stream, fences)
+    q = (
+        hits.writeStream.format("memory")
+        .queryName("t_geofence_hits")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_time"], r["point_id"], r["polygon_id"])
+        for r in spark.sql("SELECT * FROM t_geofence_hits").collect()
+    }
+    # batch oracle: the same join run as a plain batch DataFrame op
+    want_pairs = {
+        (r["point_id"], r["polygon_id"])
+        for r in pip.pip_join(
+            spark, batch_df.withColumn("id", F.monotonically_increasing_id()),
+            fences, point_id="entity_id",
+        ).collect()
+    }
+    assert {(p, pid) for _, p, pid in got} == want_pairs
+    assert len(got) == 80  # 40 events in each fence, every event once
+    # windowed counts finalize per fence under availableNow
+    counts = geofence.streaming_geofence_counts(
+        spark, spark.readStream.schema(schema).parquet(src), fences,
+        window="1 minute", watermark="10 seconds",
+    )
+    q2 = (
+        counts.writeStream.format("memory")
+        .queryName("t_geofence_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "gf_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    crows = spark.sql(
+        "SELECT polygon_id, sum(n_events) AS n FROM t_geofence_counts GROUP BY polygon_id"
+    ).collect()
+    assert {r["polygon_id"]: r["n"] for r in crows} == {"a": 40, "b": 40}
