@@ -301,12 +301,16 @@ def connected_components(
             .distinct()
         )
 
+    e_cnt = e.count()
     for _ in range(max_iter):
         nxt = small_star(large_star(e)).localCheckpoint()
-        if nxt.count() == e.count() and nxt.exceptAll(e).isEmpty():
+        nxt_cnt = nxt.count()
+        # counts equal + multiset difference empty == exact convergence;
+        # each round's count is carried forward, never recomputed
+        if nxt_cnt == e_cnt and nxt.exceptAll(e).isEmpty():
             e = nxt
             break
-        e = nxt
+        e, e_cnt = nxt, nxt_cnt
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
