@@ -1,0 +1,139 @@
+"""Sequence packing for training-data pipelines.
+
+Two operators a 100-TB pretraining pipeline needs after token counting
+(operators/textstats.py):
+
+- ``with_chunk_assignments``: concat-and-chunk. Documents are
+  concatenated in a deterministic global order and cut into fixed
+  ``budget``-token context windows; documents may straddle a boundary
+  (the downstream loader resets attention masks at doc boundaries).
+  Each doc's window span is a pure function of the exact global prefix
+  sum of token counts — computed here with a two-phase distributed
+  prefix sum (NO single-task global window): range-partition by the
+  order key, windowed cumsum within each partition, then add the
+  driver-cumulated per-partition offsets back via a broadcast join.
+  The driver state is one row per partition — O(partitions), not
+  O(rows) — so the shape survives 10^12 docs.
+
+- ``greedy_pack``: whole-document bin packing. Documents never split;
+  within each shard, docs are packed first-fit in id order into packs
+  of at most ``budget`` tokens (an oversized doc gets its own pack).
+  The per-shard fill state is inherently sequential, so it runs as one
+  Arrow pass per shard (applyInPandas) — shards are the parallelism
+  unit, exactly how packing runs in production loaders.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def with_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in ``order_col`` order
+    (inclusive), without a global single-task window.
+
+    REQUIRES: ``order_col`` values are unique (ties would make "global
+    order" ambiguous). The range partitioner's sampled boundaries don't
+    affect the result: offsets are computed from actual partition
+    contents, and range partitioning guarantees inter-partition order.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"
+        )
+    ranged = df.repartitionByRange(int(num_partitions), F.col(order_col))
+    local = ranged.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local_cum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    local = local.localCheckpoint()  # pin partitioning: offsets must
+    # describe the same physical partitions the rows carry in _pid
+    totals = {
+        r["_pid"]: r["t"]
+        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    )
+    return (
+        local.join(off_df, "_pid")
+        .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+def with_chunk_assignments(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "re_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adds (tok_start, chunk_first, chunk_last): the doc's byte-exact
+    placement when all docs are concatenated in ``id_col`` order and cut
+    every ``budget`` tokens. Zero-token docs sit at their offset and
+    span the single chunk containing it."""
+    out = with_prefix_sum(
+        df, id_col, tokens_col, out_col="_cum", num_partitions=num_partitions
+    )
+    start = F.col("_cum") - F.col(tokens_col)
+    last_tok = F.greatest(F.col("_cum") - 1, start)  # empty doc -> start
+    b = int(budget)
+    # integer DIV, not floor(double /): token offsets are exact int64 and
+    # must stay exact past 2^53 at trillion-doc scale
+    return (
+        out.withColumn("tok_start", start.cast("long"))
+        .withColumn("_last_tok", last_tok.cast("long"))
+        .withColumn("chunk_first", F.expr(f"tok_start DIV {b}"))
+        .withColumn("chunk_last", F.expr(f"_last_tok DIV {b}"))
+        .drop("_cum", "_last_tok")
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    budget: int,
+    shard_col: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "re_tokens",
+) -> DataFrame:
+    """(shard, id, pack_id, pack_fill): first-fit greedy packing in
+    ``id_col`` order within each shard; docs never split; a doc larger
+    than ``budget`` occupies its own pack. One Arrow pass per shard."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        fills, packs = [], []
+        fill, pack_id = 0, 0
+        for t in pdf[tokens_col].astype("int64"):
+            if fill > 0 and fill + t > budget:
+                pack_id += 1
+                fill = 0
+            fill += int(t)
+            packs.append(pack_id)
+            fills.append(fill)
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        pdf["pack_fill"] = pd.Series(fills, dtype="int64")
+        return pdf[[shard_col, id_col, "pack_id", "pack_fill"]]
+
+    out_schema = (
+        f"{shard_col} long, {id_col} long, pack_id long, pack_fill long"
+    )
+    return df.select(shard_col, id_col, tokens_col).groupBy(shard_col).applyInPandas(
+        pack, out_schema
+    )

@@ -25,7 +25,7 @@ from .kernel import cellid as s2
 from .kernel import coverer as cov
 from .kernel import region as rg
 from .kernel import sphere
-from .operators import dedup, knn, pip, similarity, textstats, tiling, tolerant
+from .operators import dedup, knn, packing, pip, similarity, textstats, tiling, tolerant
 from .sources import docs as docsrc
 from .sources import geo, tables
 from .localdf import local_df
@@ -2225,9 +2225,18 @@ def q_simhash_oracle() -> str:
     """
 
 
+PACK_BUDGET = 512  # tokens per training context window
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text stats + concat-and-chunk context-window placement
+    (operators/packing.with_chunk_assignments: exact distributed prefix
+    sum of re_tokens in id order, chunked every PACK_BUDGET tokens)."""
     d = tables.load_table(spark, sf_dir, "documents")
-    return textstats.doc_stats(d, "doc_id", "text")
+    stats = textstats.doc_stats(d, "doc_id", "text")
+    return packing.with_chunk_assignments(
+        stats, PACK_BUDGET, id_col="id", tokens_col="re_tokens"
+    )
 
 
 def q_doc_stats_oracle() -> str:
@@ -2241,8 +2250,8 @@ def q_doc_stats_oracle() -> str:
     return f"""
     WITH base AS (SELECT doc_id AS id, text,
         string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
-        FROM documents)
-    SELECT id,
+        FROM documents),
+    stats AS (SELECT id,
       {ws} AS ws_tokens,
       len(regexp_extract_all(lower(text), '{textstats.TOKEN_REGEX}')) AS re_tokens,
       {sw} AS stopwords,
@@ -2258,6 +2267,14 @@ def q_doc_stats_oracle() -> str:
             i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
         (acc, c) -> (acc * 31 + c) % 2147483647) END AS fingerprint
     FROM base
+    """ + f"""
+    ), cum AS (SELECT *, sum(re_tokens) OVER (ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM stats)
+    SELECT * EXCLUDE (c),
+      CAST(c - re_tokens AS BIGINT) AS tok_start,
+      CAST((c - re_tokens) // {PACK_BUDGET} AS BIGINT) AS chunk_first,
+      CAST(greatest(c - 1, c - re_tokens) // {PACK_BUDGET} AS BIGINT) AS chunk_last
+    FROM cum
     """
 
 
