@@ -695,6 +695,42 @@ class PolylineBuilder:
         return polylines
 
 
+class PolylineLayer:
+    """S2PolylineLayer.java:139-185: assemble ALL edges into a single
+    polyline via WALK assembly (duplicates/siblings KEPT, degenerates
+    discarded — S2PolylineLayer.java:124-132); raises ValueError
+    (BUILDER_EDGES_DO_NOT_FORM_POLYLINE) if the edges form more than
+    one walk. Empty input -> empty polyline."""
+
+    def __init__(self, edge_type: str = DIRECTED):
+        self.edge_type = edge_type
+
+    def build(
+        self, sites: np.ndarray, edges: list[tuple[int, int]]
+    ) -> list[int]:
+        g_edges, g_ids, sibling = _build_graph_with_ids(
+            edges,
+            edge_type=self.edge_type,
+            degenerate_edges=DISCARD,
+            sibling_pairs=KEEP,
+            duplicate_edges=KEEP,
+        )
+        if not g_edges:
+            return []
+        builder = PolylineBuilder(
+            g_edges, g_ids, directed=self.edge_type == DIRECTED,
+            sibling_map=sibling)
+        walks = builder.build_walks()
+        if len(walks) != 1:
+            raise ValueError(
+                "BUILDER_EDGES_DO_NOT_FORM_POLYLINE: input edges cannot "
+                "be assembled into polyline")
+        chain = walks[0]
+        verts = [g_edges[chain[0]][0]]
+        verts.extend(g_edges[eid][1] for eid in chain)
+        return verts
+
+
 class PolylineVectorLayer:
     """S2PolylineVectorLayer.java:51-270: assemble edges into polyline
     vertex chains. Options mirror the reference defaults (DIRECTED

@@ -346,3 +346,64 @@ def test_process_edges_semantics():
     assert lax.process_edges([(0, 1), (1, 0)],
                              sibling_pairs=lax.DISCARD_EXCESS) == [
         (0, 1), (1, 0)]
+
+
+def _single_polyline(lines: list[str], edge_type: str = lax.DIRECTED):
+    sites, edges, path = _parse_lines(lines)
+    return lax.PolylineLayer(edge_type=edge_type).build(sites, edges), path
+
+
+def test_polyline_layer_unchanged_fixtures():
+    # S2PolylineLayerTest: one edge, backtracking lines, simple loop, and
+    # the many-overlapping-loops walk must all round-trip unchanged.
+    fixtures = [
+        "3:4, 10:7",
+        "0:0, 1:0, 0:0, 1:0",
+        "0:0, 1:0, 2:0, 1:0",
+        "0:0, 1:0, 2:0, 1:0, 2:0",
+        "0:0, 1:0, 2:0, 1:0, 2:0, 3:0",
+        "0:0, 1:0, 2:0, 1:0, 0:0, 1:0, 2:0",
+        "0:0, 1:0, 2:0, 3:0, 2:0, 1:0, 2:0, 3:0",
+        "0:0, 1:0, 2:0, 1:0, 0:0, 1:0, 2:0, 3:0",
+        "0:0, 1:0, 2:0, 3:0, 2:0, 1:0, 2:0, 3:0, 4:0",
+        "0:0, 0:5, 5:5, 5:0, 0:0",
+        "0:0, 2:2, 2:4, 2:2, 2:4, 4:4, 4:2, 2:2, 4:4, 4:2, 2:2, 2:0, 2:2, "
+        "2:0, 4:0, 2:2, 4:2, 2:2, 0:2, 0:4, 2:2, 0:4, 0:2, 2:2, 0:4, 2:2, "
+        "0:2, 2:2, 0:0, 0:2, 2:2, 0:0",
+    ]
+    for fx in fixtures:
+        got, path = _single_polyline([fx])
+        assert got == path(fx), fx
+
+
+def test_polyline_layer_early_walk_termination_end_loop():
+    # S2PolylineLayerTest.testEarlyWalkTerminationWithEndLoop2: the walk
+    # terminates early (one edge), then is maximized with a 2-edge loop.
+    got, path = _single_polyline(["0:0, 0:1", "0:2, 0:1", "0:1, 0:2"])
+    assert got == path("0:0, 0:1, 0:2, 0:1")
+
+
+def test_polyline_layer_unordered_loops():
+    # S2PolylineLayerTest.testUnorderedLoops: 5 diagonally-touching
+    # squares reordered into one unbroken polyline.
+    got, path = _single_polyline(
+        [
+            "3:3, 3:2, 2:2, 2:3, 3:3",
+            "1:0, 0:0, 0:1, 1:1, 1:0",
+            "3:1, 3:0, 2:0, 2:1, 3:1",
+            "1:3, 1:2, 0:2, 0:1, 1:3",
+            "1:1, 1:2, 2:2, 2:1, 1:1",
+        ]
+    )
+    assert got == path(
+        "3:3, 3:2, 2:2, 2:1, 3:1, 3:0, 2:0, 2:1, 1:1, 1:0, 0:0, "
+        "0:1, 1:1, 1:2, 0:2, 0:1, 1:3, 1:2, 2:2, 2:3, 3:3"
+    )
+
+
+def test_polyline_layer_rejects_disconnected():
+    sites, edges, _ = _parse_lines(["0:0, 1:0", "5:5, 6:5"])
+    with pytest.raises(ValueError, match="DO_NOT_FORM_POLYLINE"):
+        lax.PolylineLayer().build(sites, edges)
+    # empty input -> empty polyline (S2PolylineLayer.java:145-148)
+    assert lax.PolylineLayer().build(sites, []) == []
