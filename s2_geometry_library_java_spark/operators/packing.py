@@ -87,22 +87,31 @@ def with_chunk_assignments(
     """Adds (tok_start, chunk_first, chunk_last): the doc's byte-exact
     placement when all docs are concatenated in ``id_col`` order and cut
     every ``budget`` tokens. Zero-token docs sit at their offset and
-    span the single chunk containing it."""
-    out = with_prefix_sum(
-        df, id_col, tokens_col, out_col="_cum", num_partitions=num_partitions
+    span the single chunk containing it.
+
+    The prefix sum runs over a SLIM (id, tokens) projection and the
+    placements join back on ``id_col``: the range-repartition sampling
+    pass and the offset materialization only ever touch two integer
+    columns, never the document payload — at 10^12 docs the wide table
+    crosses no extra shuffle for its cumsum (one equi-join attaches the
+    three placement columns; AQE co-partitions it)."""
+    slim = df.select(id_col, tokens_col)
+    cum = with_prefix_sum(
+        slim, id_col, tokens_col, out_col="_cum", num_partitions=num_partitions
     )
     start = F.col("_cum") - F.col(tokens_col)
     last_tok = F.greatest(F.col("_cum") - 1, start)  # empty doc -> start
     b = int(budget)
     # integer DIV, not floor(double /): token offsets are exact int64 and
     # must stay exact past 2^53 at trillion-doc scale
-    return (
-        out.withColumn("tok_start", start.cast("long"))
+    placed = (
+        cum.withColumn("tok_start", start.cast("long"))
         .withColumn("_last_tok", last_tok.cast("long"))
         .withColumn("chunk_first", F.expr(f"tok_start DIV {b}"))
         .withColumn("chunk_last", F.expr(f"_last_tok DIV {b}"))
-        .drop("_cum", "_last_tok")
+        .select(id_col, "tok_start", "chunk_first", "chunk_last")
     )
+    return df.join(placed, id_col)
 
 
 def greedy_pack(

@@ -43,6 +43,8 @@ class CheckpointedPipeline:
         fn: Callable[[], DataFrame],
         input_fingerprint: str,
         partition_by: list[str] | None = None,
+        rows_in: int | None = None,
+        cells_col: str | None = None,
     ) -> DataFrame:
         """Run-or-resume one stage.
 
@@ -50,6 +52,11 @@ class CheckpointedPipeline:
         the stage's inputs (upstream stage fingerprints + parameters); a
         matching digest on disk means the checkpoint is valid and the stage
         is skipped entirely (metadata-only read).
+
+        ``rows_in`` (caller-supplied input cardinality) and ``cells_col``
+        (the stage's emitted S2 cell-id column, if any) feed the lineage
+        record's rows-in / cells-emitted metrics; cell counts ride the same
+        per-partition aggregation pass as rows_out (no extra shuffle).
         """
         data_path = self._data_path(name)
         prior = self.lineage(name)
@@ -64,19 +71,41 @@ class CheckpointedPipeline:
         writer.parquet(data_path)
 
         out = self.spark.read.parquet(data_path)
+        aggs = [F.count("*").alias("rows_out")]
+        if cells_col is not None and cells_col in out.columns:
+            aggs.append(F.count(cells_col).alias("cells_emitted"))
+            aggs.append(
+                F.approx_count_distinct(cells_col).alias("cells_distinct")
+            )
         per_part = (
             out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
+            .agg(*aggs)
             .collect()
         )
         rows = [(int(r["partition_id"]), int(r["rows_out"])) for r in per_part]
         total = sum(r for _, r in rows) or 1
         mean = total / max(len(rows), 1)
         skew = (max((r for _, r in rows), default=0) / mean) if mean else 0.0
+        cells_emitted = (
+            sum(int(r["cells_emitted"]) for r in per_part)
+            if cells_col is not None and cells_col in out.columns
+            else None
+        )
+        cells_distinct = (
+            # per-partition HLL maxes understate the global distinct; the
+            # max over partitions is a cheap lower bound that needs no
+            # second aggregation pass — lineage metrics, not query results
+            max((int(r["cells_distinct"]) for r in per_part), default=0)
+            if cells_col is not None and cells_col in out.columns
+            else None
+        )
         record = {
             "stage": name,
             "input_fingerprint": input_fingerprint,
+            "rows_in": rows_in,
             "rows_out": total,
+            "cells_emitted": cells_emitted,
+            "cells_distinct_lb": cells_distinct,
             "n_partitions": len(rows),
             "skew_factor": round(skew, 3),
             "partitions": rows,
@@ -97,7 +126,10 @@ class CheckpointedPipeline:
                 (
                     r["stage"],
                     r["input_fingerprint"],
+                    r.get("rows_in"),
                     r["rows_out"],
+                    r.get("cells_emitted"),
+                    r.get("cells_distinct_lb"),
                     r["n_partitions"],
                     float(r["skew_factor"]),
                     r["completed_at"],
@@ -105,6 +137,7 @@ class CheckpointedPipeline:
             )
         return self.spark.createDataFrame(
             recs,
-            "stage string, input_fingerprint string, rows_out long, "
+            "stage string, input_fingerprint string, rows_in long, "
+            "rows_out long, cells_emitted long, cells_distinct_lb long, "
             "n_partitions int, skew_factor double, completed_at string",
         )

@@ -32,6 +32,32 @@ def test_checkpointed_pipeline_resume(spark, tmp_path):
     m = pl.metrics().collect()
     assert m[0]["rows_out"] == 100 and m[0]["skew_factor"] >= 1.0
 
+    # rows-in / cells-emitted lineage (north rule: metrics tables carry
+    # rows in/out, cells emitted, skew factor)
+    from s2_geometry_library_java_spark.functions import udfs
+
+    def tile():
+        return (
+            spark.range(50)
+            .select(
+                F.col("id"),
+                (F.col("id") % 5 + 10.0).alias("lat"),
+                (F.col("id") % 7 + 20.0).alias("lng"),
+            )
+            .withColumn(
+                "cell", udfs.cell_id_from_latlng_deg(F.col("lat"), F.col("lng"), 10)
+            )
+        )
+
+    pl.stage("s2", tile, "fp-t1", rows_in=100, cells_col="cell")
+    rec = pl.lineage("s2")
+    assert rec["rows_in"] == 100 and rec["rows_out"] == 50
+    assert rec["cells_emitted"] == 50
+    assert 1 <= rec["cells_distinct_lb"] <= 35  # 5x7 latlng grid
+    m2 = {r["stage"]: r for r in pl.metrics().collect()}
+    assert m2["s2"]["cells_emitted"] == 50 and m2["s2"]["rows_in"] == 100
+    assert m2["s1"]["cells_emitted"] is None and m2["s1"]["rows_in"] is None
+
 
 def test_density_partitioner(spark):
     from s2_geometry_library_java_spark.functions import udfs
