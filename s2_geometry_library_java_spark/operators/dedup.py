@@ -12,7 +12,7 @@ every operator here is hash-verifiable end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _c(col) -> Column:
@@ -184,6 +184,62 @@ def ngram_jaccard_pairs(
             >= F.lit(threshold_pct) * (F.col("na") + F.col("nb") - F.col("common"))
         )
         .select("a", "b", "common", (F.col("na") + F.col("nb") - F.col("common")).alias("union_sz"))
+    )
+
+
+def repeated_window_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, tok_start, tok_end, n_windows): maximal token spans covered
+    by ``w``-token windows whose exact content occurs in >= ``min_docs``
+    distinct documents — the within-corpus repeated-passage finder
+    ("exact substring dedup" a la Lee et al., Deduplicating Training
+    Data Makes Language Models Better, on word tokens). Downstream
+    filters cut the flagged span, not the whole document.
+
+    100-TB shape: two shuffles, no pairwise blowup. (1) window hashes
+    groupBy with a partial-aggregated distinct-doc count — cardinality
+    is distinct windows, never (doc, doc) pairs (contrast suffix-array
+    implementations that materialize overlap pairs); (2) the corpus
+    windows semi-join the duplicated-hash set on an 8-byte key, then
+    island merging (adjacent/overlapping windows coalesce, gap > w
+    splits) runs inside an (id)-partitioned window — the document is the
+    natural partition unit, no cross-doc state, one sort per doc.
+    """
+    words = df.select(_c(id_col).alias("id"), normalized_words(text_col).alias("w"))
+    wins = words.select(
+        "id", F.posexplode(shingles_from_words("w", w)).alias("pos", "sh")
+    ).select("id", "pos", hash32("sh", 77).alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    byid = Window.partitionBy("id").orderBy("pos")
+    flagged = (
+        wins.join(dup, "h")
+        .select("id", "pos")
+        .withColumn(
+            "_gap",
+            F.when(F.col("pos") - F.lag("pos").over(byid) > w, F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("_island", F.sum("_gap").over(byid))
+    )
+    return (
+        flagged.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("tok_start"),
+            (F.max("pos") + w).alias("tok_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("id", "tok_start", "tok_end", "n_windows")
     )
 
 

@@ -2165,16 +2165,64 @@ def q_covering_tokens_oracle() -> str:
 # ===========================================================================
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: exact full-document dedup (md5 groupBy) + exact
+    repeated-substring spans (operators/dedup.repeated_window_spans,
+    Lee-et-al-style 8-token window dedup with island merging) over docs
+    plus their truncated twins. kind='doc' rows carry (key=content_md5,
+    x=group_size, y=canonical_id); kind='span' rows carry (x=tok_start,
+    y=tok_end, z=n_windows)."""
     d = tables.load_table(spark, sf_dir, "documents")
-    return dedup.exact_duplicates(d, "doc_id", "text")
+    exact = dedup.exact_duplicates(d, "doc_id", "text").select(
+        F.lit("doc").alias("kind"),
+        "id",
+        F.col("content_md5").alias("key"),
+        F.col("group_size").cast("long").alias("x"),
+        F.col("canonical_id").cast("long").alias("y"),
+        F.lit(0).cast("long").alias("z"),
+    )
+    spans = dedup.repeated_window_spans(
+        _docs_with_near_dups(spark, sf_dir), "doc_id", "text", w=8
+    ).select(
+        F.lit("span").alias("kind"),
+        "id",
+        F.lit("").alias("key"),
+        F.col("tok_start").cast("long").alias("x"),
+        F.col("tok_end").cast("long").alias("y"),
+        F.col("n_windows").cast("long").alias("z"),
+    )
+    return exact.unionByName(spans)
 
 
 def q_dedup_exact_oracle() -> str:
-    return """
-    WITH h AS (SELECT doc_id AS id, md5(lower(text)) AS content_md5 FROM documents),
+    h8 = oracle.md5_hash32_sql("array_to_string(list_slice(w, i, i + 7), ' ')", 77)
+    return f"""
+    WITH {_DOCS_DUP_SQL},
+    h AS (SELECT doc_id AS id, md5(lower(text)) AS content_md5 FROM documents),
     g AS (SELECT content_md5, COUNT(*) AS group_size, MIN(id) AS canonical_id
-          FROM h GROUP BY 1)
-    SELECT h.id, h.content_md5, g.group_size, g.canonical_id FROM h JOIN g USING (content_md5)
+          FROM h GROUP BY 1),
+    words AS (SELECT doc_id AS id,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM docs_dup),
+    hashed AS (SELECT id, i - 1 AS pos, {h8} AS hh
+               FROM (SELECT id, w, unnest(range(1, greatest(len(w) - 6, 1))) AS i
+                     FROM words)),
+    dups AS (SELECT hh FROM hashed GROUP BY hh HAVING COUNT(DISTINCT id) >= 2),
+    gaps AS (SELECT id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+             THEN 1 ELSE 0 END AS gap
+        FROM hashed JOIN dups USING (hh)),
+    isl AS (SELECT id, pos,
+        sum(gap) OVER (PARTITION BY id ORDER BY pos) AS island FROM gaps),
+    spans AS (SELECT id, MIN(pos) AS tok_start, MAX(pos) + 8 AS tok_end,
+        COUNT(*) AS n_windows FROM isl GROUP BY id, island)
+    SELECT 'doc' AS kind, h.id, h.content_md5 AS key,
+           CAST(g.group_size AS BIGINT) AS x, CAST(g.canonical_id AS BIGINT) AS y,
+           CAST(0 AS BIGINT) AS z
+    FROM h JOIN g USING (content_md5)
+    UNION ALL
+    SELECT 'span' AS kind, id, '' AS key, CAST(tok_start AS BIGINT) AS x,
+           CAST(tok_end AS BIGINT) AS y, CAST(n_windows AS BIGINT) AS z
+    FROM spans
     """
 
 
