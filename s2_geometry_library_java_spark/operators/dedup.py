@@ -299,6 +299,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min node id
     reachable — the canonical duplicate-cluster representative.
@@ -316,6 +317,16 @@ def connected_components(
 
     Convergence is detected exactly (count + exceptAll emptiness), not by
     hash. Raises after ``max_iter`` rounds — 25 covers n ~ 2^25 splits.
+
+    Auto small-graph short circuit (same pattern as booleanops'
+    SMALL_SHAPES_THRESHOLD guard): the deduped edge count is already
+    computed to seed convergence detection, so when it is at most
+    ``small_graph_threshold`` the component assignment runs as one
+    driver-side union-find over the collected edge list — identical
+    output, ~6 fewer Spark jobs per star round. The collect is bounded
+    by the THRESHOLD, never the corpus: above it the fully distributed
+    star contraction runs unconditionally (pass 0 to disable the short
+    circuit entirely).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -326,6 +337,36 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    e_cnt = e.count()
+    if small_graph_threshold and e_cnt <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for row in e.collect():
+            u, v = row["u"], row["v"]
+            nodes.add(u)
+            nodes.add(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:  # min id becomes the root = the component label
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        # every endpoint gets a row, roots as (r, r) — same contract as
+        # the distributed path's both(e) aggregation
+        assign = sorted((x, find(x)) for x in nodes)
+        utype = e.schema["u"].dataType.simpleString()
+        from ..localdf import local_df
+
+        return local_df(
+            e.sparkSession, assign, f"id {utype}, component {utype}"
+        )
 
     def both(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -357,7 +398,6 @@ def connected_components(
             .distinct()
         )
 
-    e_cnt = e.count()
     for _ in range(max_iter):
         nxt = small_star(large_star(e)).localCheckpoint()
         nxt_cnt = nxt.count()

@@ -77,35 +77,32 @@ class CheckpointedPipeline:
             aggs.append(
                 F.approx_count_distinct(cells_col).alias("cells_distinct")
             )
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
+        # rollup = per-partition rows PLUS one grand-total row (null
+        # partition_id) in the same pass: the total row carries the global
+        # HLL distinct estimate, the detail rows feed the skew factor
+        all_rows = (
+            out.withColumn("partition_id", F.spark_partition_id())
+            .rollup("partition_id")
             .agg(*aggs)
             .collect()
         )
+        per_part = [r for r in all_rows if r["partition_id"] is not None]
+        grand = next(r for r in all_rows if r["partition_id"] is None)
         rows = [(int(r["partition_id"]), int(r["rows_out"])) for r in per_part]
-        total = sum(r for _, r in rows) or 1
+        total = int(grand["rows_out"]) or 1
         mean = total / max(len(rows), 1)
         skew = (max((r for _, r in rows), default=0) / mean) if mean else 0.0
-        cells_emitted = (
-            sum(int(r["cells_emitted"]) for r in per_part)
-            if cells_col is not None and cells_col in out.columns
-            else None
-        )
-        cells_distinct = (
-            # per-partition HLL maxes understate the global distinct; the
-            # max over partitions is a cheap lower bound that needs no
-            # second aggregation pass — lineage metrics, not query results
-            max((int(r["cells_distinct"]) for r in per_part), default=0)
-            if cells_col is not None and cells_col in out.columns
-            else None
-        )
+        has_cells = cells_col is not None and cells_col in out.columns
+        cells_emitted = int(grand["cells_emitted"]) if has_cells else None
+        # global HLL estimate (~2% rsd) — a lineage metric, not a result
+        cells_distinct = int(grand["cells_distinct"]) if has_cells else None
         record = {
             "stage": name,
             "input_fingerprint": input_fingerprint,
             "rows_in": rows_in,
             "rows_out": total,
             "cells_emitted": cells_emitted,
-            "cells_distinct_lb": cells_distinct,
+            "cells_distinct_est": cells_distinct,
             "n_partitions": len(rows),
             "skew_factor": round(skew, 3),
             "partitions": rows,
@@ -129,7 +126,7 @@ class CheckpointedPipeline:
                     r.get("rows_in"),
                     r["rows_out"],
                     r.get("cells_emitted"),
-                    r.get("cells_distinct_lb"),
+                    r.get("cells_distinct_est"),
                     r["n_partitions"],
                     float(r["skew_factor"]),
                     r["completed_at"],
@@ -138,6 +135,6 @@ class CheckpointedPipeline:
         return self.spark.createDataFrame(
             recs,
             "stage string, input_fingerprint string, rows_in long, "
-            "rows_out long, cells_emitted long, cells_distinct_lb long, "
+            "rows_out long, cells_emitted long, cells_distinct_est long, "
             "n_partitions int, skew_factor double, completed_at string",
         )

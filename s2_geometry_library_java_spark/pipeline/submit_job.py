@@ -70,10 +70,13 @@ def main():
     if bad:
         raise AssertionError(f"span-sequence invariant violated for {bad} docs")
 
+    n_spans_in = spans.count()
     tiled = pl.stage(
         "tiled",
         lambda: tiling.tile_points(spans, level=args.tile_level),
         fingerprint(src_fp, f"level={args.tile_level}"),
+        rows_in=n_spans_in,
+        cells_col="tile",
     )
     hits = pl.stage(
         "pip",
@@ -99,6 +102,7 @@ def main():
             )
         ),
         fingerprint(src_fp, f"level={args.tile_level}", "polygons=v1", "rollup"),
+        cells_col="tile",
     )
     print(f"rollup rows: {rollup.count()}")
     pl.metrics().show(truncate=False)

@@ -40,12 +40,18 @@ def _union_find(pairs):
 
 def _check(spark, pairs):
     edges = spark.createDataFrame(pairs, "a: long, b: long")
-    got = {
-        (r["id"], r["component"])
-        for r in connected_components(edges, "a", "b").collect()
-    }
     want = set(_union_find(pairs).items())
-    assert got == want
+    # both execution paths must agree with the oracle: the auto
+    # small-graph union-find short circuit (default) and the fully
+    # distributed star contraction (threshold 0 disables the guard)
+    for thresh in (200_000, 0):
+        got = {
+            (r["id"], r["component"])
+            for r in connected_components(
+                edges, "a", "b", small_graph_threshold=thresh
+            ).collect()
+        }
+        assert got == want, f"threshold={thresh}"
 
 
 def test_chain(spark):

@@ -53,7 +53,7 @@ def test_checkpointed_pipeline_resume(spark, tmp_path):
     rec = pl.lineage("s2")
     assert rec["rows_in"] == 100 and rec["rows_out"] == 50
     assert rec["cells_emitted"] == 50
-    assert 1 <= rec["cells_distinct_lb"] <= 35  # 5x7 latlng grid
+    assert 20 <= rec["cells_distinct_est"] <= 50  # ~35 distinct, HLL approx
     m2 = {r["stage"]: r for r in pl.metrics().collect()}
     assert m2["s2"]["cells_emitted"] == 50 and m2["s2"]["rows_in"] == 100
     assert m2["s1"]["cells_emitted"] is None and m2["s1"]["rows_in"] is None
