@@ -5,7 +5,9 @@ integer outputs so DuckDB oracles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import normalized_words
 
 # Tiny English stopword list shared with the oracle (keep sorted & stable).
 STOPWORDS = ["a", "and", "by", "for", "in", "of", "on", "or", "the", "to", "with"]
@@ -94,6 +96,65 @@ def fingerprint64(text, modulus: int = 2147483647, base: int = 31) -> Column:
     )
     # sequence(1, 0) would count DOWN in Spark; guard the empty string.
     return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(agg)
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary: global top-k words by total count, ties broken by
+    word ascending; returns (word, n, rank) with rank 1..k.
+
+    Scale shape: explode -> groupBy(word) with map-side partial counts (the
+    only shuffle is keyed by word, cardinality = vocab size, NOT corpus
+    size), then orderBy().limit(k) — Spark plans that as
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows per
+    partition), never a full sort. The rank window runs over the k-row
+    result only.
+    """
+    words = (
+        df.select(normalized_words(text_col).alias("w"))
+        .select(F.explode("w").alias("word"))
+        .where(F.col("word") != "")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
+    rank_w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(rank_w))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Per-document top-n keywords by an integer-exact TF-IDF variant.
+
+    idf here is the raw reciprocal document frequency (no log), quantized
+    so the score is exact integer arithmetic on both engines:
+    ``score_q = (tf * 1_000_000) div doc_freq`` — Spark ``DIV`` ==
+    DuckDB ``//`` on non-negative longs, so the gate hash-matches without
+    any float in the pipeline (same mirrored-algorithm rule as the other
+    approximate operators). Ranking within a doc by tf/df is the
+    idf-without-log member of the standard TF-IDF family.
+
+    Scale shape: one shuffle for (id, word) term counts (map-side combine),
+    one word-keyed aggregation for document frequency (vocab-sized output —
+    AQE broadcasts it back onto the term table when small), one id-keyed
+    window for the per-doc top-n. No step is corpus-pairwise.
+    """
+    tf = (
+        df.select(_c(id_col).alias("id"), normalized_words(text_col).alias("w"))
+        .select("id", F.explode("w").alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(dfreq, "word").withColumn(
+        "score_q", F.expr("tf * 1000000 DIV doc_freq")
+    )
+    rank_w = Window.partitionBy("id").orderBy(F.desc("score_q"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= top_n)
+        .select("id", "word", "tf", "doc_freq", "score_q", "rank")
+    )
 
 
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -2168,9 +2168,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union: exact full-document dedup (md5 groupBy) + exact
     repeated-substring spans (operators/dedup.repeated_window_spans,
     Lee-et-al-style 8-token window dedup with island merging) over docs
-    plus their truncated twins. kind='doc' rows carry (key=content_md5,
-    x=group_size, y=canonical_id); kind='span' rows carry (x=tok_start,
-    y=tok_end, z=n_windows)."""
+    plus their truncated twins, + corpus vocabulary top-k + per-doc
+    TF-IDF keywords (operators/textstats.vocab_topk / tfidf_top_terms).
+    kind='doc' rows carry (key=content_md5, x=group_size, y=canonical_id);
+    kind='span' rows carry (x=tok_start, y=tok_end, z=n_windows);
+    kind='vocab' rows carry (id=rank, key=word, x=n);
+    kind='tfidf' rows carry (id=doc, key=word, x=score_q, y=doc_freq,
+    z=rank)."""
     d = tables.load_table(spark, sf_dir, "documents")
     exact = dedup.exact_duplicates(d, "doc_id", "text").select(
         F.lit("doc").alias("kind"),
@@ -2190,7 +2194,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok_end").cast("long").alias("y"),
         F.col("n_windows").cast("long").alias("z"),
     )
-    return exact.unionByName(spans)
+    vocab = textstats.vocab_topk(d, "text", k=25).select(
+        F.lit("vocab").alias("kind"),
+        F.col("rank").cast("long").alias("id"),
+        F.col("word").alias("key"),
+        F.col("n").cast("long").alias("x"),
+        F.lit(0).cast("long").alias("y"),
+        F.lit(0).cast("long").alias("z"),
+    )
+    tfidf = textstats.tfidf_top_terms(d, "doc_id", "text", top_n=3).select(
+        F.lit("tfidf").alias("kind"),
+        "id",
+        F.col("word").alias("key"),
+        F.col("score_q").cast("long").alias("x"),
+        F.col("doc_freq").cast("long").alias("y"),
+        F.col("rank").cast("long").alias("z"),
+    )
+    return exact.unionByName(spans).unionByName(vocab).unionByName(tfidf)
 
 
 def q_dedup_exact_oracle() -> str:
@@ -2214,7 +2234,22 @@ def q_dedup_exact_oracle() -> str:
     isl AS (SELECT id, pos,
         sum(gap) OVER (PARTITION BY id ORDER BY pos) AS island FROM gaps),
     spans AS (SELECT id, MIN(pos) AS tok_start, MAX(pos) + 8 AS tok_end,
-        COUNT(*) AS n_windows FROM isl GROUP BY id, island)
+        COUNT(*) AS n_windows FROM isl GROUP BY id, island),
+    cw AS (SELECT doc_id AS id, unnest(
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +')
+        ) AS word FROM documents),
+    vc AS (SELECT word, COUNT(*) AS n FROM cw WHERE word <> '' GROUP BY 1),
+    vtop AS (SELECT word, n,
+        row_number() OVER (ORDER BY n DESC, word) AS rank
+        FROM vc ORDER BY n DESC, word LIMIT 25),
+    tf AS (SELECT id, word, COUNT(*) AS tf FROM cw WHERE word <> ''
+        GROUP BY 1, 2),
+    dfq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    sc AS (SELECT id, word, tf.tf, doc_freq,
+        (tf.tf * 1000000) // doc_freq AS score_q
+        FROM tf JOIN dfq USING (word)),
+    rk AS (SELECT *, row_number() OVER
+        (PARTITION BY id ORDER BY score_q DESC, word) AS rank FROM sc)
     SELECT 'doc' AS kind, h.id, h.content_md5 AS key,
            CAST(g.group_size AS BIGINT) AS x, CAST(g.canonical_id AS BIGINT) AS y,
            CAST(0 AS BIGINT) AS z
@@ -2223,6 +2258,14 @@ def q_dedup_exact_oracle() -> str:
     SELECT 'span' AS kind, id, '' AS key, CAST(tok_start AS BIGINT) AS x,
            CAST(tok_end AS BIGINT) AS y, CAST(n_windows AS BIGINT) AS z
     FROM spans
+    UNION ALL
+    SELECT 'vocab' AS kind, CAST(rank AS BIGINT) AS id, word AS key,
+           CAST(n AS BIGINT) AS x, CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS z
+    FROM vtop
+    UNION ALL
+    SELECT 'tfidf' AS kind, id, word AS key, CAST(score_q AS BIGINT) AS x,
+           CAST(doc_freq AS BIGINT) AS y, CAST(rank AS BIGINT) AS z
+    FROM rk WHERE rank <= 3
     """
 
 
