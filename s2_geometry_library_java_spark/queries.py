@@ -25,7 +25,17 @@ from .kernel import cellid as s2
 from .kernel import coverer as cov
 from .kernel import region as rg
 from .kernel import sphere
-from .operators import dedup, knn, packing, pip, similarity, textstats, tiling, tolerant
+from .operators import (
+    dedup,
+    knn,
+    packing,
+    pip,
+    sessions,
+    similarity,
+    textstats,
+    tiling,
+    tolerant,
+)
 from .sources import docs as docsrc
 from .sources import geo, tables
 from .localdf import local_df
@@ -2960,7 +2970,25 @@ def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("running_n").alias("v3"),
         F.lit(0).cast("long").alias("v4"),
     )
-    return pricing.unionByName(nation).unionByName(users).unionByName(windows)
+    ev = tables.load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    sess = sessions.session_stats(
+        ev, "user_id", "ts", "event_id", gap_seconds=21600, cents_col=cents
+    ).select(
+        F.lit("session").alias("gate"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("session_seq").cast("string").alias("k2"),
+        F.col("n_events").alias("v1"),
+        F.col("first_ts").alias("v2"),
+        F.col("last_ts").alias("v3"),
+        F.col("value_cents").alias("v4"),
+    )
+    return (
+        pricing.unionByName(nation)
+        .unionByName(users)
+        .unionByName(windows)
+        .unionByName(sess)
+    )
 
 
 def q_relational_suite_oracle() -> str:
@@ -2980,6 +3008,29 @@ def q_relational_suite_oracle() -> str:
            CAST(rn AS BIGINT), COALESCE(CAST(prev_event AS BIGINT), -1),
            CAST(running_n AS BIGINT), 0
     FROM ({q_event_windows_oracle()})
+    UNION ALL
+    SELECT 'session', CAST(user_id AS VARCHAR), CAST(session_seq AS VARCHAR),
+           n_events, first_ts, last_ts, value_cents
+    FROM (
+      WITH lagged AS (
+        SELECT user_id, event_id, value, ts, epoch_ms(ts) // 1000 AS ts_s,
+               lag(epoch_ms(ts) // 1000) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 21600
+                       THEN 1 ELSE 0 END AS brk
+        FROM lagged),
+      seq AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged)
+      SELECT user_id, session_seq, COUNT(*) AS n_events,
+             CAST(MIN(ts_s) AS BIGINT) AS first_ts,
+             CAST(MAX(ts_s) AS BIGINT) AS last_ts,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM seq GROUP BY 1, 2)
     """
 
 
