@@ -201,6 +201,85 @@ def quantized_vec(vec) -> Column:
     )
 
 
+def quantized_dot(a, b) -> Column:
+    """Exact BIGINT inner product of two quantized (array<bigint>) columns.
+
+    Integer addition is associative, so unlike the float dots above there
+    is no sequential-order caveat — any engine, any aggregation order,
+    identical result. Components are |q| <= ~2^20, so a 64-dim product sum
+    stays far below 2^63."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    rescore: int = 0,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score_q) top-k by maximum inner
+    product over fixed-point-quantized vectors (the int8-rescore pattern
+    from large-scale embedding pipelines, at 2^20 fixed-point precision).
+
+    Scores are exact BIGINTs, so the result is engine-reproducible
+    bit-for-bit — the compressed index is the thing a 100-TB deployment
+    would actually scan (quantized vectors are 8 bytes/dim of BIGINT here
+    standing in for 1 byte/dim int8; the plan shape is identical and the
+    scan never shuffles — queries broadcast, one window per query id).
+
+    With ``rescore = m > 0``: keep the top m by quantized score, then
+    re-rank those m candidates by exact float cosine (the standard
+    two-stage retrieve-then-rescore). The rescore stage touches only
+    q x m rows.
+    """
+    q = F.broadcast(
+        queries.select(
+            _c(id_col).alias("query_id"),
+            quantized_vec(vec_col).alias("qq"),
+            _c(vec_col).alias("qv"),
+        )
+    )
+    x = index.select(
+        _c(id_col).alias("neighbor_id"),
+        quantized_vec(vec_col).alias("qx"),
+        _c(vec_col).alias("xv"),
+    )
+    scored = q.join(x, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        quantized_dot("qq", "qx").alias("score_q"),
+        "qv",
+        "xv",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("neighbor_id")
+    )
+    if not rescore:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score_q")
+        )
+    cand = scored.withColumn("crank", F.row_number().over(w)).where(
+        F.col("crank") <= int(rescore)
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("sim", cosine("qv", "xv"))
+        .withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_q")
+    )
+
+
 def _sum_vectors(members: DataFrame, dim: int) -> DataFrame:
     """(centroid_id, cv) elementwise BIGINT sum of quantized member vectors.
 

@@ -2380,9 +2380,31 @@ def q_doc_stats_oracle() -> str:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: kind='exact' float-cosine brute-force top-k +
+    kind='quant' fixed-point scalar-quantized max-inner-product top-k
+    (similarity.quantized_topk — the compressed-index retrieval stage of
+    the int8-rescore pattern; scores are exact BIGINTs)."""
     emb = tables.load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return similarity.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    exact = similarity.cosine_topk_bruteforce(
+        emb, queries, "vec_id", "embedding", k=5
+    ).select(
+        F.lit("exact").alias("kind"),
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        F.lit(0).cast("long").alias("score_q"),
+    )
+    quant = similarity.quantized_topk(
+        emb, queries, "vec_id", "embedding", k=5
+    ).select(
+        F.lit("quant").alias("kind"),
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "score_q",
+    )
+    return exact.unionByName(quant)
 
 
 def q_ann_topk_oracle() -> str:
@@ -2394,6 +2416,17 @@ def q_ann_topk_oracle() -> str:
     qdot = dot.format(a="q.embedding", b="x.embedding")
     qn = dot.format(a="q.embedding", b="q.embedding")
     xn = dot.format(a="x.embedding", b="x.embedding")
+    scale = float(1 << 20)
+    quant = (
+        "list_transform({v}, "
+        f"e -> CAST(round(CAST(e AS DOUBLE) * {scale!r}) AS BIGINT))"
+    )
+    qd = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_zip({quant.format(v='q.embedding')}, "
+        f"{quant.format(v='x.embedding')}), "
+        "s -> s[1] * s[2])), (x, y) -> x + y)"
+    )
     return f"""
     WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
     scored AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
@@ -2401,8 +2434,21 @@ def q_ann_topk_oracle() -> str:
         FROM q CROSS JOIN embeddings x WHERE q.vec_id <> x.vec_id),
     ranked AS (SELECT query_id, neighbor_id,
         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        FROM scored)
-    SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        FROM scored),
+    qscored AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+        {qd} AS score_q
+        FROM q CROSS JOIN embeddings x WHERE q.vec_id <> x.vec_id),
+    qranked AS (SELECT query_id, neighbor_id, score_q,
+        row_number() OVER (PARTITION BY query_id
+            ORDER BY score_q DESC, neighbor_id) AS rank
+        FROM qscored)
+    SELECT 'exact' AS kind, query_id, CAST(rank AS BIGINT) AS rank,
+           neighbor_id, CAST(0 AS BIGINT) AS score_q
+    FROM ranked WHERE rank <= 5
+    UNION ALL
+    SELECT 'quant' AS kind, query_id, CAST(rank AS BIGINT) AS rank,
+           neighbor_id, score_q
+    FROM qranked WHERE rank <= 5
     """
 
 
