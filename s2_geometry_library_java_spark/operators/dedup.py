@@ -87,7 +87,7 @@ def minhash_signatures(
     return ex.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -95,14 +95,10 @@ def lsh_candidate_pairs(
     band_rows: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs (a < b): docs sharing any band.
-
-    Bands become equi-join keys — the scalable path: the self-join is a
-    shuffle on band values, never a cross join.
-    """
+    """(id, band) rows: each doc exploded to its MinHash-LSH band keys."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     n_bands = n_hashes // band_rows
-    bands = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -117,6 +113,22 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (a < b): docs sharing any band.
+
+    Bands become equi-join keys — the scalable path: the self-join is a
+    shuffle on band values, never a cross join.
+    """
+    bands = band_table(df, id_col, text_col, n_hashes, band_rows, shingle_n)
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -287,6 +299,63 @@ def ngram_contamination(
         .agg(F.count_distinct(F.col("sh")).alias("collisions"))
         .where(F.col("collisions") >= min_collisions)
         .select("doc_id", "bench_id", "collisions", "bench_size")
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus (the steady-state
+    ingestion shape: the corpus is petabytes, the day's batch is not).
+
+    One row per batch doc: (id, verdict, match_id) with verdict 'exact'
+    (corpus holds the identical content hash), 'near' (shares at least one
+    MinHash-LSH band with a corpus doc), or 'new'; match_id is the smallest
+    matching corpus id (exact tier wins), -1 for new docs.
+
+    Scale shape: the corpus never self-joins and never shuffles for the
+    probes — the batch's hash table and band table are broadcast onto the
+    corpus scans, and the only shuffles are the min-match aggregations
+    keyed by BATCH id (map-side combine, output bounded by the batch).
+    """
+    bh = batch.select(
+        _c(id_col).alias("id"), F.md5(F.lower(_c(text_col))).alias("h")
+    )
+    ch = corpus.select(
+        _c(id_col).alias("cid"), F.md5(F.lower(_c(text_col))).alias("h")
+    )
+    exact = (
+        ch.join(F.broadcast(bh), "h")
+        .groupBy("id")
+        .agg(F.min("cid").alias("exact_id"))
+    )
+    cb = band_table(
+        corpus, id_col, text_col, n_hashes, band_rows, shingle_n
+    ).withColumnRenamed("id", "cid")
+    bb = band_table(batch, id_col, text_col, n_hashes, band_rows, shingle_n)
+    near = (
+        cb.join(F.broadcast(bb), "band")
+        .groupBy("id")
+        .agg(F.min("cid").alias("near_id"))
+    )
+    base = batch.select(_c(id_col).alias("id"))
+    out = base.join(exact, "id", "left").join(near, "id", "left")
+    verdict = (
+        F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+        .when(F.col("near_id").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("new"))
+    )
+    match_id = F.coalesce(
+        F.col("exact_id"), F.col("near_id"), F.lit(-1)
+    ).cast("long")
+    return out.select(
+        "id", verdict.alias("verdict"), match_id.alias("match_id")
     )
 
 

@@ -2220,11 +2220,52 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_freq").cast("long").alias("y"),
         F.col("rank").cast("long").alias("z"),
     )
-    return exact.unionByName(spans).unionByName(vocab).unionByName(tfidf)
+    # incremental tier: a synthetic "day's batch" derived from the corpus —
+    # exact copies (doc_id%7==0), truncated twins (%7==1), junk (%7==2) —
+    # deduped AGAINST the corpus (operators/dedup.incremental_dedup).
+    mod7 = F.col("doc_id") % 7
+    bid = (F.col("doc_id") + 5000000).alias("doc_id")
+    b_exact = d.where(mod7 == 0).select(bid, "text")
+    b_near = d.where(mod7 == 1).select(
+        bid,
+        F.col("text")
+        .substr(F.lit(1), F.greatest(F.length("text") - 60, F.lit(1)))
+        .alias("text"),
+    )
+    b_new = d.where(mod7 == 2).select(bid, F.lit("qj qj qj qj qj").alias("text"))
+    batch = b_exact.unionByName(b_near).unionByName(b_new)
+    incr = dedup.incremental_dedup(d, batch, "doc_id", "text").select(
+        F.lit("incr").alias("kind"),
+        "id",
+        F.col("verdict").alias("key"),
+        F.col("match_id").alias("x"),
+        F.lit(0).cast("long").alias("y"),
+        F.lit(0).cast("long").alias("z"),
+    )
+    return (
+        exact.unionByName(spans)
+        .unionByName(vocab)
+        .unionByName(tfidf)
+        .unionByName(incr)
+    )
 
 
 def q_dedup_exact_oracle() -> str:
     h8 = oracle.md5_hash32_sql("array_to_string(list_slice(w, i, i + 7), ' ')", 77)
+    mins = ", ".join(
+        f"MIN({oracle.md5_hash32_sql('sh', s)}) AS mh_{s}" for s in range(8)
+    )
+
+    def bands_sql(sig: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT id, CAST({b} AS VARCHAR) || '_' || "
+            f"CAST(mh_{2 * b} AS VARCHAR) || '_' || "
+            f"CAST(mh_{2 * b + 1} AS VARCHAR) AS band FROM {sig}"
+            for b in range(4)
+        )
+
+    cband_sql = bands_sql("csig")
+    bband_sql = bands_sql("bsig")
     return f"""
     WITH {_DOCS_DUP_SQL},
     h AS (SELECT doc_id AS id, md5(lower(text)) AS content_md5 FROM documents),
@@ -2259,7 +2300,41 @@ def q_dedup_exact_oracle() -> str:
         (tf.tf * 1000000) // doc_freq AS score_q
         FROM tf JOIN dfq USING (word)),
     rk AS (SELECT *, row_number() OVER
-        (PARTITION BY id ORDER BY score_q DESC, word) AS rank FROM sc)
+        (PARTITION BY id ORDER BY score_q DESC, word) AS rank FROM sc),
+    batch AS (
+        SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 5000000, substr(text, 1, greatest(length(text) - 60, 1))
+        FROM documents WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 5000000, 'qj qj qj qj qj'
+        FROM documents WHERE doc_id % 7 = 2),
+    cwv AS (SELECT doc_id AS id,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM documents),
+    cshv AS (SELECT id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM cwv),
+    csig AS (SELECT id, {mins} FROM cshv GROUP BY id),
+    cbands AS ({cband_sql}),
+    bwv AS (SELECT doc_id AS id,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM batch),
+    bshv AS (SELECT id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM bwv),
+    bsig AS (SELECT id, {mins} FROM bshv GROUP BY id),
+    bbands AS ({bband_sql}),
+    bhsh AS (SELECT doc_id AS id, md5(lower(text)) AS h FROM batch),
+    ex AS (SELECT bhsh.id, MIN(h2.id) AS exact_id
+           FROM bhsh JOIN h h2 ON h2.content_md5 = bhsh.h GROUP BY 1),
+    nr AS (SELECT b.id, MIN(c.id) AS near_id
+           FROM bbands b JOIN cbands c ON b.band = c.band GROUP BY 1),
+    incr AS (SELECT b.id,
+        CASE WHEN exact_id IS NOT NULL THEN 'exact'
+             WHEN near_id IS NOT NULL THEN 'near'
+             ELSE 'new' END AS verdict,
+        COALESCE(exact_id, near_id, -1) AS match_id
+        FROM (SELECT doc_id AS id FROM batch) b
+        LEFT JOIN ex USING (id) LEFT JOIN nr USING (id))
     SELECT 'doc' AS kind, h.id, h.content_md5 AS key,
            CAST(g.group_size AS BIGINT) AS x, CAST(g.canonical_id AS BIGINT) AS y,
            CAST(0 AS BIGINT) AS z
@@ -2276,6 +2351,10 @@ def q_dedup_exact_oracle() -> str:
     SELECT 'tfidf' AS kind, id, word AS key, CAST(score_q AS BIGINT) AS x,
            CAST(doc_freq AS BIGINT) AS y, CAST(rank AS BIGINT) AS z
     FROM rk WHERE rank <= 3
+    UNION ALL
+    SELECT 'incr' AS kind, id, verdict AS key, CAST(match_id AS BIGINT) AS x,
+           CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS z
+    FROM incr
     """
 
 
