@@ -157,6 +157,43 @@ def tfidf_top_terms(
     )
 
 
+def quality_columns(
+    text,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_word_len: int = 40,
+    min_quality: int = 50,
+    langs: tuple = ("en",),
+) -> tuple:
+    """(keep, reason) Column pair for rule-based quality filtering — the
+    C4/Gopher-style cleaning pass. ``reason`` is the FIRST failing rule in
+    a fixed order (too_short, too_long, long_word, low_quality, lang), ''
+    when the doc is kept. Every comparison is integer-exact, so the DuckDB
+    oracle twin agrees bit-for-bit."""
+    ntok = whitespace_token_count(text)
+    t = F.trim(_c(text))
+    longest = F.when(t == "", F.lit(0)).otherwise(
+        F.array_max(F.transform(F.split(t, "\\s+"), lambda w: F.length(w)))
+    )
+    reason = (
+        F.when(ntok < min_tokens, F.lit("too_short"))
+        .when(ntok > max_tokens, F.lit("too_long"))
+        .when(longest > max_word_len, F.lit("long_word"))
+        .when(quality_score(text) < min_quality, F.lit("low_quality"))
+        .when(~lang_guess(text).isin(*langs), F.lit("lang"))
+        .otherwise(F.lit(""))
+    )
+    return (reason == "").alias("keep"), reason.alias("reason")
+
+
+def quality_filter(df: DataFrame, id_col: str, text_col: str, **opts) -> DataFrame:
+    """(id, keep, reason) per document: pure Column, zero shuffle — the
+    filter itself is `WHERE keep`; the reason column is what a production
+    pipeline logs/aggregates for drop-rate monitoring."""
+    keep, reason = quality_columns(text_col, **opts)
+    return df.select(_c(id_col).alias("id"), keep, reason)
+
+
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The full text-stats row: one pass, no shuffle at all."""
     return df.select(

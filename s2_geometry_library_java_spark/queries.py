@@ -2411,12 +2411,16 @@ PACK_BUDGET = 512  # tokens per training context window
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text stats + concat-and-chunk context-window placement
     (operators/packing.with_chunk_assignments: exact distributed prefix
-    sum of re_tokens in id order, chunked every PACK_BUDGET tokens)."""
+    sum of re_tokens in id order, chunked every PACK_BUDGET tokens) +
+    rule-based quality filter verdicts (textstats.quality_filter:
+    first-failing-rule reason codes, zero-shuffle Columns)."""
     d = tables.load_table(spark, sf_dir, "documents")
     stats = textstats.doc_stats(d, "doc_id", "text")
-    return packing.with_chunk_assignments(
+    packed = packing.with_chunk_assignments(
         stats, PACK_BUDGET, id_col="id", tokens_col="re_tokens"
     )
+    qual = textstats.quality_filter(d, "doc_id", "text")
+    return packed.join(qual, "id")
 
 
 def q_doc_stats_oracle() -> str:
@@ -2445,16 +2449,27 @@ def q_doc_stats_oracle() -> str:
         list_prepend(CAST(0 AS BIGINT),
           list_transform(range(1, length(text) + 1),
             i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
-        (acc, c) -> (acc * 31 + c) % 2147483647) END AS fingerprint
+        (acc, c) -> (acc * 31 + c) % 2147483647) END AS fingerprint,
+      CASE WHEN trim(text) = '' THEN 0
+           ELSE list_max(list_transform(string_split_regex(trim(text), '\\s+'),
+                x -> length(x))) END AS longest
     FROM base
     """ + f"""
     ), cum AS (SELECT *, sum(re_tokens) OVER (ORDER BY id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM stats)
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM stats),
+    final AS (
     SELECT * EXCLUDE (c),
       CAST(c - re_tokens AS BIGINT) AS tok_start,
       CAST((c - re_tokens) // {PACK_BUDGET} AS BIGINT) AS chunk_first,
-      CAST(greatest(c - 1, c - re_tokens) // {PACK_BUDGET} AS BIGINT) AS chunk_last
-    FROM cum
+      CAST(greatest(c - 1, c - re_tokens) // {PACK_BUDGET} AS BIGINT) AS chunk_last,
+      CASE WHEN ws_tokens < 5 THEN 'too_short'
+           WHEN ws_tokens > 100000 THEN 'too_long'
+           WHEN longest > 40 THEN 'long_word'
+           WHEN quality < 50 THEN 'low_quality'
+           WHEN lang_guess NOT IN ('en') THEN 'lang'
+           ELSE '' END AS reason
+    FROM cum)
+    SELECT * EXCLUDE (longest, reason), reason, reason = '' AS keep FROM final
     """
 
 
