@@ -30,6 +30,7 @@ from .operators import (
     knn,
     packing,
     pip,
+    sampling,
     sessions,
     similarity,
     textstats,
@@ -3070,6 +3071,20 @@ def q_ann_lsh_oracle() -> str:
     """
 
 
+# Training-mix gate parameters: 50/25/15/10 over four sources, 37 rows.
+# Uncapped at every SF (max quota 18 < 25 docs/source), so the allocation
+# is a pure function of (weights, total) and the SQL oracle can inline the
+# same counts computed by the same code.
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.10}
+MIX_TOTAL = 37
+
+
+def _mix_counts() -> dict:
+    return sampling.mixture_allocation(
+        {k: 1 << 30 for k in MIX_WEIGHTS}, MIX_WEIGHTS, MIX_TOTAL
+    )
+
+
 def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.I merged: the four plain relational gates (TPC-H Q1-style pricing
     summary, 4-way join nation revenue, event aggregation, window functions)
@@ -3123,15 +3138,38 @@ def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_ts").alias("v3"),
         F.col("value_cents").alias("v4"),
     )
+    # training-mix tier: largest-remainder apportionment + hash-ranked
+    # without-replacement draw (operators/sampling.mixture_sample). The
+    # budget is sized so availability caps never bind at any SF (every
+    # source holds >= 25 docs); the capped/redistribution path is
+    # pytest-covered (test_mixture_sampling.py).
+    d = tables.load_table(spark, sf_dir, "documents")
+    mix = sampling.mixture_sample(
+        d, MIX_WEIGHTS, MIX_TOTAL, "source", "doc_id", seed=9
+    ).select(
+        F.lit("mix").alias("gate"),
+        F.col("source").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("n_chars").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.lit(0).cast("long").alias("v4"),
+    )
     return (
         pricing.unionByName(nation)
         .unionByName(users)
         .unionByName(windows)
         .unionByName(sess)
+        .unionByName(mix)
     )
 
 
 def q_relational_suite_oracle() -> str:
+    counts = _mix_counts()
+    mix_srcs = ", ".join(f"'{s}'" for s in sorted(MIX_WEIGHTS))
+    mix_cases = " ".join(
+        f"WHEN '{s}' THEN {counts[s]}" for s in sorted(MIX_WEIGHTS)
+    )
     return f"""
     SELECT 'pricing' AS gate, l_returnflag AS k1, l_linestatus AS k2,
            n AS v1, sum_qty AS v2, sum_price_cents AS v3, sum_disc_pct AS v4
@@ -3171,6 +3209,15 @@ def q_relational_suite_oracle() -> str:
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS value_cents
       FROM seq GROUP BY 1, 2)
+    UNION ALL
+    SELECT 'mix', source, CAST(doc_id AS VARCHAR), n_chars, 0, 0, 0
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY {sampling.hash01_sql('doc_id', 9)} ASC, doc_id ASC
+             ) AS rk
+      FROM documents WHERE source IN ({mix_srcs}))
+    WHERE rk <= CASE source {mix_cases} ELSE 0 END
     """
 
 
