@@ -157,6 +157,40 @@ def tfidf_top_terms(
     )
 
 
+def grouped_percentiles(
+    df: DataFrame, group_col: str, value_col: str, percentiles=(50, 90)
+) -> DataFrame:
+    """Exact nearest-rank percentiles per group — corpus reporting (token
+    length distribution per source, etc). (grp, pct, v, n) where v is the
+    value at ascending rank ceil(p*n/100).
+
+    Nearest-rank is chosen over interpolation because the result is a
+    value FROM the data, identical in any engine (no float interpolation
+    semantics to mirror). One shuffle keyed by group; rank, count, and
+    all percentile picks ride a single window pass (the pct labels
+    explode from a when-array, so no per-percentile rescan).
+    """
+    ranked = (
+        df.select(_c(group_col).alias("grp"), _c(value_col).alias("v"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("grp").orderBy(F.col("v").asc())))
+        .withColumn("n", F.count("*").over(Window.partitionBy("grp")))
+    )
+    picks = F.array(
+        *[
+            F.when(
+                F.col("rn") == _intdiv(F.col("n") * int(p) + 99, 100),
+                F.lit(int(p)),
+            )
+            for p in percentiles
+        ]
+    )
+    hits = F.filter(picks, lambda x: x.isNotNull())
+    return (
+        ranked.withColumn("pct", F.explode(hits))
+        .select("grp", "pct", "v", F.col("n").cast("long").alias("n"))
+    )
+
+
 def quality_columns(
     text,
     min_tokens: int = 5,

@@ -11,7 +11,7 @@ check for coarse covering cells.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import columns as cc
 from ..functions import udfs
@@ -50,6 +50,32 @@ def tile_counts(
     for key in extra_keys:
         aggs.append(F.approx_count_distinct(key).alias(f"approx_{key}"))
     return tiled.groupBy("tile").agg(*aggs)
+
+
+def tile_top_categories(
+    tiled: DataFrame, cat_col: str, k: int = 2, tile_col: str = "tile"
+) -> DataFrame:
+    """Per-tile heavy hitters: the top-k categories by count inside each
+    tile, ties broken by category ascending. (tile, cat, n, rank).
+
+    Scale shape: ONE wide shuffle keyed by (tile, cat) with map-side
+    combine collapses the corpus to the category histogram; the rank
+    window then shuffles only histogram rows (tiles x categories-present,
+    never input rows) — and Catalyst coalesces even that: partitioning by
+    (tile, cat) already clusters the window's tile key, so the plan is a
+    single Exchange. Hot tiles are bounded by category cardinality, not
+    row count.
+    """
+    hist = (
+        tiled.groupBy(F.col(tile_col).alias("tile"), F.col(cat_col).alias("cat"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("tile").orderBy(F.desc("n"), F.asc("cat"))
+    return (
+        hist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("tile", "cat", "n", "rank")
+    )
 
 
 def density_rollup(tiled: DataFrame, levels: list[int], weight_col=None) -> DataFrame:

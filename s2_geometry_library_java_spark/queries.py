@@ -349,22 +349,53 @@ def q_cell_measures_oracle() -> str:
 
 
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4/tiling: level-12 tile rollup over integer-derived points."""
+    """E4/tiling tagged union: level-12 tile rollup (kind='count') + per-tile
+    top-2 category heavy hitters (kind='topcat',
+    operators/tiling.tile_top_categories; category = k % 8 — the
+    histogram-then-rank shape whose window shuffles tiles x categories,
+    never input rows)."""
     pts = _points_from_keys(tables.load_table(spark, sf_dir, "orders"), "o_orderkey")
-    enc = pts.select(udfs.cell_id_from_face_ij("face", "i", "j").alias("leaf"))
-    return (
-        enc.select(cc.parent("leaf", 12).alias("tile"))
-        .groupBy("tile")
+    enc = pts.select("k", udfs.cell_id_from_face_ij("face", "i", "j").alias("leaf"))
+    tiled = enc.select("k", cc.parent("leaf", 12).alias("tile"))
+    counts = (
+        tiled.groupBy("tile")
         .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("count").alias("kind"),
+            "tile",
+            F.lit(-1).cast("long").alias("cat"),
+            "n",
+            F.lit(0).cast("long").alias("rank"),
+        )
     )
+    top = tiling.tile_top_categories(
+        tiled.withColumn("cat", F.col("k") % 8), "cat", k=2
+    ).select(
+        F.lit("topcat").alias("kind"),
+        "tile",
+        F.col("cat").cast("long").alias("cat"),
+        "n",
+        F.col("rank").cast("long").alias("rank"),
+    )
+    return counts.unionByName(top)
 
 
 def q_tile_counts_oracle() -> str:
     enc = oracle.hilbert_encode_sql(_pts_sql("orders", "o_orderkey"), ["k"])
-    return (
-        f"SELECT {oracle.parent_sql('cell_id', '12')} AS tile, COUNT(*) AS n "
-        f"FROM ({enc}) GROUP BY 1"
-    )
+    return f"""
+    WITH t AS (SELECT k, {oracle.parent_sql('cell_id', '12')} AS tile
+               FROM ({enc})),
+    c AS (SELECT tile, COUNT(*) AS n FROM t GROUP BY 1),
+    h AS (SELECT tile, k % 8 AS cat, COUNT(*) AS n FROM t GROUP BY 1, 2),
+    r AS (SELECT tile, cat, n, row_number() OVER
+          (PARTITION BY tile ORDER BY n DESC, cat) AS rank FROM h)
+    SELECT 'count' AS kind, tile, CAST(-1 AS BIGINT) AS cat, n,
+           CAST(0 AS BIGINT) AS rank
+    FROM c
+    UNION ALL
+    SELECT 'topcat', tile, CAST(cat AS BIGINT), n, CAST(rank AS BIGINT)
+    FROM r WHERE rank <= 2
+    """
 
 
 def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3155,12 +3186,29 @@ def q_relational_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("v3"),
         F.lit(0).cast("long").alias("v4"),
     )
+    # corpus-reporting tier: exact nearest-rank token-count percentiles per
+    # source (textstats.grouped_percentiles — one group-keyed window pass).
+    rtok = d.select(
+        F.col("source"), textstats.regex_token_count("text").alias("re_tokens")
+    )
+    pct = textstats.grouped_percentiles(
+        rtok, "source", "re_tokens", (50, 90)
+    ).select(
+        F.lit("pct").alias("gate"),
+        F.col("grp").alias("k1"),
+        F.col("pct").cast("string").alias("k2"),
+        F.col("v").cast("long").alias("v1"),
+        F.col("n").alias("v2"),
+        F.lit(0).cast("long").alias("v3"),
+        F.lit(0).cast("long").alias("v4"),
+    )
     return (
         pricing.unionByName(nation)
         .unionByName(users)
         .unionByName(windows)
         .unionByName(sess)
         .unionByName(mix)
+        .unionByName(pct)
     )
 
 
@@ -3218,6 +3266,18 @@ def q_relational_suite_oracle() -> str:
              ) AS rk
       FROM documents WHERE source IN ({mix_srcs}))
     WHERE rk <= CASE source {mix_cases} ELSE 0 END
+    UNION ALL
+    SELECT 'pct', grp, CAST(pct AS VARCHAR), CAST(v AS BIGINT), n, 0, 0
+    FROM (
+      WITH rtok AS (SELECT source AS grp,
+          len(regexp_extract_all(lower(text), '{textstats.TOKEN_REGEX}')) AS v
+          FROM documents),
+      rankedp AS (SELECT grp, v,
+          row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+          COUNT(*) OVER (PARTITION BY grp) AS n FROM rtok)
+      SELECT grp, 50 AS pct, v, n FROM rankedp WHERE rn = (n * 50 + 99) // 100
+      UNION ALL
+      SELECT grp, 90 AS pct, v, n FROM rankedp WHERE rn = (n * 90 + 99) // 100)
     """
 
 
