@@ -228,6 +228,30 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str, **opts) -> DataFra
     return df.select(_c(id_col).alias("id"), keep, reason)
 
 
+# PII patterns kept to the Java-regex / RE2 common subset so Spark and the
+# DuckDB oracle match the same spans (no lookaround, no backrefs).
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts(text) -> tuple:
+    """(n_emails, n_ipv4) Column pair: occurrences of each PII pattern."""
+    t = _c(text)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).alias("n_ipv4"),
+    )
+
+
+def redact_pii(text) -> Column:
+    """Replace every email / IPv4 occurrence with a typed placeholder —
+    the PII-scrub pass of a training-data pipeline. Pure Column regex
+    (zero shuffle); emails redact before IPs so an address inside an
+    email's domain never double-redacts."""
+    t = F.regexp_replace(_c(text), PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(t, PII_IPV4, "<IP>")
+
+
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The full text-stats row: one pass, no shuffle at all."""
     return df.select(

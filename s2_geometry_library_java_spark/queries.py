@@ -2452,7 +2452,27 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats, PACK_BUDGET, id_col="id", tokens_col="re_tokens"
     )
     qual = textstats.quality_filter(d, "doc_id", "text")
-    return packed.join(qual, "id")
+    # PII tier: inject deterministic emails/IPs into every 5th doc, then
+    # hash-check the detector counts AND the redacted-text fingerprint
+    # (textstats.pii_counts / redact_pii — pure Column regex).
+    injected = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    ne, ni = textstats.pii_counts(injected)
+    pii = d.select(
+        F.col("doc_id").alias("id"),
+        ne,
+        ni,
+        textstats.fingerprint64(textstats.redact_pii(injected)).alias("pii_fp"),
+    )
+    return packed.join(qual, "id").join(pii, "id")
 
 
 def q_doc_stats_oracle() -> str:
@@ -2500,8 +2520,30 @@ def q_doc_stats_oracle() -> str:
            WHEN quality < 50 THEN 'low_quality'
            WHEN lang_guess NOT IN ('en') THEN 'lang'
            ELSE '' END AS reason
-    FROM cum)
-    SELECT * EXCLUDE (longest, reason), reason, reason = '' AS keep FROM final
+    FROM cum),
+    inj AS (SELECT doc_id AS id,
+      CASE WHEN doc_id % 5 = 0 THEN text || ' contact user'
+           || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.'
+           || CAST(doc_id % 200 AS VARCHAR)
+           ELSE text END AS itext
+      FROM documents),
+    red AS (SELECT id, itext,
+      regexp_replace(regexp_replace(itext,
+          '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),
+          '{textstats.PII_IPV4}', '<IP>', 'g') AS rtext
+      FROM inj),
+    piistats AS (SELECT id,
+      len(regexp_extract_all(itext, '{textstats.PII_EMAIL}')) AS n_emails,
+      len(regexp_extract_all(itext, '{textstats.PII_IPV4}')) AS n_ipv4,
+      CASE WHEN length(rtext) = 0 THEN 0 ELSE list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(rtext) + 1),
+            i -> CAST(ascii(substr(rtext, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 2147483647) END AS pii_fp
+      FROM red)
+    SELECT f.* EXCLUDE (longest, reason), f.reason, f.reason = '' AS keep,
+           p.n_emails, p.n_ipv4, p.pii_fp
+    FROM final f JOIN piistats p USING (id)
     """
 
 
