@@ -507,3 +507,27 @@ def near_dup_clusters(
         .join(comp, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame, quality: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """(id, component, is_kept): mark the single best document of each
+    duplicate cluster by (quality desc, id asc) — production dedup keeps
+    the highest-quality representative, not the smallest id.
+
+    ``clusters`` is (id, component) (e.g. near_dup_clusters output);
+    ``quality`` is (id, quality). One component-keyed window over the
+    cluster table (cluster rows, never raw text), plus the id equi-join
+    to attach scores — both AQE-broadcastable when one side is small.
+    """
+    scored = clusters.join(
+        quality.select(_c(id_col).alias("id"), F.col("quality")), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("id")
+    )
+    return (
+        scored.withColumn("is_kept", F.row_number().over(w) == 1)
+        .select("id", "component", "is_kept")
+    )

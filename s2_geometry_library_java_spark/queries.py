@@ -3736,16 +3736,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (O(log n) shuffle rounds — the 100-TB dedup shape); every
     doc, including singletons, is assigned its min-reachable-id component.
     Keep-one-per-cluster is ``WHERE doc_id = component``."""
-    return dedup.near_dup_clusters(
-        _docs_with_near_dups(spark, sf_dir), "doc_id", "text",
-        n_hashes=8, band_rows=2,
-    ).select(F.col("id").alias("doc_id"), "component")
+    docs = _docs_with_near_dups(spark, sf_dir)
+    clusters = dedup.near_dup_clusters(
+        docs, "doc_id", "text", n_hashes=8, band_rows=2
+    )
+    qual = docs.select(
+        F.col("doc_id").alias("id"),
+        textstats.quality_score("text").alias("quality"),
+    )
+    return dedup.keep_best_per_cluster(clusters, qual).select(
+        F.col("id").alias("doc_id"), "component", "is_kept"
+    )
 
 
 def q_dedup_clusters_oracle() -> str:
     """Recursive-CTE transitive closure: component = MIN(id) reachable over
     the (symmetric) candidate-pair edges — the same representative rule the
-    star contraction computes."""
+    star contraction computes — plus the keep-best verdict (quality desc,
+    id asc within each component, mirroring dedup.keep_best_per_cluster)."""
+    stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    sw = f"len([x for x in wv if list_contains([{stop_list}], x)])"
+    ws = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    puncts = "len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))"
+    quality = (
+        f"least(length(text) // 20, 40)"
+        f" + greatest(least(40 - (100 * {puncts}) // greatest(length(text), 1), 40), 0)"
+        f" + least((200 * {sw}) // greatest({ws}, 1), 20)"
+    )
     return f"""
     WITH RECURSIVE pairs AS ({q_lsh_pairs_oracle()}),
     {_DOCS_DUP_SQL},
@@ -3756,9 +3776,18 @@ def q_dedup_clusters_oracle() -> str:
         UNION
         SELECT e.s, w.comp FROM edges e JOIN walk w ON w.id = e.d
     ),
-    comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id)
-    SELECT dd.doc_id, COALESCE(c.component, dd.doc_id) AS component
-    FROM docs_dup dd LEFT JOIN comp c ON c.id = dd.doc_id
+    comp AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+    assigned AS (
+        SELECT dd.doc_id, COALESCE(c.component, dd.doc_id) AS component,
+               dd.text,
+               string_split_regex(trim(regexp_replace(lower(dd.text),
+                   '[^a-z ]', ' ', 'g')), ' +') AS wv
+        FROM docs_dup dd LEFT JOIN comp c ON c.id = dd.doc_id),
+    scoredq AS (SELECT doc_id, component, {quality} AS quality FROM assigned)
+    SELECT doc_id, component,
+           row_number() OVER (PARTITION BY component
+               ORDER BY quality DESC, doc_id) = 1 AS is_kept
+    FROM scoredq
     """
 
 

@@ -137,3 +137,22 @@ def test_near_dup_clusters_assigns_every_doc(spark):
         by_comp.setdefault(c, []).append(i)
     for c, members in by_comp.items():
         assert c == min(members)
+
+
+def test_keep_best_per_cluster(spark):
+    from s2_geometry_library_java_spark.operators import dedup as dd
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "id long, component long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, 10), (9, 30), (10, 30)],
+        "id long, quality long",
+    )
+    out = {
+        r["id"]: r["is_kept"]
+        for r in dd.keep_best_per_cluster(clusters, quality).collect()
+    }
+    # cluster 1: quality tie 90/90 between 2 and 3 -> id asc keeps 2
+    assert out == {1: False, 2: True, 3: False, 7: True, 9: True, 10: False}
