@@ -114,6 +114,56 @@ def with_chunk_assignments(
     return df.join(placed, id_col)
 
 
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style overlapping token chunks: (id, chunk_idx, tok_start,
+    tok_end, n_tokens, chunk_hash) — chunk i covers word tokens
+    [i*stride, min(i*stride + window, n)); the last chunk may be short;
+    empty docs emit no chunks.
+
+    Pure Column (sequence -> transform -> explode), zero shuffle: chunking
+    is embarrassingly parallel and the fan-out happens inside the scan
+    stage. chunk_hash is the shared md5-based hash32 of the chunk's words,
+    so downstream chunk-level dedup/ANN composes directly and the DuckDB
+    oracle reproduces it bit-for-bit.
+    """
+    from .dedup import hash32, normalized_words
+
+    win, st = int(window), int(stride)
+    base = df.select(
+        F.col(id_col).alias("id"), normalized_words(text_col).alias("w")
+    ).withColumn(
+        "n",
+        F.when(F.array_join("w", "") == "", F.lit(0)).otherwise(F.size("w")),
+    )
+    n_chunks = F.when(F.col("n") == 0, F.lit(0)).otherwise(
+        (F.greatest(F.col("n") - win, F.lit(0)) + (st - 1)) / st
+    ).cast("long") + F.when(F.col("n") == 0, F.lit(0)).otherwise(F.lit(1))
+    # integer ceil((n - win)+ / st) + 1; the float division is exact for
+    # corpus-scale n (< 2^53) and floor()s via the long cast
+    chunked = base.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    ).where(F.col("n") > 0)
+    tok_start = (F.col("chunk_idx") * st).cast("long")
+    tok_end = F.least(tok_start + win, F.col("n").cast("long"))
+    words = F.slice(
+        F.col("w"), (tok_start + 1).cast("int"), (tok_end - tok_start).cast("int")
+    )
+    return chunked.select(
+        "id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+        (tok_end - tok_start).alias("n_tokens"),
+        hash32(F.array_join(words, " "), 5).alias("chunk_hash"),
+    )
+
+
 def greedy_pack(
     df: DataFrame,
     budget: int,

@@ -2274,11 +2274,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("y"),
         F.lit(0).cast("long").alias("z"),
     )
+    # RAG chunking tier (packing.sliding_chunks): overlapping 32-token
+    # windows at stride 24 over every 10th doc, chunk hashes checked.
+    chunks = packing.sliding_chunks(
+        d.where(F.col("doc_id") % 10 == 3), "doc_id", "text",
+        window=32, stride=24,
+    ).select(
+        F.lit("chunk").alias("kind"),
+        "id",
+        F.col("chunk_idx").cast("string").alias("key"),
+        F.col("tok_start").alias("x"),
+        F.col("tok_end").alias("y"),
+        F.col("chunk_hash").alias("z"),
+    )
     return (
         exact.unionByName(spans)
         .unionByName(vocab)
         .unionByName(tfidf)
         .unionByName(incr)
+        .unionByName(chunks)
     )
 
 
@@ -2298,6 +2312,9 @@ def q_dedup_exact_oracle() -> str:
 
     cband_sql = bands_sql("csig")
     bband_sql = bands_sql("bsig")
+    chash = oracle.md5_hash32_sql(
+        "array_to_string(list_slice(w, tok_start + 1, tok_end), ' ')", 5
+    )
     return f"""
     WITH {_DOCS_DUP_SQL},
     h AS (SELECT doc_id AS id, md5(lower(text)) AS content_md5 FROM documents),
@@ -2366,7 +2383,21 @@ def q_dedup_exact_oracle() -> str:
              ELSE 'new' END AS verdict,
         COALESCE(exact_id, near_id, -1) AS match_id
         FROM (SELECT doc_id AS id FROM batch) b
-        LEFT JOIN ex USING (id) LEFT JOIN nr USING (id))
+        LEFT JOIN ex USING (id) LEFT JOIN nr USING (id)),
+    chw AS (SELECT doc_id AS id,
+        string_split_regex(trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')), ' +') AS w
+        FROM documents WHERE doc_id % 10 = 3),
+    chn AS (SELECT id, w,
+        CASE WHEN array_to_string(w, '') = '' THEN 0 ELSE len(w) END AS n
+        FROM chw),
+    chx AS (SELECT id, w, n, unnest(range(0,
+        CASE WHEN n = 0 THEN 0
+             ELSE (greatest(n - 32, 0) + 23) // 24 + 1 END)) AS chunk_idx
+        FROM chn),
+    chs AS (SELECT id, chunk_idx, chunk_idx * 24 AS tok_start,
+        least(chunk_idx * 24 + 32, n) AS tok_end, w FROM chx),
+    chunks AS (SELECT id, chunk_idx, tok_start, tok_end,
+        {chash} AS chunk_hash FROM chs)
     SELECT 'doc' AS kind, h.id, h.content_md5 AS key,
            CAST(g.group_size AS BIGINT) AS x, CAST(g.canonical_id AS BIGINT) AS y,
            CAST(0 AS BIGINT) AS z
@@ -2387,6 +2418,11 @@ def q_dedup_exact_oracle() -> str:
     SELECT 'incr' AS kind, id, verdict AS key, CAST(match_id AS BIGINT) AS x,
            CAST(0 AS BIGINT) AS y, CAST(0 AS BIGINT) AS z
     FROM incr
+    UNION ALL
+    SELECT 'chunk' AS kind, id, CAST(chunk_idx AS VARCHAR) AS key,
+           CAST(tok_start AS BIGINT) AS x, CAST(tok_end AS BIGINT) AS y,
+           CAST(chunk_hash AS BIGINT) AS z
+    FROM chunks
     """
 
 

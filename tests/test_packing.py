@@ -126,3 +126,40 @@ def test_greedy_pack_matches_sequential_oracle(spark):
         total=("pack_fill", "max"), n=("doc_id", "count")
     )
     assert ((per_pack["total"] <= budget) | (per_pack["n"] == 1)).all()
+
+
+def test_sliding_chunks_boundaries(spark):
+    from s2_geometry_library_java_spark.operators import packing as pk
+
+    # 10 tokens, window 4, stride 3 -> starts 0,3,6 then ceil((10-4)/3)=2,
+    # +1 = 3 chunks: [0,4) [3,7) [6,10)
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "solo")],
+                               "doc_id long, text string")
+    rows = pk.sliding_chunks(df, "doc_id", "text", window=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["tok_start"], r["tok_end"], r["n_tokens"])
+        )
+    assert sorted(by_doc[1]) == [(0, 0, 4, 4), (1, 3, 7, 4), (2, 6, 10, 4)]
+    assert 2 not in by_doc          # empty doc emits nothing
+    assert sorted(by_doc[3]) == [(0, 0, 1, 1)]  # short doc: one short chunk
+
+
+def test_sliding_chunks_hash_is_content_hash(spark):
+    from s2_geometry_library_java_spark.operators import dedup as dd
+    from s2_geometry_library_java_spark.operators import packing as pk
+    from pyspark.sql import functions as F
+
+    # two docs sharing a token window must share that chunk's hash
+    df = spark.createDataFrame(
+        [(1, "x y z w p q"), (2, "x y z w other tail")],
+        "doc_id long, text string",
+    )
+    rows = pk.sliding_chunks(df, "doc_id", "text", window=4, stride=4).collect()
+    h = {(r["id"], r["chunk_idx"]): r["chunk_hash"] for r in rows}
+    assert h[(1, 0)] == h[(2, 0)]   # both are hash('x y z w')
+    assert h[(1, 1)] != h[(2, 1)]
+    want = df.select(dd.hash32(F.lit("x y z w"), 5).alias("h")).collect()[0]["h"]
+    assert h[(1, 0)] == want
