@@ -50,6 +50,8 @@ HEADLINE = [
     "ann_ivf",
     # round 5 additions
     "dedup_clusters",
+    "dedup_exact",
+    "relational_suite",
 ]
 
 
