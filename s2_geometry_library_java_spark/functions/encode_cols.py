@@ -89,7 +89,16 @@ def cell_id_from_face_ij_cols(face: Column, i: Column, j: Column) -> Column:
     upstream tree ~2^8 times — a plan Catalyst needs ~15 s just to
     analyze. The fold keeps ONE copy of the lambda in the plan and carries
     ``i``/``j`` in the accumulator so caller expressions are evaluated
-    once per row, not once per step."""
+    once per row, not once per step.
+
+    Engine-choice crossover (measured, single pinned core, 2M rows): this
+    fold runs ~155k rows/s (higher-order-function interpretation is not
+    whole-stage-codegen'd) vs ~1.3M rows/s for the Arrow pandas_udf path
+    (udfs.cell_id_from_face_ij; raw numpy kernel 4.66M before Arrow
+    transfer). The fold wins below ~1M rows per job (zero Python-worker
+    startup, pure-JVM plan); for bulk encodes — the 100-TB regime — the
+    Arrow path is ~8x faster per core and is what tile_points/
+    scaling_run use. Bit-identical outputs either way (tested)."""
     lut = F.lit(_LUT)
 
     def step(acc, k):
