@@ -39,15 +39,12 @@ def test_mixture_sample_exact_counts_and_determinism(spark):
     rows = [(i, f"s{i % 3}") for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     w = {"s0": 0.6, "s1": 0.3, "s2": 0.1}
-    a = sampling.mixture_sample(df, w, 50, "source", "doc_id", seed=4)
-    got = {r["source"]: 0 for r in a.collect()}
-    ids_a = sorted(r["doc_id"] for r in a.collect())
-    for r in a.collect():
-        got[r["source"]] = got.get(r["source"], 0) + 1
-    want = sampling.mixture_allocation({s: 100 for s in w}, w, 50)
+    rows_a = sampling.mixture_sample(df, w, 50, "source", "doc_id", seed=4).collect()
+    ids_a = sorted(r["doc_id"] for r in rows_a)
     counts = {}
-    for r in a.collect():
+    for r in rows_a:
         counts[r["source"]] = counts.get(r["source"], 0) + 1
+    want = sampling.mixture_allocation({s: 100 for s in w}, w, 50)
     assert counts == {k: v for k, v in want.items() if v > 0}
     # re-run picks the identical rows (hash membership, no RNG state)
     b = sampling.mixture_sample(df, w, 50, "source", "doc_id", seed=4)

