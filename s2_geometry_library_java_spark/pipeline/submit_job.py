@@ -53,8 +53,12 @@ def main():
     documents = tables.load_table(spark, args.sf_dir, "documents")
     docs = docsrc.with_spans(documents)
 
+    n_docs_in = documents.count()
     spans = pl.stage(
-        "spans", lambda: docsrc.geotagged_media_spans(docs), src_fp
+        "spans",
+        lambda: docsrc.geotagged_media_spans(docs),
+        src_fp,
+        rows_in=n_docs_in,
     )
 
     # span-sequence invariant: the exploded spans regrouped by doc must
@@ -89,6 +93,7 @@ def main():
             point_id="span_key",
         ).withColumnRenamed("point_id", "span_key"),
         fingerprint(src_fp, f"level={args.tile_level}", "polygons=v1"),
+        rows_in=n_spans_in,
     )
     rollup = pl.stage(
         "rollup",
@@ -102,6 +107,7 @@ def main():
             )
         ),
         fingerprint(src_fp, f"level={args.tile_level}", "polygons=v1", "rollup"),
+        rows_in=n_spans_in,
         cells_col="tile",
     )
     print(f"rollup rows: {rollup.count()}")
