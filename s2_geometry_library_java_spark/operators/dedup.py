@@ -138,6 +138,51 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_pairs_with_estimates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(a, b, sig_matches, est_pct): LSH candidate pairs annotated with the
+    MinHash Jaccard ESTIMATE — matching signature components out of
+    n_hashes (E[matches/n] = Jaccard). The standard filter-before-verify
+    step: exact shingle-set verification (ngram_jaccard_pairs) only runs
+    on pairs whose cheap estimate clears the bar.
+
+    One extra plan fragment over lsh_candidate_pairs: the signature table
+    joins back onto the pair list twice, keyed by doc id — pair-list
+    cardinality, never corpus-pairwise. est_pct is exact integer
+    (100 * matches DIV n_hashes -> floor), oracle-mirrorable.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(
+        df, id_col, text_col, n_hashes, band_rows, shingle_n
+    )
+    sa = sig.select(
+        F.col("id").alias("a"), *[F.col(f"mh_{s}").alias(f"a{s}") for s in range(n_hashes)]
+    )
+    sb = sig.select(
+        F.col("id").alias("b"), *[F.col(f"mh_{s}").alias(f"b{s}") for s in range(n_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(n_hashes)
+    )
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            matches.cast("long").alias("sig_matches"),
+            (matches * 100 / n_hashes).cast("long").alias("est_pct"),
+        )
+    )
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 32-bit SimHash over word hashes.
 

@@ -3736,8 +3736,10 @@ _DOCS_DUP_SQL = """
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs over docs + truncated twins."""
-    return dedup.lsh_candidate_pairs(
+    """MinHash-LSH candidate pairs over docs + truncated twins, annotated
+    with the signature-match Jaccard estimate (dedup.lsh_pairs_with_estimates
+    — the filter-before-exact-verify step)."""
+    return dedup.lsh_pairs_with_estimates(
         _docs_with_near_dups(spark, sf_dir), "doc_id", "text", n_hashes=8, band_rows=2
     )
 
@@ -3760,9 +3762,16 @@ def q_lsh_pairs_oracle() -> str:
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
            FROM words),
     sig AS (SELECT id, {mins} FROM sh GROUP BY id),
-    bands AS ({bands})
-    SELECT DISTINCT l.id AS a, r.id AS b
-    FROM bands l JOIN bands r ON l.band = r.band AND l.id < r.id
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+             FROM bands l JOIN bands r ON l.band = r.band AND l.id < r.id),
+    est AS (SELECT a, b,
+        {" + ".join(f"(CASE WHEN sa.mh_{s} = sb.mh_{s} THEN 1 ELSE 0 END)" for s in range(8))}
+        AS sig_matches
+        FROM cand JOIN sig sa ON sa.id = cand.a JOIN sig sb ON sb.id = cand.b)
+    SELECT a, b, CAST(sig_matches AS BIGINT) AS sig_matches,
+           CAST((sig_matches * 100) // 8 AS BIGINT) AS est_pct
+    FROM est
     """
 
 

@@ -156,3 +156,26 @@ def test_keep_best_per_cluster(spark):
     }
     # cluster 1: quality tie 90/90 between 2 and 3 -> id asc keeps 2
     assert out == {1: False, 2: True, 3: False, 7: True, 9: True, 10: False}
+
+
+def test_lsh_estimates(spark):
+    from s2_geometry_library_java_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),   # near
+            (4, "completely different words everywhere here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dd.lsh_pairs_with_estimates(docs, "doc_id", "text").collect()
+    est = {(r["a"], r["b"]): (r["sig_matches"], r["est_pct"]) for r in rows}
+    # identical docs share every signature component
+    assert est[(1, 2)] == (8, 100)
+    # near pair (if banded in) matches fewer than all components... but at
+    # least one band (2 components); floor division exact
+    for (a, b), (m, p) in est.items():
+        assert 0 <= m <= 8 and p == (m * 100) // 8
+    assert (1, 4) not in est and (2, 4) not in est  # unrelated: no band
