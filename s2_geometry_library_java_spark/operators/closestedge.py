@@ -18,6 +18,13 @@ per-query priority queue:
    proved by the ring bound (k-th distance <= MIN_WIDTH(L) means nothing
    outside the 3x3 ring can beat it); unfinished queries fall back to a
    brute broadcast pass over the (distinct) edge set.
+
+The whole search composes as ONE lazy plan: ring rounds, finished/unfinished
+splits and the brute remnant chain without driver-side isEmpty() round-trips
+(each of those was a full Spark job per round), so the caller's single action
+executes the complete search. A round whose ``remaining`` input is empty
+contributes an empty union branch — AQE's empty-relation propagation collapses
+it at runtime — so the result set is identical to the eager-loop form.
 """
 
 from __future__ import annotations
@@ -36,6 +43,18 @@ _EPS = float(np.finfo(np.float64).eps)
 #: fixed jobs, which only pays off when the remnant brute would otherwise be
 #: |queries| x |edges| over a large edge set.
 AUTO_COVERING_SEED_EDGES = 50_000
+
+#: index edge count at or below which the search skips the ring rounds and
+#: runs ONE exact pass: every query against the broadcast edge set + one
+#: top-k window (the DataFrame form of the reference's brute-force-under-
+#: threshold routing, S2ClosestEdgeQuery maxBruteForceIndexSize). Exact by
+#: construction — identical results to the ring search, which only accepts
+#: a query once its top-k is provably the true top-k. The ring path's fixed
+#: job count (persist + per-round join/window rounds) only amortizes on a
+#: large edge set; under the threshold one broadcast join is strictly
+#: cheaper at every scale (the candidate set is |queries| x n_edges rows,
+#: map-side, no index shuffle). Tests patch this.
+SMALL_INDEX_BRUTE_EDGES = 256
 
 
 def edge_min_chord2_cols(px, py, pz, ax, ay, az, bx, by, bz) -> Column:
@@ -285,14 +304,40 @@ def _closest_edges_impl(
     qpts = _query_points(queries, query_id, lat, lng).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # One count over the persisted index: materializes the cache every
+    # search path reads anyway, and gives the edge cardinality both routing
+    # decisions (brute-under-threshold, covering seed) want.
+    n_edges = index.count()
     if covering_seed == "auto":
-        # one count over the persisted index: materializes the cache the
-        # ring rounds need anyway, and gives the edge cardinality the
-        # routing decision wants
-        covering_seed = index.count() >= AUTO_COVERING_SEED_EDGES
+        covering_seed = n_edges >= AUTO_COVERING_SEED_EDGES
     w = Window.partitionBy("query_id").orderBy(
         F.asc("chord2"), F.asc("shape_id"), F.asc("edge_id")
     )
+    if not covering_seed and n_edges <= SMALL_INDEX_BRUTE_EDGES:
+        # Exact one-pass route: broadcast the (tiny, distinct) edge set onto
+        # the query table — no query broadcast (queries may be huge), no
+        # ring rounds, one window. Identical results to the ring search. An
+        # engaged covering seed (explicit or auto) takes precedence: the
+        # caller asked for the covering-pruned traversal.
+        edges_all = index.dropDuplicates(["shape_id", "edge_id"]).select(
+            "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"
+        )
+        return (
+            qpts.crossJoin(F.broadcast(edges_all))
+            .select(
+                "query_id",
+                "shape_id",
+                "edge_id",
+                edge_min_chord2_cols(
+                    F.col("px"), F.col("py"), F.col("pz"),
+                    F.col("ax"), F.col("ay"), F.col("az"),
+                    F.col("bx"), F.col("by"), F.col("bz"),
+                ).alias("chord2"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "shape_id", "edge_id", "chord2")
+        )
     results = None
     remaining = qpts
     if covering_seed:
@@ -329,8 +374,6 @@ def _closest_edges_impl(
             return results
     lvl = level
     for round_no in range(max_rounds):
-        if round_no > 0 and remaining.isEmpty():
-            return results
         idx_l = index.select(
             "shape_id",
             "edge_id",
@@ -397,9 +440,9 @@ def _closest_edges_impl(
         if lvl == 0:
             break
     # exact brute remnant — only queries still unfinished at the coarsest
-    # ring (expected ~none); reads the SAME persisted index
-    if remaining.isEmpty():
-        return results
+    # ring (expected ~none); reads the SAME persisted index. Unioned lazily:
+    # when every query finished in the ring rounds the remnant broadcast is
+    # empty and AQE prunes the join to nothing.
     edges_all = index.dropDuplicates(["shape_id", "edge_id"]).select(
         "shape_id", "edge_id", "ax", "ay", "az", "bx", "by", "bz"
     )

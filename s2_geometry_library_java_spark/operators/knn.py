@@ -270,8 +270,6 @@ def knn_cell_join(
     results = None
     remaining = qs2
     for round_no in range(max_rounds):
-        if round_no > 0 and remaining.isEmpty():
-            return _capped(results, max_chord2)
         # level set this round, computed driver-side: every seed level
         # decremented round_no times (a superset of the live set is fine —
         # unused levels contribute empty join keys, no extra scan)
@@ -296,7 +294,15 @@ def knn_cell_join(
             _chord2().alias("chord2"),
         )
         w = Window.partitionBy("query_id").orderBy(F.asc("chord2"), F.asc("neighbor_id"))
-        topk = cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+        # persisted (lazily): the verdict aggregation, the finished filter
+        # and the done-rows all read this round's top-k — without the cache
+        # the candidate join would re-execute once per consumer in the
+        # single-action plan
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # Completeness proof: any point OUTSIDE the 3x3 ring at level lvl is
         # at least MIN_WIDTH(lvl) away (a geodesic leaving the ring fully
         # crosses one neighbor cell, whose width >= the level minimum) — the
@@ -325,18 +331,19 @@ def knn_cell_join(
         )
         if lvls == [0]:
             break
-    # anything still unfinished: exact brute-force remnant (tiny by now)
-    if not remaining.isEmpty():
-        leftover = remaining.select("query_id", "qx", "qy", "qz")
-        x = idx.select("neighbor_id", "ix", "iy", "iz")
-        scored = F.broadcast(leftover).crossJoin(x).select(
-            "query_id", "neighbor_id", _chord2().alias("chord2")
-        )
-        w = Window.partitionBy("query_id").orderBy(F.asc("chord2"), F.asc("neighbor_id"))
-        brute = (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", "neighbor_id", "chord2")
-        )
-        results = brute if results is None else results.unionByName(brute)
+    # anything still unfinished: exact brute-force remnant (tiny by now).
+    # Unioned lazily — no isEmpty() driver job: an all-finished search
+    # broadcasts an empty remnant and AQE prunes the cross join to nothing.
+    leftover = remaining.select("query_id", "qx", "qy", "qz")
+    x = idx.select("neighbor_id", "ix", "iy", "iz")
+    scored = F.broadcast(leftover).crossJoin(x).select(
+        "query_id", "neighbor_id", _chord2().alias("chord2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("chord2"), F.asc("neighbor_id"))
+    brute = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "chord2")
+    )
+    results = brute if results is None else results.unionByName(brute)
     return _capped(results, max_chord2)
