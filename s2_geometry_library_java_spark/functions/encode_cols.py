@@ -21,13 +21,30 @@ from ..kernel.cellid import LOOKUP_POS, MAX_SIZE, POS_BITS
 
 _LUT = [int(v) for v in LOOKUP_POS]
 
+_LUT_LIT: Column | None = None
+
+
+def _lut_lit() -> Column:
+    """The 1024-entry LOOKUP_POS array as a cached Literal Column.
+
+    ``F.lit(list)`` costs ~0.8 s of py4j round-trips PER CALL for an array
+    this size — pure driver-side plan-build overhead charged to every query
+    that encodes cell ids. The Literal expression is immutable and
+    session-independent, so one instance serves every plan in the process
+    (lazy: building it needs an active JVM gateway, which doesn't exist at
+    import time)."""
+    global _LUT_LIT
+    if _LUT_LIT is None:
+        _LUT_LIT = F.lit(_LUT)
+    return _LUT_LIT
+
 
 def _lut_gather(idx: Column) -> Column:
     """LOOKUP_POS[idx] as element_at over a constant array Literal (1-based).
 
     F.lit(list) folds to a single Literal; F.array(*lits) would rebuild the
     1024-element array per row per step (measured ~10x slower)."""
-    return F.element_at(F.lit(_LUT), (idx + 1).cast("int"))
+    return F.element_at(_lut_lit(), (idx + 1).cast("int"))
 
 
 def xyz_cols(lat_deg: Column, lng_deg: Column) -> tuple[Column, Column, Column]:
@@ -99,7 +116,7 @@ def cell_id_from_face_ij_cols(face: Column, i: Column, j: Column) -> Column:
     startup, pure-JVM plan); for bulk encodes — the 100-TB regime — the
     Arrow path is ~8x faster per core and is what tile_points/
     scaling_run use. Bit-identical outputs either way (tested)."""
-    lut = F.lit(_LUT)
+    lut = _lut_lit()
 
     def step(acc, k):
         shift = (k * 4).cast("int")

@@ -267,10 +267,19 @@ def repeated_window_spans(
     splits) runs inside an (id)-partitioned window — the document is the
     natural partition unit, no cross-doc state, one sort per doc.
     """
+    from pyspark import StorageLevel
+
     words = df.select(_c(id_col).alias("id"), normalized_words(text_col).alias("w"))
+    # Persisted: the duplicated-hash aggregate AND the flagged-window join
+    # both read the window table; without the cache the tokenize + per-window
+    # md5 pass (the dominant cost) runs twice — the two consumers shuffle
+    # differently (partial-agg vs raw rows), so exchange reuse cannot dedup
+    # them. The cached rows are the skinny (id, pos, h) projection only.
     wins = words.select(
         "id", F.posexplode(shingles_from_words("w", w)).alias("pos", "sh")
-    ).select("id", "pos", hash32("sh", 77).alias("h"))
+    ).select("id", "pos", hash32("sh", 77).alias("h")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup = (
         wins.groupBy("h")
         .agg(F.count_distinct("id").alias("n_docs"))

@@ -37,6 +37,31 @@ from ..kernel.cell import Cell
 from ..localdf import local_df
 
 
+#: driver-side memo for covering_rows: the covering of a polygon is a pure
+#: function of its geometry + coverer params and is independent of any input
+#: table, yet the coverer costs ~0.5 s of driver time per 6-polygon call —
+#: paid on EVERY pip_join plan build. Keyed by a digest of loop vertices +
+#: orientation + params; bounded LRU so dynamically-constructed polygons
+#: (boolean-op results) can't grow it without bound.
+_COVERING_MEMO: dict = {}
+_COVERING_MEMO_CAP = 256
+
+
+def polygons_geometry_key(polygons: dict, *params) -> bytes:
+    """Digest of the polygon dict's exact geometry (vertex doubles +
+    origin_inside orientation per loop) + extra scalar params."""
+    import hashlib
+
+    h = hashlib.md5()
+    for pid, poly in polygons.items():
+        h.update(str(pid).encode())
+        for lp in poly.loops:
+            h.update(np.ascontiguousarray(lp.vertices, dtype=np.float64).tobytes())
+            h.update(b"1" if lp.origin_inside else b"0")
+    h.update(repr(params).encode())
+    return h.digest()
+
+
 def covering_rows(
     polygons: dict, max_cells: int = 8, min_level: int = 0, max_level: int = 30
 ) -> list[tuple]:
@@ -46,6 +71,10 @@ def covering_rows(
     (computed with the polygon's own contains-cell test), enabling the
     exact-test skip (SURVEY.md §4 'interior fast accept').
     """
+    key = polygons_geometry_key(polygons, "cov", max_cells, min_level, max_level)
+    memo = _COVERING_MEMO.get(key)
+    if memo is not None:
+        return memo
     rows = []
     coverer = cov.RegionCoverer(
         max_cells=max_cells, min_level=min_level, max_level=max_level
@@ -64,6 +93,9 @@ def covering_rows(
                     interior,
                 )
             )
+    if len(_COVERING_MEMO) >= _COVERING_MEMO_CAP:
+        _COVERING_MEMO.pop(next(iter(_COVERING_MEMO)))
+    _COVERING_MEMO[key] = rows
     return rows
 
 

@@ -144,12 +144,23 @@ def expanded_covering_rows(
     polygons: dict, radius_rad: float, max_cells: int = 8
 ) -> list[tuple]:
     """(polygon_id, cell_id) rows of each polygon's covering buffered by
-    radius (kernel union_expand_radius = S2CellUnion.expand(S1Angle))."""
+    radius (kernel union_expand_radius = S2CellUnion.expand(S1Angle)).
+    Memoized like pip.covering_rows: pure function of geometry + params,
+    ~0.5 s of driver plan-build time per call otherwise."""
+    from .pip import _COVERING_MEMO, _COVERING_MEMO_CAP, polygons_geometry_key
+
+    key = polygons_geometry_key(polygons, "expcov", radius_rad, max_cells)
+    memo = _COVERING_MEMO.get(key)
+    if memo is not None:
+        return memo
     coverer = cov.RegionCoverer(max_cells=max_cells)
     rows = []
     for pid, poly in polygons.items():
         ids = cov.union_expand_radius(coverer.get_covering(poly), radius_rad)
         rows.extend((pid, int(s2.to_signed(np.uint64(c))[0])) for c in ids)
+    if len(_COVERING_MEMO) >= _COVERING_MEMO_CAP:
+        _COVERING_MEMO.pop(next(iter(_COVERING_MEMO)))
+    _COVERING_MEMO[key] = rows
     return rows
 
 
