@@ -458,10 +458,20 @@ def connected_components(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
     )
-    e_cnt = e.count()
-    if small_graph_threshold and e_cnt <= small_graph_threshold:
+    # Small-graph probe: ONE limit-guarded collect replaces the previous
+    # checkpoint + count + collect trio (3 driver jobs -> 1) — if at most
+    # ``threshold`` edges come back, that IS the complete edge set and the
+    # driver union-find runs on it directly. Above the threshold the
+    # distributed star contraction proceeds exactly as before (the probe
+    # cost there is one partial CollectLimit pass, bounded by threshold+1
+    # rows, not the corpus).
+    probe = (
+        e.limit(small_graph_threshold + 1).collect()
+        if small_graph_threshold
+        else None
+    )
+    if probe is not None and len(probe) <= small_graph_threshold:
         parent: dict = {}
 
         def find(x):
@@ -473,7 +483,7 @@ def connected_components(
             return r
 
         nodes = set()
-        for row in e.collect():
+        for row in probe:
             u, v = row["u"], row["v"]
             nodes.add(u)
             nodes.add(v)
@@ -490,6 +500,11 @@ def connected_components(
         return local_df(
             e.sparkSession, assign, f"id {utype}, component {utype}"
         )
+
+    # distributed path: checkpoint truncates the iterative lineage; the
+    # count seeds exact convergence detection
+    e = e.localCheckpoint()
+    e_cnt = e.count()
 
     def both(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
