@@ -128,7 +128,15 @@ def lsh_candidate_pairs(
     Bands become equi-join keys — the scalable path: the self-join is a
     shuffle on band values, never a cross join.
     """
-    bands = band_table(df, id_col, text_col, n_hashes, band_rows, shingle_n)
+    from pyspark import StorageLevel
+
+    # Persisted: the self-join's two sides are separate subtrees (the
+    # planner broadcasts one side, so exchange reuse never applies) and
+    # would each recompute the full tokenize -> shingle -> 8x md5 minhash
+    # pipeline. The cached table is the skinny (id, band) projection.
+    bands = band_table(df, id_col, text_col, n_hashes, band_rows, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -458,20 +466,15 @@ def connected_components(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
-    # Small-graph probe: ONE limit-guarded collect replaces the previous
-    # checkpoint + count + collect trio (3 driver jobs -> 1) — if at most
-    # ``threshold`` edges come back, that IS the complete edge set and the
-    # driver union-find runs on it directly. Above the threshold the
-    # distributed star contraction proceeds exactly as before (the probe
-    # cost there is one partial CollectLimit pass, bounded by threshold+1
-    # rows, not the corpus).
-    probe = (
-        e.limit(small_graph_threshold + 1).collect()
-        if small_graph_threshold
-        else None
-    )
-    if probe is not None and len(probe) <= small_graph_threshold:
+    # (A limit-guarded single collect was tried here instead of the
+    # checkpoint + count: CollectLimit's incremental partition scaling
+    # re-runs final-stage partitions across several jobs and measured
+    # ~0.6 s SLOWER than one full checkpoint pass at sf0.1.)
+    e_cnt = e.count()
+    if small_graph_threshold and e_cnt <= small_graph_threshold:
+        probe = e.collect()
         parent: dict = {}
 
         def find(x):
@@ -500,11 +503,6 @@ def connected_components(
         return local_df(
             e.sparkSession, assign, f"id {utype}, component {utype}"
         )
-
-    # distributed path: checkpoint truncates the iterative lineage; the
-    # count seeds exact convergence detection
-    e = e.localCheckpoint()
-    e_cnt = e.count()
 
     def both(df: DataFrame) -> DataFrame:
         return df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))

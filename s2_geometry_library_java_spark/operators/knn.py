@@ -273,8 +273,14 @@ def knn_cell_join(
         # level set this round, computed driver-side: every seed level
         # decremented round_no times (a superset of the live set is fine —
         # unused levels contribute empty join keys, no extra scan)
+        # level 0 rings are dropped: a 3x3 ring of FACES covers most of the
+        # sphere, so that round's candidate join approaches the full index —
+        # the exact brute remnant below is strictly cheaper (no verdict
+        # aggregation, no anti-join) and equally exact, matching the
+        # closest-edges loop's lvl==0 break.
         lvls = sorted(
             {max(0, L - round_no * int(fallback_level_step)) for L in seed_levels}
+            - {0}
         )
         if not lvls:
             break
@@ -329,8 +335,6 @@ def knn_cell_join(
             "lvl",
             F.greatest(F.lit(0), F.col("lvl") - F.lit(int(fallback_level_step))),
         )
-        if lvls == [0]:
-            break
     # anything still unfinished: exact brute-force remnant (tiny by now).
     # Unioned lazily — no isEmpty() driver job: an all-finished search
     # broadcasts an empty remnant and AQE prunes the cross join to nothing.

@@ -229,12 +229,18 @@ def lsh_banded_pairs(
     than max_bucket from the join (a hot bucket means the planes failed to
     split a dense cluster; callers refine those separately), bounding the
     worst-case fanout to max_bucket^2 per band."""
+    from pyspark import StorageLevel
+
     bk = make_band_keys_udf(n_tables, planes_per_table, dim)
+    # Persisted: the bucket-count aggregate and BOTH self-join sides read
+    # this table; without the cache the Arrow band-key pass over the full
+    # embedding set runs three times (the planner broadcasts one join side,
+    # so exchange reuse never applies across the subtrees).
     b = index.select(
         _c(id_col).alias("id"),
         _c(vec_col).alias("v"),
         F.explode(bk(_c(vec_col))).alias("band"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = b.groupBy("band").agg(F.count("*").alias("n"))
     kept = b.join(counts.where(F.col("n") <= max_bucket), "band")
     pairs = (
@@ -514,10 +520,19 @@ def ivf_train_centroids(
         assign = make_ivf_assign_udf(ids, C)
         members = pts.select(assign(F.col("v")).alias("centroid_id"), "q")
         cents = _sum_vectors(members, dim)
-    cents = cents.persist()
-    cents.count()  # materialize before releasing the training scan
+    # Collect the (tiny, K-row) centroid table and re-ship it as a local
+    # relation: one job instead of persist + count (and the caller's own
+    # _collect_centroid_matrix then reads driver-local rows for free).
+    from ..localdf import local_df
+
+    rows = [
+        (int(r["centroid_id"]), [float(v) for v in r["cv"]])
+        for r in cents.collect()
+    ]
     pts.unpersist()
-    return cents
+    return local_df(
+        index.sparkSession, rows, "centroid_id long, cv array<double>"
+    )
 
 
 def ivf_topk(
