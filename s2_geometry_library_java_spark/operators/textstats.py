@@ -5,6 +5,8 @@ integer outputs so DuckDB oracles match bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import normalized_words
@@ -98,6 +100,96 @@ def fingerprint64(text, modulus: int = 2147483647, base: int = 31) -> Column:
     return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(agg)
 
 
+_fp64_udf_cache: list = []
+
+
+def fingerprint64_udf():
+    """Arrow-vectorized twin of ``fingerprint64`` — bit-identical by
+    construction: the recurrence acc = (acc*31 + code) mod (2^31-1) is
+    pure INTEGER arithmetic, replayed here position-by-position with one
+    vector op per character position (int64 never overflows: acc < 2^31,
+    acc*31 + 127 < 2^36). The Column form interprets one lambda step +
+    substring call PER CHARACTER per row. ASCII batches use a fixed-width
+    byte matrix; any non-ASCII row falls back to an exact per-char ord()
+    loop (Spark's ascii() returns the codepoint of the first character,
+    which is ord())."""
+    if not _fp64_udf_cache:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        M, BASE = 2147483647, 31
+
+        @pandas_udf(LongType())
+        def fp64(texts: pd.Series) -> pd.Series:
+            vals = ["" if t is None else t for t in texts]
+            out = np.zeros(len(vals), dtype=np.int64)
+            if not vals:
+                return pd.Series(out)
+            enc = [t.encode("utf-8") for t in vals]
+            lens = np.array([len(t) for t in vals], dtype=np.int64)
+            if all(len(e) == n for e, n in zip(enc, lens)):  # pure ASCII
+                width = int(lens.max())
+                buf = np.zeros((len(vals), width), dtype=np.int64)
+                for r, e in enumerate(enc):
+                    if e:
+                        buf[r, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+                acc = np.zeros(len(vals), dtype=np.int64)
+                for i in range(width):  # char order == the Column fold
+                    live = lens > i
+                    acc[live] = (acc[live] * BASE + buf[live, i]) % M
+                out = acc
+            else:
+                for r, t in enumerate(vals):
+                    a = 0
+                    for c in t:
+                        a = (a * BASE + ord(c)) % M
+                    out[r] = a
+            return pd.Series(out)
+
+        _fp64_udf_cache.append(fp64)
+    return _fp64_udf_cache[0]
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, word, tf) per-document term counts — the shared first stage of
+    vocab_topk and tfidf_top_terms. One shuffle keyed by (id, word) with
+    map-side combine. Callers composing both downstream views should
+    persist the result: the two consumers (and tfidf's own doc-frequency
+    aggregate, which the planner broadcasts) are separate subtrees, so
+    without a cache the tokenize + explode pass runs once per consumer."""
+    return (
+        df.select(_c(id_col).alias("id"), normalized_words(text_col).alias("w"))
+        .select("id", F.explode("w").alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def vocab_topk_from_tf(tf: DataFrame, k: int = 100) -> DataFrame:
+    """vocab_topk over a precomputed term_frequencies table: the global
+    word count is the sum of per-doc counts (identical integers), so the
+    corpus tokenization is shared instead of re-run."""
+    counts = tf.groupBy("word").agg(F.sum("tf").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(k)
+    rank_w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(rank_w))
+
+
+def tfidf_top_terms_from_tf(tf: DataFrame, top_n: int = 3) -> DataFrame:
+    """tfidf_top_terms over a precomputed term_frequencies table."""
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(dfreq, "word").withColumn(
+        "score_q", F.expr("tf * 1000000 DIV doc_freq")
+    )
+    rank_w = Window.partitionBy("id").orderBy(F.desc("score_q"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= top_n)
+        .select("id", "word", "tf", "doc_freq", "score_q", "rank")
+    )
+
+
 def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     """Corpus vocabulary: global top-k words by total count, ties broken by
     word ascending; returns (word, n, rank) with rank 1..k.
@@ -138,23 +230,12 @@ def tfidf_top_terms(
     AQE broadcasts it back onto the term table when small), one id-keyed
     window for the per-doc top-n. No step is corpus-pairwise.
     """
-    tf = (
-        df.select(_c(id_col).alias("id"), normalized_words(text_col).alias("w"))
-        .select("id", F.explode("w").alias("word"))
-        .where(F.col("word") != "")
-        .groupBy("id", "word")
-        .agg(F.count("*").alias("tf"))
+    from pyspark import StorageLevel
+
+    tf = term_frequencies(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("doc_freq"))
-    scored = tf.join(dfreq, "word").withColumn(
-        "score_q", F.expr("tf * 1000000 DIV doc_freq")
-    )
-    rank_w = Window.partitionBy("id").orderBy(F.desc("score_q"), F.asc("word"))
-    return (
-        scored.withColumn("rank", F.row_number().over(rank_w))
-        .where(F.col("rank") <= top_n)
-        .select("id", "word", "tf", "doc_freq", "score_q", "rank")
-    )
+    return tfidf_top_terms_from_tf(tf, top_n)
 
 
 def grouped_percentiles(
@@ -262,5 +343,5 @@ def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         punct_count(text_col).alias("puncts"),
         lang_guess(text_col).alias("lang_guess"),
         quality_score(text_col).alias("quality"),
-        fingerprint64(text_col).alias("fingerprint"),
+        fingerprint64_udf()(_c(text_col)).alias("fingerprint"),
     )

@@ -2236,7 +2236,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok_end").cast("long").alias("y"),
         F.col("n_windows").cast("long").alias("z"),
     )
-    vocab = textstats.vocab_topk(d, "text", k=25).select(
+    # ONE persisted (id, word, tf) table feeds both the vocab and tfidf
+    # tiers (and tfidf's broadcast doc-frequency side): without it the
+    # corpus tokenize + explode pass ran once per consumer subtree.
+    from pyspark import StorageLevel
+
+    tf = textstats.term_frequencies(d, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    vocab = textstats.vocab_topk_from_tf(tf, k=25).select(
         F.lit("vocab").alias("kind"),
         F.col("rank").cast("long").alias("id"),
         F.col("word").alias("key"),
@@ -2244,7 +2252,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("y"),
         F.lit(0).cast("long").alias("z"),
     )
-    tfidf = textstats.tfidf_top_terms(d, "doc_id", "text", top_n=3).select(
+    tfidf = textstats.tfidf_top_terms_from_tf(tf, top_n=3).select(
         F.lit("tfidf").alias("kind"),
         "id",
         F.col("word").alias("key"),
@@ -2506,7 +2514,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         ne,
         ni,
-        textstats.fingerprint64(textstats.redact_pii(injected)).alias("pii_fp"),
+        textstats.fingerprint64_udf()(textstats.redact_pii(injected)).alias("pii_fp"),
     )
     return packed.join(qual, "id").join(pii, "id")
 
