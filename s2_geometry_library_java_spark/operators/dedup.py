@@ -288,12 +288,24 @@ def repeated_window_spans(
     ).select("id", "pos", hash32("sh", 77).alias("h")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("id").alias("n_docs"))
-        .where(F.col("n_docs") >= min_docs)
-        .select("h")
-    )
+    if min_docs == 2:
+        # "at least 2 distinct docs" == "min(id) != max(id)" — min/max are
+        # single-phase aggregations with map-side combine, whereas
+        # count_distinct plans as a two-phase Expand over every window row
+        # (guide §2.3 aggregate-before-shuffle). Identical dup-hash set.
+        dup = (
+            wins.groupBy("h")
+            .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select("h")
+        )
+    else:
+        dup = (
+            wins.groupBy("h")
+            .agg(F.count_distinct("id").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+            .select("h")
+        )
     byid = Window.partitionBy("id").orderBy("pos")
     flagged = (
         wins.join(dup, "h")

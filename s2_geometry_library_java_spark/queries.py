@@ -3022,12 +3022,22 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
         "long"
     )
+    # Pre-aggregate lineitem to one row per order BEFORE the joins (guide
+    # §2.3): the big table's shuffle carries 2 long columns and the
+    # count_distinct over the joined rows (planned as a two-phase Expand)
+    # becomes a plain count — each order appears exactly once after the
+    # pre-aggregation and o_orderkey is unique in orders. Integer sums are
+    # associative, so revenue per nation is bit-identical.
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("_order_rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue_cents"), F.count_distinct("o_orderkey").alias("n_orders"))
+        .agg(
+            F.sum("_order_rev").alias("revenue_cents"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
     )
 
 
