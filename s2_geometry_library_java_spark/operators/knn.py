@@ -262,9 +262,12 @@ def knn_cell_join(
                     )))
                 )
     else:
-        # Seed level from the index cardinality under a uniform prior (the
-        # count doubles as the cache warm-up the joins reuse).
-        lvl0 = choose_level(idx.count(), k)
+        # Seed level from the index cardinality under a uniform prior.
+        # Counted on the RAW input (1:1 with idx rows): Catalyst prunes
+        # that count to a plain scan, whereas counting idx would eagerly
+        # run its Arrow leaf/xyz passes as a separate job — the single
+        # search action materializes the idx cache anyway.
+        lvl0 = choose_level(index.count(), k)
         qs2 = qs.withColumn("lvl", F.lit(lvl0))
         seed_levels = {lvl0}
     results = None
